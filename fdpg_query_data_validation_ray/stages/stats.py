@@ -1,0 +1,275 @@
+"""Column statistics: mergeable per-batch partials → actor-pool merge → driver.
+
+Reference analog: distribution analysis (`analyse_distribution`,
+extraction/main.py:270-293 — per-type totals + per-code-system counts via
+count queries) generalized to streaming column profiles per SURVEY.md §2.5 A7:
+count, null-count, min/max, sum/sum², HLL distinct, KLL quantiles,
+categorical value counts.
+
+Execution shape (no shuffle — everything is partial+merge):
+  read → map_batches(partial_stats_fn)          [stateless tasks, Arrow in]
+       → map_batches(StatsMerger, concurrency=K) [actor pool: each actor folds
+                                                  many partial rows into few]
+       → driver merge of ≤ K·|columns| rows      [tiny]
+
+Partial rows travel as an Arrow table with binary sketch columns, so the merge
+stage is itself a Dataset stage with backpressure, not a driver loop.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from fdpg_query_data_validation_ray.functions.hashing import hash64
+from fdpg_query_data_validation_ray.functions.sketches import HLL, KLL
+
+# categorical value-count maps larger than this are truncated to the heaviest
+# keys (a column that is effectively an ID is not categorical)
+MAX_CATEGORICAL = 1024
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("column", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_nulls", pa.int64()),
+        ("min_num", pa.float64()),
+        ("max_num", pa.float64()),
+        ("sum_num", pa.float64()),
+        ("sum_sq", pa.float64()),
+        ("min_str", pa.string()),
+        ("max_str", pa.string()),
+        ("hll", pa.binary()),
+        ("kll", pa.binary()),
+        ("cat_counts", pa.binary()),  # pickled dict[str,int] or None
+    ]
+)
+
+
+@dataclass
+class ColumnPartial:
+    column: str
+    n_rows: int = 0
+    n_nulls: int = 0
+    min_num: float | None = None
+    max_num: float | None = None
+    sum_num: float = 0.0
+    sum_sq: float = 0.0
+    min_str: str | None = None
+    max_str: str | None = None
+    hll: HLL = field(default_factory=HLL)
+    kll: KLL = field(default_factory=KLL)
+    cat_counts: dict | None = None
+
+    def merge(self, o: "ColumnPartial") -> "ColumnPartial":
+        self.n_rows += o.n_rows
+        self.n_nulls += o.n_nulls
+        for attr, op in (("min_num", min), ("max_num", max), ("min_str", min), ("max_str", max)):
+            a, b = getattr(self, attr), getattr(o, attr)
+            setattr(self, attr, b if a is None else (a if b is None else op(a, b)))
+        self.sum_num += o.sum_num
+        self.sum_sq += o.sum_sq
+        self.hll.merge(o.hll)
+        self.kll.merge(o.kll)
+        if o.cat_counts is not None:
+            if self.cat_counts is None:
+                self.cat_counts = dict(o.cat_counts)
+            else:
+                for k, v in o.cat_counts.items():
+                    self.cat_counts[k] = self.cat_counts.get(k, 0) + v
+        if self.cat_counts is not None and len(self.cat_counts) > MAX_CATEGORICAL:
+            keep = sorted(self.cat_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            self.cat_counts = dict(keep[:MAX_CATEGORICAL])
+        return self
+
+
+def _partial_from_array(name: str, col: pa.ChunkedArray, categorical: bool) -> ColumnPartial:
+    import pyarrow.compute as pc
+
+    p = ColumnPartial(name)
+    p.n_rows = len(col)
+    p.n_nulls = col.null_count
+    valid = pc.drop_null(col)
+    if len(valid) == 0:
+        return p
+    is_num = pa.types.is_integer(valid.type) or pa.types.is_floating(valid.type)
+    if is_num:
+        arr = valid.to_numpy(zero_copy_only=False).astype(np.float64)
+        p.min_num = float(arr.min())
+        p.max_num = float(arr.max())
+        p.sum_num = float(arr.sum())
+        p.sum_sq = float((arr * arr).sum())
+        p.kll.add_values(arr)
+        p.hll.add_hashes(hash64(arr))
+    else:
+        svals = pc.cast(valid, pa.string())
+        mm = pc.min_max(svals)
+        p.min_str = mm["min"].as_py()
+        p.max_str = mm["max"].as_py()
+        p.hll.add_hashes(hash64(svals))
+        # string length profile feeds the KLL (content-length drift, SURVEY §2.5 A3)
+        p.kll.add_values(pc.utf8_length(svals).to_numpy(zero_copy_only=False).astype(np.float64))
+    if categorical:
+        vc = pc.value_counts(pc.cast(valid, pa.string()))
+        p.cat_counts = {
+            d["values"]: d["counts"] for d in vc.to_pylist()
+        }
+        if len(p.cat_counts) > MAX_CATEGORICAL:
+            keep = sorted(p.cat_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            p.cat_counts = dict(keep[:MAX_CATEGORICAL])
+    return p
+
+
+def _partials_to_table(partials: list[ColumnPartial]) -> pa.Table:
+    return pa.table(
+        {
+            "column": [p.column for p in partials],
+            "n_rows": [p.n_rows for p in partials],
+            "n_nulls": [p.n_nulls for p in partials],
+            "min_num": [p.min_num for p in partials],
+            "max_num": [p.max_num for p in partials],
+            "sum_num": [p.sum_num for p in partials],
+            "sum_sq": [p.sum_sq for p in partials],
+            "min_str": [p.min_str for p in partials],
+            "max_str": [p.max_str for p in partials],
+            "hll": [p.hll.to_bytes() for p in partials],
+            "kll": [p.kll.to_bytes() for p in partials],
+            "cat_counts": [
+                None if p.cat_counts is None else pickle.dumps(p.cat_counts, protocol=4)
+                for p in partials
+            ],
+        },
+        schema=PARTIAL_SCHEMA,
+    )
+
+
+def _partials_from_table(t: pa.Table) -> list[ColumnPartial]:
+    out = []
+    for row in t.to_pylist():
+        p = ColumnPartial(row["column"])
+        p.n_rows = row["n_rows"]
+        p.n_nulls = row["n_nulls"]
+        p.min_num = row["min_num"]
+        p.max_num = row["max_num"]
+        p.sum_num = row["sum_num"] or 0.0
+        p.sum_sq = row["sum_sq"] or 0.0
+        p.min_str = row["min_str"]
+        p.max_str = row["max_str"]
+        p.hll = HLL.from_bytes(row["hll"])
+        p.kll = KLL.from_bytes(row["kll"])
+        p.cat_counts = None if row["cat_counts"] is None else pickle.loads(row["cat_counts"])
+        out.append(p)
+    return out
+
+
+class PartialStats:
+    """Stateless-shaped stage (used as an actor pool so column config is
+    parsed once): one Arrow batch in → one partial row per profiled column."""
+
+    def __init__(self, columns: list[str] | None = None, categorical: list[str] | None = None):
+        self.columns = columns
+        self.categorical = set(categorical or [])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = self.columns or batch.column_names
+        partials = [
+            _partial_from_array(c, batch.column(c), c in self.categorical) for c in cols
+        ]
+        return _partials_to_table(partials)
+
+
+class StatsMerger:
+    """Actor-pool merge stage: folds many partial rows into one row per column
+    per incoming batch. Stacking this stage gives a merge tree; the driver
+    only ever merges (#actors × #columns) rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        merged: dict[str, ColumnPartial] = {}
+        for p in _partials_from_table(batch):
+            if p.column in merged:
+                merged[p.column].merge(p)
+            else:
+                merged[p.column] = p
+        return _partials_to_table([merged[k] for k in sorted(merged)])
+
+
+QUANTILES = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def finalize(partials: list[ColumnPartial]) -> dict[str, dict]:
+    """Merge partials per column (deterministic order) and emit plain-dict
+    stats — the shape embedded into verdicts and the drift snapshot."""
+    by_col: dict[str, ColumnPartial] = {}
+    for p in partials:
+        if p.column in by_col:
+            by_col[p.column].merge(p)
+        else:
+            by_col[p.column] = p
+    out = {}
+    for name in sorted(by_col):
+        p = by_col[name]
+        non_null = p.n_rows - p.n_nulls
+        stats = {
+            "count": p.n_rows,
+            "nulls": p.n_nulls,
+            "null_ratio": (p.n_nulls / p.n_rows) if p.n_rows else 0.0,
+            "distinct_hll": round(p.hll.estimate(), 1),
+        }
+        if p.min_num is not None:
+            stats.update(
+                min=p.min_num,
+                max=p.max_num,
+                mean=(p.sum_num / non_null) if non_null else None,
+            )
+            if non_null > 1:
+                var = max(0.0, p.sum_sq / non_null - (p.sum_num / non_null) ** 2)
+                stats["std"] = float(np.sqrt(var))
+        if p.min_str is not None:
+            stats.update(min=p.min_str, max=p.max_str)
+        if p.kll.n:
+            stats["quantiles"] = {
+                f"p{int(q * 100):02d}": p.kll.quantile(q) for q in QUANTILES
+            }
+        if p.cat_counts is not None:
+            stats["value_counts"] = dict(
+                sorted(p.cat_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:64]
+            )
+        out[name] = stats
+    return out
+
+
+def column_stats(
+    ds,
+    columns: list[str] | None = None,
+    categorical: list[str] | None = None,
+    merge_concurrency: int = 2,
+    batch_size: int = 8192,
+) -> dict[str, dict]:
+    """End-to-end column profile of a Dataset. Returns {column: stats dict}.
+
+    Partial per batch → actor-pool merge → driver finalize; the driver sees
+    only merged partial rows, never data rows.
+    """
+    # partial stage = stateless tasks (elastic, no CPU reservation ahead of
+    # time); merge stage = small autoscaling actor pool. Fixed-size pools for
+    # both can starve each other on small CPU counts (pool CPUs are reserved
+    # up front) — the classic stage-starvation pitfall.
+    partial_fn = PartialStats(columns=columns, categorical=categorical)
+    partial_ds = ds.map_batches(
+        partial_fn,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    ).map_batches(
+        StatsMerger,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, merge_concurrency),
+    )
+    partials = []
+    for b in partial_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        partials.extend(_partials_from_table(t))
+    return finalize(partials)

@@ -1,0 +1,75 @@
+"""Column-stats pipeline tests (Ray Data end-to-end, small data)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fdpg_query_data_validation_ray.stages.stats import (
+    PartialStats,
+    StatsMerger,
+    _partials_from_table,
+    column_stats,
+    finalize,
+)
+
+
+def make_table(n=10_000, seed=0):
+    rng = np.random.default_rng(seed)
+    vals = rng.lognormal(3, 1, n)
+    vals[:: n // 50] = np.nan  # ~50 nulls worth (NaN → null on Arrow conversion below)
+    cat = rng.choice(["en", "de", "fr", "zh"], size=n, p=[0.5, 0.2, 0.2, 0.1])
+    return pa.table(
+        {
+            "x": pa.array(vals, from_pandas=True),
+            "lang": pa.array(cat),
+            "uid": pa.array([f"u{i}" for i in range(n)]),
+        }
+    )
+
+
+def test_partial_and_finalize_no_ray():
+    t = make_table()
+    partial = PartialStats(categorical=["lang"])(t)
+    stats = finalize(_partials_from_table(partial))
+    assert stats["x"]["count"] == 10_000
+    assert stats["x"]["nulls"] == 50
+    exact = t.column("x").drop_null().to_numpy(zero_copy_only=False)
+    assert stats["x"]["min"] == pytest.approx(exact.min())
+    assert stats["x"]["max"] == pytest.approx(exact.max())
+    assert stats["x"]["mean"] == pytest.approx(exact.mean())
+    assert abs(stats["uid"]["distinct_hll"] - 10_000) / 10_000 < 0.05
+    assert stats["lang"]["distinct_hll"] == pytest.approx(4, abs=0.5)
+    assert sum(stats["lang"]["value_counts"].values()) == 10_000
+    p50 = stats["x"]["quantiles"]["p50"]
+    rank = np.searchsorted(np.sort(exact), p50) / len(exact)
+    assert abs(rank - 0.5) < 0.03
+
+
+def test_merge_stage_preserves_totals():
+    t = make_table()
+    ps = PartialStats(categorical=["lang"])
+    # simulate 8 batches → merge → finalize must equal single-pass totals
+    parts = []
+    for i in range(8):
+        parts.append(ps(t.slice(i * 1250, 1250)))
+    merged = StatsMerger()(pa.concat_tables(parts))
+    stats = finalize(_partials_from_table(merged))
+    assert stats["x"]["count"] == 10_000
+    assert stats["x"]["nulls"] == 50
+    assert sum(stats["lang"]["value_counts"].values()) == 10_000
+
+
+def test_column_stats_on_dataset(ray_session):
+    import ray.data as rd
+
+    t = make_table()
+    ds = rd.from_arrow(t).repartition(6)
+    stats = column_stats(ds, categorical=["lang"], batch_size=1024)
+    assert stats["x"]["count"] == 10_000
+    assert stats["x"]["nulls"] == 50
+    assert stats["lang"]["value_counts"]["en"] == pytest.approx(5000, rel=0.1)
+    exact = t.column("x").drop_null().to_numpy(zero_copy_only=False)
+    assert stats["x"]["min"] == pytest.approx(exact.min())
+    assert stats["x"]["max"] == pytest.approx(exact.max())
