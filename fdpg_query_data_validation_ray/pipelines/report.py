@@ -1,0 +1,120 @@
+"""Merged run report — the reference's raw report shape, deterministic.
+
+Reference: write_raw_report (extraction/main.py:296-304) emits
+{distribution, validation: {type: {count, issues}}, general, error}; issues
+are dedup-counted by (severity, code, diagnostics, generic path)
+(IssueSet.add, extraction/IssueSet.py:9-26) and the report sorts issues
+fatal < error < warning < information (report_visualizer.py:472-491).
+
+This report keeps those channels:
+- distribution  → per-column stats (count / null_ratio / min / max / HLL
+                  distinct / KLL quantiles / value counts),
+- validation    → dedup-counted issues: key = (rule_id, severity, location,
+                  diagnostics) → count + up to 3 sample row_keys,
+- general       → warning-severity issues (missing_suite fallback etc.),
+- error         → error-channel issues (rule_id prefixed "error:"),
+- verdicts      → per-partition pass/fail + lineage (no volatile metrics, so
+                  a resumed run's report is byte-identical to an
+                  uninterrupted one — FIXTURES.md resume fixture).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from fdpg_query_data_validation_ray.schema import SEVERITY_RANK
+from fdpg_query_data_validation_ray.stages.stats import ColumnPartial, finalize
+from fdpg_query_data_validation_ray.state.checkpoint import RunManifest
+
+MAX_SAMPLE_KEYS = 3
+
+
+def dedup_issues(violation_rows) -> list[dict]:
+    """IssueSet semantics: group by (rule_id, severity, location, diagnostics),
+    count, keep sorted sample row keys; sorted by severity rank then rule_id."""
+    groups: dict[tuple, dict] = {}
+    for r in violation_rows:
+        key = (r["rule_id"], r["severity"], r["location"], r["diagnostics"])
+        g = groups.setdefault(
+            key,
+            {
+                "rule_id": r["rule_id"],
+                "severity": r["severity"],
+                "location": r["location"],
+                "diagnostics": r["diagnostics"],
+                "count": 0,
+                "sample_row_keys": [],
+            },
+        )
+        g["count"] += 1
+        rk = r.get("row_key") or ""
+        if rk:
+            g["sample_row_keys"].append(rk)
+    out = []
+    for g in groups.values():
+        g["sample_row_keys"] = sorted(g["sample_row_keys"])[:MAX_SAMPLE_KEYS]
+        out.append(g)
+    out.sort(key=lambda g: (SEVERITY_RANK[g["severity"]], g["rule_id"], g["location"]))
+    return out
+
+
+def build_report(
+    manifest: RunManifest,
+    merged_partials: dict[str, ColumnPartial],
+    global_violations: list[dict],
+    config_hash: str,
+) -> dict:
+    from fdpg_query_data_validation_ray.pipelines.validate import _scan_union
+    import os
+
+    per_row: list[dict] = []
+    verdicts = {}
+    for pid in manifest.completed_partitions():
+        v = manifest.load_verdict(pid)
+        verdicts[pid] = {
+            "passed": v["passed"],
+            "rows_checked": v["rows_checked"],
+            "violation_count": v["violation_count"],
+            "warning_count": v["warning_count"],
+            "lineage": v["lineage"],
+        }
+        d = os.path.join(manifest.partition_dir(pid), "combined")
+        if os.path.isdir(d):
+            t = _scan_union(
+                d, "violation",
+                ["rule_id", "severity", "location", "diagnostics", "row_key"],
+            )
+            per_row.extend(t.to_pylist())
+    all_rows = per_row + list(global_violations)
+    issues = dedup_issues(all_rows)
+
+    general = [g for g in issues if g["severity"] == "warning"]
+    error_channel = [g for g in issues if g["rule_id"].startswith("error:")]
+    validation = [
+        g
+        for g in issues
+        if g["severity"] != "warning" and not g["rule_id"].startswith("error:")
+    ]
+    n_blocking = sum(
+        g["count"] for g in issues
+        if g["severity"] in ("fatal", "error")
+    )
+    # KLL quantiles are rank-error-bounded approximations whose exact values
+    # depend on the batch split; they live in their own section so the rest of
+    # the report is bit-deterministic under any parallelism (FIXTURES.md
+    # determinism fixture). Resumed runs reuse persisted partials, so even
+    # quantiles_approx is byte-stable across resume.
+    dist = finalize(list(merged_partials.values()))
+    quantiles = {c: s.pop("quantiles") for c, s in dist.items() if "quantiles" in s}
+    return {
+        "config_hash": config_hash,
+        "distribution": dist,
+        "quantiles_approx": quantiles,
+        "validation": validation,
+        "general": general,
+        "error": error_channel,
+        "verdicts": verdicts,
+        "passed": n_blocking == 0,
+        "total_rows_checked": sum(v["rows_checked"] for v in verdicts.values()),
+        "total_violations": n_blocking,
+    }

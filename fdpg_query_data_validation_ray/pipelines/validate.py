@@ -1,0 +1,360 @@
+"""Flagship pipeline: checkpointed, partitioned validation of a Parquet corpus.
+
+Reference analog: the extraction run (extraction/main.py:121-143,325-336) —
+for each record class: fetch pages → validate each bundle → IssueSet dedup →
+report — re-expressed as Ray Data:
+
+    per partition (group of input files), skipped when already complete:
+      read_parquet(files)                                  [streaming blocks]
+        → map_batches(CheckAndProfile, actor pool)         [ONE pass emits
+             row-check violations + stats partials (+ optional sha256 row
+             digests) as a tagged union table]
+        → write_parquet(partition tmp dir)                 [atomic rename]
+      verdict.json: pass/fail + counts + lineage + metrics + stats partials
+
+    global phase (after all partitions; cross-partition semantics):
+      uniqueness groupby over projected key columns        [only shuffle]
+      drift tests over merged partition sketches vs snapshot   [driver, tiny]
+
+    report.json: deterministic merged report (reference raw_report shape,
+    extraction/main.py:296-304) — byte-identical across resumed runs.
+
+Scale notes: the union output is violations+partials, ≪ input (digests off by
+default); uniqueness re-reads ONLY the key columns (column pruning) rather than
+checkpointing a half-finished shuffle; stats partials persist in verdicts so
+resume never re-streams finished partitions (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import pickle
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fdpg_query_data_validation_ray.rules import Rule, Suite, SuiteRegistry
+from fdpg_query_data_validation_ray.schema import VIOLATION_SCHEMA
+from fdpg_query_data_validation_ray.stages.drift import Snapshot, drift_violations
+from fdpg_query_data_validation_ray.stages.row_checks import RowChecker, row_key_array
+from fdpg_query_data_validation_ray.stages.stats import (
+    ColumnPartial,
+    PartialStats,
+    _partials_from_table,
+    _partials_to_table,
+    finalize,
+)
+from fdpg_query_data_validation_ray.stages.unique import uniqueness_violations
+from fdpg_query_data_validation_ray.state.checkpoint import RunManifest
+from fdpg_query_data_validation_ray.functions.hashing import sha256_column
+
+# tagged-union output schema of the single-pass stage
+UNION_SCHEMA = pa.schema(
+    [("record_type", pa.string())]
+    + list(VIOLATION_SCHEMA)
+    + [
+        ("column", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_nulls", pa.int64()),
+        ("min_num", pa.float64()),
+        ("max_num", pa.float64()),
+        ("sum_num", pa.float64()),
+        ("sum_sq", pa.float64()),
+        ("min_str", pa.string()),
+        ("max_str", pa.string()),
+        ("hll", pa.binary()),
+        ("kll", pa.binary()),
+        ("cat_counts", pa.binary()),
+        ("content_sha256", pa.string()),
+    ]
+)
+
+
+def _pad_to_union(t: pa.Table, record_type: str) -> pa.Table:
+    cols = {}
+    n = t.num_rows
+    cols["record_type"] = pa.array([record_type] * n, pa.string())
+    for f in UNION_SCHEMA:
+        if f.name == "record_type":
+            continue
+        if f.name in t.column_names:
+            cols[f.name] = pc.cast(t[f.name], f.type)
+        else:
+            cols[f.name] = pa.nulls(n, f.type)
+    return pa.table(cols, schema=UNION_SCHEMA)
+
+
+@dataclass
+class ValidationPlan:
+    """Everything declarative about a run (hashable → lineage / resume guard)."""
+
+    registry: SuiteRegistry | None = None
+    suite: Suite | None = None
+    unique_keys: list[str] | None = None
+    fk_broadcast: list[dict] = field(default_factory=list)  # {columns, dim_keys, name}
+    drift_rules: list[Rule] = field(default_factory=list)
+    snapshot_json: str | None = None
+    stats_columns: list[str] | None = None
+    categorical: list[str] = field(default_factory=list)
+    content_column: str | None = None  # set → per-row sha256 digests emitted
+
+    def key_columns(self) -> tuple[str, ...]:
+        s = self.suite or self.registry.default
+        if s is None:
+            s = next(iter(self.registry.routes.values()))
+        return s.key_columns
+
+    def config_hash(self) -> str:
+        payload = {
+            "registry": self.registry.to_json() if self.registry else None,
+            "suite": self.suite.to_json() if self.suite else None,
+            "unique_keys": self.unique_keys,
+            "fk": [
+                {"columns": f["columns"], "name": f.get("name", "dim"),
+                 "dim_sha": hashlib.sha256(
+                     "\n".join(sorted(map(str, f["dim_keys"]))).encode()
+                 ).hexdigest()}
+                for f in self.fk_broadcast
+            ],
+            "drift": [r.to_dict() for r in self.drift_rules],
+            "snapshot": self.snapshot_json,
+            "stats_columns": self.stats_columns,
+            "categorical": self.categorical,
+            "content_column": self.content_column,
+        }
+        return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
+
+
+class CheckAndProfile:
+    """The one-pass per-batch stage: row checks + broadcast FK + stats
+    partials (+ optional sha256 digests), all from a single read of the block.
+    Actor pool: suites/regexes/dim sets compiled or fetched once per actor."""
+
+    def __init__(self, plan: ValidationPlan):
+        from fdpg_query_data_validation_ray.stages.fk import BroadcastFKChecker
+
+        self.plan = plan
+        self.checker = (
+            RowChecker(suite=plan.suite)
+            if plan.suite is not None
+            else RowChecker(registry=plan.registry)
+        )
+        self.profiler = PartialStats(
+            columns=plan.stats_columns, categorical=plan.categorical
+        )
+        self.fk_checkers = [
+            BroadcastFKChecker(
+                columns=f["columns"],
+                key_columns=list(self.plan.key_columns()),
+                dim_keys=list(f["dim_keys"]),
+                dim_name=f.get("name", "dim"),
+            )
+            for f in plan.fk_broadcast
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = [
+            _pad_to_union(self.checker(batch), "violation"),
+            _pad_to_union(self.profiler(batch), "partial"),
+        ]
+        for fk in self.fk_checkers:
+            parts.append(_pad_to_union(fk(batch), "violation"))
+        if self.plan.content_column:
+            digest = pa.table(
+                {
+                    "row_key": pc.cast(
+                        row_key_array(batch, self.plan.key_columns()), pa.string()
+                    ),
+                    "content_sha256": sha256_column(
+                        batch.column(self.plan.content_column)
+                    ),
+                }
+            )
+            parts.append(_pad_to_union(digest, "digest"))
+        return pa.concat_tables(parts)
+
+
+def _plan_partitions(files: list[str], num_partitions: int) -> dict[str, list[str]]:
+    files = sorted(files)
+    num_partitions = max(1, min(num_partitions, len(files)))
+    out: dict[str, list[str]] = {f"p{i:05d}": [] for i in range(num_partitions)}
+    for i, f in enumerate(files):
+        out[f"p{i % num_partitions:05d}"].append(f)
+    return out
+
+
+def _scan_union(dir_path: str, record_type: str, columns: list[str]) -> pa.Table:
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(dir_path, format="parquet")
+    return dset.to_table(
+        columns=columns, filter=pads.field("record_type") == record_type
+    )
+
+
+def run_validation(
+    input_files: list[str],
+    out_dir: str,
+    plan: ValidationPlan,
+    num_partitions: int = 8,
+    batch_size: int = 4096,
+    concurrency=None,
+) -> dict:
+    """Execute (or resume) a checkpointed validation run; returns the merged
+    report dict (also written to out_dir/report.json)."""
+    import ray.data as rd
+
+    manifest = RunManifest(out_dir)
+    partitions = _plan_partitions(list(input_files), num_partitions)
+    cfg_hash = plan.config_hash()
+    manifest.write_run_config(
+        {"config_hash": cfg_hash, "partitions": partitions, "input_files": sorted(input_files)}
+    )
+
+    for pid in sorted(partitions):
+        if manifest.is_complete(pid):
+            continue
+        t0 = time.monotonic()
+        files = partitions[pid]
+        tmp_dir = os.path.join(out_dir, f".tmp_{pid}")
+        if os.path.isdir(tmp_dir):
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+        os.makedirs(os.path.join(tmp_dir, "combined"), exist_ok=True)
+
+        ds = rd.read_parquet(files)
+        # callable class ⇒ actor pool; autoscaling (1, N) so the pool never
+        # starves the read/write stages on small CPU counts
+        mb_kwargs = dict(
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency if concurrency is not None else (1, 4),
+        )
+        combined = ds.map_batches(
+            CheckAndProfile, fn_constructor_kwargs=dict(plan=plan), **mb_kwargs
+        )
+        combined.write_parquet(os.path.join(tmp_dir, "combined"))
+
+        # small, column-pruned reads of the partition artifact
+        sev = _scan_union(
+            os.path.join(tmp_dir, "combined"), "violation", ["severity"]
+        )["severity"]
+        partial_t = _scan_union(
+            os.path.join(tmp_dir, "combined"),
+            "partial",
+            [f.name for f in UNION_SCHEMA if f.name not in ("record_type", *VIOLATION_SCHEMA.names, "content_sha256")],
+        )
+        partials = finalize_partials(_partials_from_table(partial_t))
+        rows_checked = max((p.n_rows for p in partials.values()), default=0)
+        n_err = int(
+            pc.sum(
+                pc.cast(pc.is_in(sev, value_set=pa.array(["fatal", "error"])), pa.int64())
+            ).as_py()
+            or 0
+        )
+        n_warn = len(sev) - n_err
+        verdict = {
+            "partition_id": pid,
+            "passed": n_err == 0,
+            "rows_checked": rows_checked,
+            "violation_count": n_err,
+            "warning_count": n_warn,
+            "lineage": {"input_files": files, "config_hash": cfg_hash},
+            "metrics": {"wall_s": round(time.monotonic() - t0, 3)},
+            "stats_partials": _encode_partials(partials),
+        }
+        manifest.commit_partition(pid, verdict, tmp_dir)
+
+    # ---- global phase: cross-partition checks ------------------------------
+    global_violations: list[dict] = []
+    if plan.unique_keys:
+        ds_keys = rd.read_parquet(sorted(input_files), columns=list(plan.unique_keys))
+        uv = uniqueness_violations(ds_keys, plan.unique_keys).to_pandas()
+        global_violations.extend(uv.to_dict("records"))
+    merged_partials = _merge_all_partials(manifest)
+    if plan.drift_rules and plan.snapshot_json:
+        global_violations.extend(
+            drift_violations(
+                Snapshot.from_partials(list(merged_partials.values())),
+                Snapshot.from_json(plan.snapshot_json),
+                plan.drift_rules,
+            )
+        )
+
+    from fdpg_query_data_validation_ray.pipelines.report import build_report
+
+    report = build_report(manifest, merged_partials, global_violations, cfg_hash)
+    RunManifest._atomic_json(os.path.join(out_dir, "report.json"), report)
+    return report
+
+
+def finalize_partials(partials: list[ColumnPartial]) -> dict[str, ColumnPartial]:
+    by_col: dict[str, ColumnPartial] = {}
+    for p in partials:
+        if p.column in by_col:
+            by_col[p.column].merge(p)
+        else:
+            by_col[p.column] = p
+    return by_col
+
+
+def _encode_partials(partials: dict[str, ColumnPartial]) -> str:
+    import base64
+
+    t = _partials_to_table([partials[k] for k in sorted(partials)])
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return base64.b64encode(sink.getvalue().to_pybytes()).decode()
+
+
+def _decode_partials(s: str) -> list[ColumnPartial]:
+    import base64
+
+    buf = base64.b64decode(s)
+    with pa.ipc.open_stream(buf) as r:
+        t = r.read_all()
+    return _partials_from_table(t)
+
+
+def _merge_all_partials(manifest: RunManifest) -> dict[str, ColumnPartial]:
+    """Global stats from persisted per-partition sketches, merged in sorted
+    partition order — resume-safe: never re-streams finished partitions and is
+    deterministic regardless of which partitions ran in which process."""
+    merged: dict[str, ColumnPartial] = {}
+    for pid in manifest.completed_partitions():
+        v = manifest.load_verdict(pid)
+        for p in _decode_partials(v["stats_partials"]):
+            if p.column in merged:
+                merged[p.column].merge(p)
+            else:
+                merged[p.column] = p
+    return merged
+
+
+def read_violations(out_dir: str) -> pa.Table:
+    """All per-row violations of a run (partition artifacts, pruned scan)."""
+    tables = []
+    manifest = RunManifest(out_dir)
+    for pid in manifest.completed_partitions():
+        d = os.path.join(manifest.partition_dir(pid), "combined")
+        if os.path.isdir(d):
+            tables.append(_scan_union(d, "violation", list(VIOLATION_SCHEMA.names)))
+    if not tables:
+        return VIOLATION_SCHEMA.empty_table()
+    return pa.concat_tables(tables)
+
+
+def read_digests(out_dir: str) -> pa.Table:
+    tables = []
+    manifest = RunManifest(out_dir)
+    for pid in manifest.completed_partitions():
+        d = os.path.join(manifest.partition_dir(pid), "combined")
+        if os.path.isdir(d):
+            tables.append(_scan_union(d, "digest", ["row_key", "content_sha256"]))
+    return pa.concat_tables(tables) if tables else pa.table({"row_key": [], "content_sha256": []})

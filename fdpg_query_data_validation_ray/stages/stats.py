@@ -219,14 +219,16 @@ def finalize(partials: list[ColumnPartial]) -> dict[str, dict]:
             "distinct_hll": round(p.hll.estimate(), 1),
         }
         if p.min_num is not None:
+            # mean/std rounded: float partial sums regroup across batch splits,
+            # so last-ulp noise must not leak into the deterministic report
             stats.update(
                 min=p.min_num,
                 max=p.max_num,
-                mean=(p.sum_num / non_null) if non_null else None,
+                mean=round(p.sum_num / non_null, 6) if non_null else None,
             )
             if non_null > 1:
                 var = max(0.0, p.sum_sq / non_null - (p.sum_num / non_null) ** 2)
-                stats["std"] = float(np.sqrt(var))
+                stats["std"] = round(float(np.sqrt(var)), 6)
         if p.min_str is not None:
             stats.update(min=p.min_str, max=p.max_str)
         if p.kll.n:
