@@ -1,0 +1,363 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's issue-level dedup (IssueSet, extraction/IssueSet.py:9-26)
+these are the document-level dedup families a training-data pipeline needs
+(exact, MinHash+LSH, SimHash, n-gram Jaccard), built from the published
+algorithms (Broder 1997 resemblance/minhash; Leskovec-Rajaraman-Ullman MMDS
+ch.3 banding; Charikar 2002 simhash).
+
+Scale shapes:
+- exact: content-hash per batch (vectorized) → groupby(hash) partial-count
+  two-phase, same skew-bounded plan as the uniqueness check (stages/unique.py);
+  only the 32-byte hash + id ever shuffles, never the text.
+- MinHash+LSH: per-batch vectorized shingle→128-perm signature (numpy
+  reduceat, no per-row Python loops on the hot path) → explode to
+  (band, band_hash, id, sig) rows → groupby((band, band_hash)) → candidate
+  pairs verified against the full signature → pair dedup groupby.
+- SimHash: 64-bit signature per doc; candidates from 4×16-bit band buckets;
+  verify with vectorized Hamming distance.
+- n-gram Jaccard: the exact verifier; offered standalone as within-group
+  all-pairs for small groups (use after LSH bucketing at scale).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fdpg_query_data_validation_ray.functions.hashing import hash64, md5_column, mix64
+
+_TOKEN_RE = re.compile(r"\S+")
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_duplicate_groups(ds, text_column: str, id_column: str):
+    """Duplicate content groups: (text_md5, keep_id = min id, n_copies > 1).
+    The kept representative is the minimum id (deterministic)."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "text_md5": md5_column(batch.column(text_column)),
+                id_column: batch.column(id_column).combine_chunks(),
+            }
+        )
+        return t.group_by(["text_md5"]).aggregate(
+            [(id_column, "min"), ([], "count_all")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    totals = partials.groupby("text_md5").aggregate(
+        Min(f"{id_column}_min", alias_name="keep_id"),
+        Sum("count_all", alias_name="n_copies"),
+    )
+    return totals.map_batches(
+        lambda t: t.filter(pc.greater(t["n_copies"], 1)), batch_format="pyarrow"
+    )
+
+
+def exact_dedup(ds, text_column: str, id_column: str):
+    """Keep exactly one row per distinct text (the min id): hash → groupby →
+    first. Returns the deduplicated Dataset (all original columns)."""
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__md5", md5_column(batch.column(text_column)))
+
+    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nsmallest(1, id_column)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("__md5")
+        .map_groups(keep_min, batch_format="pandas")
+        .drop_columns(["__md5"])
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+N_PERMS = 128
+# 32 bands × 4 rows → LSH threshold ≈ (1/32)^(1/4) ≈ 0.42: high recall for
+# pairs at jaccard ≥ 0.6 (P(≥1 band) = 1−(1−s⁴)³² ≈ 0.99 at s=0.6); the
+# full-signature verification prunes the extra candidates
+DEFAULT_BANDS = 32
+
+
+def _shingle_hashes(texts: list[str | None], n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All word-n-gram hashes concatenated + per-doc offsets (len = docs+1)."""
+    all_shingles: list[str] = []
+    offsets = [0]
+    for t in texts:
+        toks = _TOKEN_RE.findall(t.lower()) if t else []
+        if len(toks) < n:
+            sh = [" ".join(toks)] if toks else [""]
+        else:
+            sh = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        all_shingles.extend(sh)
+        offsets.append(len(all_shingles))
+    h = hash64(np.array(all_shingles, dtype=object))
+    return h, np.asarray(offsets)
+
+
+_PERM_SEEDS = np.arange(1, N_PERMS + 1, dtype=np.uint64) * np.uint64(
+    0x9E3779B97F4A7C15
+)
+
+
+def minhash_signatures(texts: list[str | None], shingle_n: int = 3) -> np.ndarray:
+    """(docs × N_PERMS) uint64 minhash signature matrix, fully vectorized:
+    one hash64 pass over all shingles, then per-permutation mix + reduceat."""
+    h, offsets = _shingle_hashes(texts, shingle_n)
+    n_docs = len(offsets) - 1
+    sig = np.full((n_docs, N_PERMS), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(h) == 0:
+        return sig
+    starts = offsets[:-1]
+    nonempty = offsets[1:] > starts
+    for i in range(N_PERMS):
+        hp = mix64(h ^ _PERM_SEEDS[i])
+        mins = np.minimum.reduceat(hp, starts[nonempty])
+        sig[nonempty, i] = mins
+    return sig
+
+
+def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(docs × bands) uint64: hash of each band's rows (chained mix)."""
+    docs, perms = sig.shape
+    r = perms // bands
+    out = np.zeros((docs, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            acc = np.full(docs, np.uint64(b + 1))
+            for j in range(r):
+                acc = mix64(acc * np.uint64(0x100000001B3) ^ sig[:, b * r + j])
+            out[:, b] = acc
+    return out
+
+
+class MinHashLSH:
+    """Actor-pool stage: text batch → exploded (band, band_hash, id, sig) rows."""
+
+    def __init__(self, text_column: str, id_column: str, shingle_n: int = 3,
+                 bands: int = DEFAULT_BANDS):
+        self.text_column = text_column
+        self.id_column = id_column
+        self.shingle_n = shingle_n
+        self.bands = bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        ids = batch.column(self.id_column).to_pylist()
+        sig = minhash_signatures(texts, self.shingle_n)
+        bh = _band_hashes(sig, self.bands)
+        n = len(ids)
+        sig_bytes = [sig[i].tobytes() for i in range(n)]
+        return pa.table(
+            {
+                "band": pa.array(
+                    np.repeat(np.arange(self.bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(bh.T.reshape(-1).view(np.int64)),
+                "doc_id": pa.array(ids * self.bands),
+                "sig": pa.array(sig_bytes * self.bands, pa.binary()),
+            }
+        )
+
+
+def minhash_near_duplicates(
+    ds,
+    text_column: str,
+    id_column: str,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    bands: int = DEFAULT_BANDS,
+    concurrency=(1, 4),
+):
+    """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
+
+    signature → band explode → groupby((band, band_hash)) → within-bucket
+    candidate pairs verified on the FULL 128-perm signature → pair-level
+    dedup (a pair can surface from several bands).
+    """
+    from ray.data.aggregate import Max
+
+    exploded = ds.map_batches(
+        MinHashLSH,
+        fn_constructor_kwargs=dict(
+            text_column=text_column, id_column=id_column,
+            shingle_n=shingle_n, bands=bands,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        ids = g["doc_id"].to_numpy()
+        ia, ib = np.triu_indices(len(g), k=1)
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "est_jaccard": est[keep]}
+        )
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash_signatures(texts: list[str | None]) -> np.ndarray:
+    """64-bit simhash per doc (Charikar 2002): sum ±1 per bit over token
+    hashes, sign → bit. Vectorized via reduceat over the token stream."""
+    all_tokens: list[str] = []
+    offsets = [0]
+    for t in texts:
+        toks = _TOKEN_RE.findall(t.lower()) if t else []
+        all_tokens.extend(toks)
+        offsets.append(len(all_tokens))
+    offsets = np.asarray(offsets)
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if not all_tokens:
+        return out
+    h = hash64(np.array(all_tokens, dtype=object))
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int32
+    ) * 2 - 1  # tokens × 64 in {-1, +1}
+    starts = offsets[:-1]
+    nonempty = offsets[1:] > starts
+    sums = np.add.reduceat(bits, starts[nonempty], axis=0)
+    sig_bits = (sums > 0).astype(np.uint64)
+    packed = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+    for b in range(64):
+        packed |= sig_bits[:, b] << np.uint64(b)
+    out[nonempty] = packed
+    return out
+
+
+_POPCOUNT_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a ^ b).view(np.uint8).reshape(-1, 8)
+    return _POPCOUNT_TABLE[x].sum(axis=1).astype(np.int32)
+
+
+class SimHashStage:
+    def __init__(self, text_column: str, id_column: str):
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        sig = simhash_signatures(texts)
+        # 4 bands × 16 bits: ≤3-bit-distant signatures always share ≥1 band
+        rows = {
+            "doc_id": [], "band": [], "band_value": [], "simhash": [],
+        }
+        ids = batch.column(self.id_column).to_pylist()
+        for band in range(4):
+            vals = (sig >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            rows["doc_id"].extend(ids)
+            rows["band"].extend([band] * len(ids))
+            rows["band_value"].extend(vals.view(np.int64).tolist())
+            rows["simhash"].extend(sig.view(np.int64).tolist())
+        return pa.table(rows)
+
+
+def simhash_near_duplicates(
+    ds, text_column: str, id_column: str, max_hamming: int = 3, concurrency=(1, 4)
+):
+    """Near-duplicate pairs by simhash: bucket on 4×16-bit bands (pigeonhole:
+    any pair within Hamming distance 3 collides in ≥1 band), verify exact
+    Hamming distance within buckets, dedup pairs."""
+    from ray.data.aggregate import Min
+
+    exploded = ds.map_batches(
+        SimHashStage,
+        fn_constructor_kwargs=dict(text_column=text_column, id_column=id_column),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        sig = g["simhash"].to_numpy().view(np.uint64)
+        ids = g["doc_id"].to_numpy()
+        ia, ib = np.triu_indices(len(g), k=1)
+        dist = hamming64(sig[ia], sig[ib])
+        keep = dist <= max_hamming
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": dist[keep]}
+        )
+
+    pairs = exploded.groupby(["band", "band_value"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+# -- n-gram Jaccard (exact verifier) ----------------------------------------
+
+
+def ngram_set(text: str | None, n: int = 3) -> set:
+    toks = _TOKEN_RE.findall(text.lower()) if text else []
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+def ngram_jaccard_pairs(
+    ds,
+    text_column: str,
+    id_column: str,
+    group_column: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+):
+    """Exact n-gram Jaccard near-dup pairs via within-group all-pairs.
+    O(n²) per group — the exact verifier; at scale feed it LSH buckets
+    (minhash_near_duplicates) instead of raw groups."""
+
+    def group_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_column)
+        ids = g[id_column].to_numpy()
+        sets = [ngram_set(t, shingle_n) for t in g[text_column]]
+        out = {"id_a": [], "id_b": [], "jaccard": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                s = jaccard(sets[i], sets[j])
+                if s >= threshold:
+                    out["id_a"].append(ids[i])
+                    out["id_b"].append(ids[j])
+                    out["jaccard"].append(s)
+        return pd.DataFrame(out)
+
+    return ds.select_columns([id_column, text_column, group_column]).groupby(
+        group_column
+    ).map_groups(group_pairs, batch_format="pandas")

