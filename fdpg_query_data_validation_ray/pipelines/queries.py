@@ -1,0 +1,511 @@
+"""Named query pipelines over the driver test tables (sf_dir parquet).
+
+Each function takes `sf_dir` and returns a Ray Dataset / pyarrow Table whose
+schema EXACTLY matches the DuckDB oracle in __ray_entry__.oracle_sql — column
+names included, numeric aggregates integer-exact (cents/e4/e6 fixed-point) so
+value hashes can't drift on float summation order.
+
+These are the SURVEY.md §2 operators exercised against real tables:
+row checks (M1/F3), issue dedup (A1), uniqueness (§2.7), FK anti-join (J5),
+distribution (A3), column stats (A7), sort/top-k (O1/O2), joins (J1),
+windowed aggregation (events), dedup family, ANN, text analysis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import fdpg_query_data_validation_ray as qdv
+from fdpg_query_data_validation_ray.stages.row_checks import RowChecker
+
+ALLOWED_LANGS = ["en", "es", "de", "fr"]  # zh → in_set violations on purpose
+N_CHARS_RANGE = (50, 400)
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def documents_suite() -> qdv.Suite:
+    return qdv.Suite(
+        "documents",
+        [
+            qdv.not_null("text"),
+            qdv.in_set("lang", ALLOWED_LANGS),
+            qdv.value_range("n_chars", *N_CHARS_RANGE),
+            qdv.regex("source", "src[0-9]+"),
+        ],
+        key_columns=["doc_id"],
+    )
+
+
+def q_row_checks_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars", "source"])
+    return ds.map_batches(
+        RowChecker,
+        fn_constructor_kwargs=dict(suite=documents_suite()),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def q_issue_dedup_counts(sf_dir: str):
+    """A1 IssueSet semantics: dedup-count issues by identity key."""
+    from ray.data.aggregate import Count
+
+    return q_row_checks_documents(sf_dir).groupby(
+        ["rule_id", "severity", "location", "diagnostics"]
+    ).aggregate(Count(alias_name="n_issues"))
+
+
+def q_unique_docs_lang_nchars(sf_dir: str):
+    from fdpg_query_data_validation_ray.stages.unique import duplicate_keys
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return duplicate_keys(ds, ["lang", "n_chars"])
+
+
+def q_fk_orders_customer(sf_dir: str):
+    """Broadcast anti-join; the dim is restricted to even custkeys so the
+    dangling set is non-trivial on clean TPC-H-ish data."""
+    import pyarrow.parquet as pq
+
+    from fdpg_query_data_validation_ray.stages.fk import fk_violations_broadcast
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    even = pc.filter(
+        cust["c_custkey"], pc.equal(pc.bit_wise_and(cust["c_custkey"], 1), 0)
+    )
+    dim_keys = [str(k) for k in even.to_pylist()]
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return fk_violations_broadcast(
+        ds, ["o_custkey"], dim_keys, key_columns=["o_orderkey"], dim_name="customer"
+    )
+
+
+def q_fk_lineitem_orders_hash(sf_dir: str):
+    """Hash-partitioned anti-join path (both sides as Datasets); dim keeps
+    only o_orderkey % 3 != 0 so ~1/3 of lineitems dangle."""
+    from fdpg_query_data_validation_ray.stages.fk import dangling_keys_hash
+
+    def mod3_nonzero(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"]
+        mod3 = pc.subtract(k, pc.multiply(pc.divide(k, 3), 3))  # int divide truncates
+        return t.filter(pc.not_equal(mod3, 0))
+
+    fact = _read(sf_dir, "lineitem", ["l_orderkey"])
+    dim = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        mod3_nonzero, batch_format="pyarrow"
+    )
+    return dangling_keys_hash(fact, ["l_orderkey"], dim, ["o_orderkey"], num_buckets=16)
+
+
+def q_col_stats_lineitem(sf_dir: str):
+    """Distributed column profile (partial→merge, no shuffle), projected to
+    its exactly-comparable fields."""
+    from fdpg_query_data_validation_ray.stages.stats import column_stats
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", cols)
+    stats = column_stats(ds, columns=cols)
+    return pa.table(
+        {
+            "col_name": cols,
+            "n_rows": [stats[c]["count"] for c in cols],
+            "n_nulls": [stats[c]["nulls"] for c in cols],
+            "min_value": [float(stats[c]["min"]) for c in cols],
+            "max_value": [float(stats[c]["max"]) for c in cols],
+        }
+    )
+
+
+def q_distinct_exact(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    cols = ["lang", "source"]
+    out = []
+    for c in cols:
+        ds = _read(sf_dir, "documents", [c])
+        # per-batch distinct partial → global groupby (shuffle on the tiny
+        # distinct set) → row count = exact distinct, data rows never collected
+        distinct = ds.map_batches(
+            lambda t, c=c: t.group_by([c]).aggregate([]), batch_format="pyarrow"
+        ).groupby(c).aggregate(Count(alias_name="_n"))
+        out.append(distinct.count())
+    return pa.table({"col_name": cols, "n_distinct": pa.array(out, pa.int64())})
+
+
+def q_lang_distribution(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return _read(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(
+        Count(alias_name="n_docs")
+    )
+
+
+def q_content_length_hist(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.floor(pc.divide(pc.cast(t["n_chars"], pa.float64()), 50.0)), pa.int64()
+        )
+        return pa.table({"bucket": b})
+
+    return ds.map_batches(bucketize, batch_format="pyarrow").groupby(
+        "bucket"
+    ).aggregate(Count(alias_name="n_docs"))
+
+
+def q_events_hourly(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"].combine_chunks(),
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "value_cents": pc.cast(
+                    pc.round(
+                        pc.multiply(t["value"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby(
+        ["event_type", "hour"]
+    ).aggregate(
+        Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents")
+    )
+
+
+def _cents(col, scale=100.0):
+    return pc.cast(
+        pc.round(pc.multiply(col, scale), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate, integer-exact (fixed-point sums)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us")))
+        t = t.filter(keep)
+        qty_c = _cents(t["l_quantity"])
+        ext_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])
+        tax_c = _cents(t["l_tax"])
+        disc_price_e4 = pc.multiply(ext_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        charge_e6 = pc.multiply(disc_price_e4, pc.add(pa.scalar(100, pa.int64()), tax_c))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"].combine_chunks(),
+                "l_linestatus": t["l_linestatus"].combine_chunks(),
+                "qty_cents": qty_c,
+                "base_price_cents": ext_c,
+                "disc_price_e4": disc_price_e4,
+                "charge_e6": charge_e6,
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("qty_cents", alias_name="sum_qty_cents"),
+        Sum("base_price_cents", alias_name="sum_base_price_cents"),
+        Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
+        Sum("charge_e6", alias_name="sum_charge_e6"),
+        Count(alias_name="count_order"),
+    )
+
+
+def q_top_building_orders(sf_dir: str):
+    """Join pipeline: small dims broadcast, fact streamed (TPC-H Q3 shape).
+    customer(BUILDING) → orderkeys (collected small) → broadcast is_in filter
+    on lineitem → revenue groupby → deterministic top-10."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    building = pc.filter(
+        cust["c_custkey"], pc.equal(cust["c_mktsegment"], "BUILDING")
+    )
+    cust_set = set(building.to_pylist())
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    okeys = orders.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["o_custkey"], value_set=pa.array(sorted(cust_set), pa.int64()))
+        ).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    okey_arr = pa.array(sorted(x["o_orderkey"] for x in okeys.take_all()), pa.int64())
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_orderkey"], value_set=okey_arr))
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        return pa.table({"o_orderkey": t["l_orderkey"].combine_chunks(), "revenue_e4": rev})
+
+    agg = li.map_batches(revenue, batch_format="pyarrow").groupby(
+        "o_orderkey"
+    ).aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    return agg.sort(["revenue_e4", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_top_users_by_events(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    agg = _read(sf_dir, "events", ["user_id"]).groupby("user_id").aggregate(
+        Count(alias_name="n_events")
+    )
+    return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(20)
+
+
+def q_events_recent_topk(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    return ds.sort(["ts", "event_id"], descending=[True, False]).limit(50)
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    from fdpg_query_data_validation_ray.stages.dedup import exact_duplicate_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_duplicate_groups(ds, "text", "doc_id")
+    # materialize with an explicit schema: an empty Dataset loses its schema
+    # through to_pandas, and this result is legitimately empty on clean data
+    schema = pa.schema(
+        [("text_md5", pa.string()), ("keep_id", pa.int64()), ("n_copies", pa.int64())]
+    )
+    rows = out.take_all()
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def q_dedup_exact_props(sf_dir: str):
+    from fdpg_query_data_validation_ray.stages.dedup import exact_duplicate_groups
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    return exact_duplicate_groups(ds, "props", "event_id")
+
+
+def q_dedup_minhash(sf_dir: str):
+    from fdpg_query_data_validation_ray.stages.dedup import minhash_near_duplicates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_near_duplicates(ds, "text", "doc_id", threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir: str):
+    from fdpg_query_data_validation_ray.stages.dedup import simhash_near_duplicates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_duplicates(ds, "text", "doc_id", max_hamming=8)
+
+
+def q_dedup_ngram_jaccard(sf_dir: str):
+    from fdpg_query_data_validation_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ngram_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.5)
+
+
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_knn_cosine(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from fdpg_query_data_validation_ray.stages.similarity import knn_cosine
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mask = pc.is_in(emb["vec_id"], value_set=pa.array(KNN_QUERY_IDS, pa.int64()))
+    qt = emb.filter(mask)
+    order = pc.sort_indices(qt["vec_id"])
+    qt = qt.take(order)
+    qm = np.array(qt["embedding"].to_pylist(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_cosine(ds, (qt["vec_id"].to_pylist(), qm), k=5)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rank"]).cast(
+            pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64()), ("rank", pa.int64())])
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_cosine_near_dup(sf_dir: str):
+    from fdpg_query_data_validation_ray.stages.similarity import cosine_near_duplicates
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_near_duplicates(ds, threshold=0.9, n_planes=8, dim=64)
+
+
+def q_token_count_docs(sf_dir: str):
+    from fdpg_query_data_validation_ray.stages.text import TokenCountStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        TokenCountStage, batch_format="pandas", concurrency=(1, 4)
+    ).map_batches(lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow")
+
+
+def q_lang_id_docs(sf_dir: str):
+    from fdpg_query_data_validation_ray.stages.text import LangIdStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ds.map_batches(
+        LangIdStage, batch_format="pandas", concurrency=(1, 4)
+    ).map_batches(lambda t: t.select(["doc_id", "lang", "lang_pred"]), batch_format="pyarrow")
+
+
+def q_quality_docs(sf_dir: str):
+    from fdpg_query_data_validation_ray.stages.text import QualityScoreStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        QualityScoreStage, batch_format="pandas", concurrency=(1, 4)
+    ).map_batches(
+        lambda t: t.select(
+            ["doc_id", "mean_word_len", "stopword_ratio", "punct_ratio",
+             "distinct_word_ratio", "quality_score"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_fingerprint_docs(sf_dir: str):
+    from fdpg_query_data_validation_ray.stages.text import FingerprintStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        FingerprintStage, batch_format="pandas", concurrency=(1, 4)
+    ).map_batches(
+        lambda t: t.select(["doc_id", "fingerprint_min", "n_fingerprints"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_stats_sketches(sf_dir: str):
+    """HLL distinct + KLL quantiles per documents column (approximate — no
+    SQL oracle; rank-error-bounded)."""
+    from fdpg_query_data_validation_ray.stages.stats import column_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    stats = column_stats(ds, categorical=["lang", "source"])
+    cols = sorted(stats)
+    return pa.table(
+        {
+            "col_name": cols,
+            "distinct_hll": [stats[c]["distinct_hll"] for c in cols],
+            "p50": [stats[c].get("quantiles", {}).get("p50") for c in cols],
+            "p99": [stats[c].get("quantiles", {}).get("p99") for c in cols],
+        }
+    )
+
+
+def q_corpus_validate(sf_dir: str):
+    """Flagship: derive the (repo,path,commit,lang,content) corpus from the
+    documents table, run the checkpointed validation pipeline, return the
+    dedup-counted issue table."""
+    import tempfile
+
+    from fdpg_query_data_validation_ray.pipelines.validate import (
+        ValidationPlan,
+        run_validation,
+    )
+    from fdpg_query_data_validation_ray.sources.corpus import (
+        corpus_from_documents,
+        write_corpus_partitioned,
+    )
+
+    corpus = corpus_from_documents(sf_dir)
+    work = tempfile.mkdtemp(prefix="qdv_corpus_")
+    files = write_corpus_partitioned(corpus, f"{work}/input", 4)
+    suite = qdv.Suite(
+        "code",
+        [
+            qdv.not_null("content"),
+            qdv.regex("commit", "[0-9a-f]{32}"),
+            qdv.length_range("content", 40, None),
+        ],
+        key_columns=["repo", "path", "commit"],
+    )
+    registry = qdv.SuiteRegistry(
+        routing_column="lang",
+        routes={l: suite for l in ("en", "de", "fr", "es")},  # zh unrouted → warnings
+    )
+    plan = ValidationPlan(
+        registry=registry,
+        unique_keys=["repo", "path", "commit"],
+        stats_columns=["repo", "lang", "content"],
+        categorical=["lang"],
+        content_column="content",
+    )
+    report = run_validation(files, f"{work}/out", plan, num_partitions=4)
+    rows = report["validation"] + report["general"] + report["error"]
+    return pa.table(
+        {
+            "rule_id": [r["rule_id"] for r in rows],
+            "severity": [r["severity"] for r in rows],
+            "location": [r["location"] for r in rows],
+            "n_issues": pa.array([r["count"] for r in rows], pa.int64()),
+        }
+    )
+
+
+QUERIES = {
+    "row_checks_documents": q_row_checks_documents,
+    "issue_dedup_counts": q_issue_dedup_counts,
+    "unique_docs_lang_nchars": q_unique_docs_lang_nchars,
+    "fk_orders_customer": q_fk_orders_customer,
+    "fk_lineitem_orders_hash": q_fk_lineitem_orders_hash,
+    "col_stats_lineitem": q_col_stats_lineitem,
+    "distinct_exact": q_distinct_exact,
+    "lang_distribution": q_lang_distribution,
+    "content_length_hist": q_content_length_hist,
+    "events_hourly": q_events_hourly,
+    "pricing_summary": q_pricing_summary,
+    "top_building_orders": q_top_building_orders,
+    "top_users_by_events": q_top_users_by_events,
+    "events_recent_topk": q_events_recent_topk,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "dedup_exact_props": q_dedup_exact_props,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "knn_cosine": q_knn_cosine,
+    "cosine_near_dup": q_cosine_near_dup,
+    "token_count_docs": q_token_count_docs,
+    "lang_id_docs": q_lang_id_docs,
+    "quality_docs": q_quality_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "stats_sketches": q_stats_sketches,
+    "corpus_validate": q_corpus_validate,
+}
