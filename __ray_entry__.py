@@ -33,9 +33,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered per table name). Keys missing
-    here (dedup_minhash/simhash/ngram, cosine_near_dup, lang_id, quality,
-    fingerprint, stats_sketches, corpus_validate) are non-SQL-expressible
-    (sketch/LSH/heuristic/stateful pipelines) → rows-only check."""
+    here (dedup_minhash/simhash/ngram, cosine_near_dup, knn_cosine_ivf,
+    drift_docs, lang_id, quality, fingerprint, stats_sketches,
+    corpus_validate) are non-SQL-expressible (sketch/LSH/IVF/heuristic/
+    stateful pipelines) → rows-only check."""
     row_checks_union = """
         SELECT 'not_null(text)' AS rule_id, 'error' AS severity, 'text' AS location,
                'minimum required = 1, but only found 0' AS diagnostics,
@@ -145,6 +146,13 @@ def oracle_sql() -> dict[str, str]:
         "events_recent_topk": """
             SELECT event_id, ts, event_type FROM events
             ORDER BY ts DESC, event_id LIMIT 50
+        """,
+        "segment_order_totals": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_totalprice_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "dedup_exact_docs": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -290,8 +290,40 @@ def q_top_users_by_events(sf_dir: str):
 
 
 def q_events_recent_topk(sf_dir: str):
+    """order-by-limit via distributed top-k: per-batch local prune so the
+    exchange moves O(k·blocks) rows, not the whole table (stages/topk.py)."""
+    from fdpg_query_data_validation_ray.stages.topk import top_k
+
     ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
-    return ds.sort(["ts", "event_id"], descending=[True, False]).limit(50)
+    return top_k(ds, 50, ["ts", "event_id"], descending=[True, False])
+
+
+def q_segment_order_totals(sf_dir: str):
+    """Native Ray Data hash join (orders ⋈ customer on custkey) → grouped
+    aggregate per market segment, integer-exact."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"].combine_chunks(),
+                "totalprice_cents": _cents(t["o_totalprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("totalprice_cents", alias_name="sum_totalprice_cents"),
+    )
 
 
 def q_dedup_exact_docs(sf_dir: str):
@@ -357,6 +389,64 @@ def q_knn_cosine(sf_dir: str):
             pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64()), ("rank", pa.int64())])
         ),
         batch_format="pyarrow",
+    )
+
+
+def q_knn_cosine_ivf(sf_dir: str):
+    """IVF-bucketed ANN (scale path; recall < 1 vs the brute-force baseline)."""
+    import pyarrow.parquet as pq
+
+    from fdpg_query_data_validation_ray.stages.similarity import knn_cosine_ivf
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mask = pc.is_in(emb["vec_id"], value_set=pa.array(KNN_QUERY_IDS, pa.int64()))
+    qt = emb.filter(mask)
+    qt = qt.take(pc.sort_indices(qt["vec_id"]))
+    qm = np.array(qt["embedding"].to_pylist(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_cosine_ivf(ds, (qt["vec_id"].to_pylist(), qm), k=5, dim=qm.shape[1])
+    return out.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rank"]).cast(
+            pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64()), ("rank", pa.int64())])
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_drift_docs(sf_dir: str):
+    """Distribution drift: PSI on the lang histogram + KS (via KLL sketches)
+    on n_chars, comparing odd vs even doc_ids (reference snapshot = even).
+    Sketch merge is shuffle-free (mergeable partials); comparison is driver-side
+    over tiny snapshots."""
+    from fdpg_query_data_validation_ray.stages.drift import Snapshot, ks_from_kll, psi
+    from fdpg_query_data_validation_ray.stages.stats import collect_partials
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def half(parity: int):
+        return ds.map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
+            ).drop_columns(["doc_id"]),
+            batch_format="pyarrow",
+        )
+
+    snaps = []
+    for parity in (0, 1):
+        partials = collect_partials(
+            half(parity), columns=["lang", "n_chars"], categorical=["lang"]
+        )
+        snaps.append(Snapshot.from_partials(list(partials.values())))
+    ref, cur = snaps
+    psi_lang = psi(ref.columns["lang"]["counts"], cur.columns["lang"]["counts"])
+    ks_nchars = ks_from_kll(ref.columns["n_chars"]["kll"], cur.columns["n_chars"]["kll"])
+    return pa.table(
+        {
+            "col_name": ["lang", "n_chars"],
+            "metric": ["psi", "ks"],
+            "value": pa.array([round(psi_lang, 6), round(ks_nchars, 6)], pa.float64()),
+            "drifted": pa.array([psi_lang > 0.2, ks_nchars > 0.2], pa.bool_()),
+        }
     )
 
 
@@ -495,6 +585,9 @@ QUERIES = {
     "top_building_orders": q_top_building_orders,
     "top_users_by_events": q_top_users_by_events,
     "events_recent_topk": q_events_recent_topk,
+    "segment_order_totals": q_segment_order_totals,
+    "knn_cosine_ivf": q_knn_cosine_ivf,
+    "drift_docs": q_drift_docs,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_exact_props": q_dedup_exact_props,
     "dedup_minhash": q_dedup_minhash,

@@ -33,6 +33,18 @@ from fdpg_query_data_validation_ray.functions.hashing import hash64, md5_column,
 
 _TOKEN_RE = re.compile(r"\S+")
 
+
+def _empty_pairs(metric: str, dtype: str) -> pd.DataFrame:
+    """Typed empty pair frame — keeps the map_groups output schema stable
+    across empty and non-empty buckets (Arrow unification)."""
+    return pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            metric: pd.Series(dtype=dtype),
+        }
+    )
+
 # -- exact ------------------------------------------------------------------
 
 
@@ -181,11 +193,15 @@ def minhash_near_duplicates(
     """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
 
     signature → band explode → groupby((band, band_hash)) → within-bucket
-    candidate pairs verified on the FULL 128-perm signature → pair-level
-    dedup (a pair can surface from several bands).
-    """
-    from ray.data.aggregate import Max
+    candidate pairs verified on the FULL 128-perm signature.
 
+    Canonical-band emission: a pair is emitted ONLY by the first band in which
+    it collides — later bands suppress it by re-deriving the earlier band
+    hashes from the signatures already in the bucket. This (a) makes the pair
+    set exactly unique with NO pair-level dedup shuffle, and (b) skips the
+    expensive full-signature verify for a hot near-identical clique in all but
+    one band (~bands× less quadratic work on skewed corpora).
+    """
     exploded = ds.map_batches(
         MinHashLSH,
         fn_constructor_kwargs=dict(
@@ -197,23 +213,25 @@ def minhash_near_duplicates(
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        band = int(group["band"].iloc[0])
         g = group.drop_duplicates("doc_id").sort_values("doc_id")
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+            return _empty_pairs("est_jaccard", "float64")
         sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
         ids = g["doc_id"].to_numpy()
         ia, ib = np.triu_indices(len(g), k=1)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        if band > 0:
+            bh = _band_hashes(sigs, bands)[:, :band]
+            fresh = ~(bh[ia] == bh[ib]).any(axis=1)
+            ia, ib = ia[fresh], ib[fresh]
+        est = (sigs[ia] == sigs[ib]).mean(axis=1) if len(ia) else np.empty(0)
         keep = est >= threshold
         return pd.DataFrame(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "est_jaccard": est[keep]}
         )
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+    return exploded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
-    )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
     )
 
 
@@ -284,9 +302,13 @@ def simhash_near_duplicates(
 ):
     """Near-duplicate pairs by simhash: bucket on 4×16-bit bands (pigeonhole:
     any pair within Hamming distance 3 collides in ≥1 band), verify exact
-    Hamming distance within buckets, dedup pairs."""
-    from ray.data.aggregate import Min
+    Hamming distance within buckets.
 
+    Canonical-band emission (same trick as minhash_near_duplicates): a pair is
+    emitted only by its first colliding band — earlier-band values are
+    re-derived from the full simhash carried in the bucket — so the pair set
+    is unique with no pair-dedup shuffle and hot cliques cost quadratic verify
+    in one band instead of four."""
     exploded = ds.map_batches(
         SimHashStage,
         fn_constructor_kwargs=dict(text_column=text_column, id_column=id_column),
@@ -295,23 +317,28 @@ def simhash_near_duplicates(
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        band = int(group["band"].iloc[0])
         g = group.drop_duplicates("doc_id").sort_values("doc_id")
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+            return _empty_pairs("hamming", "int64")
         sig = g["simhash"].to_numpy().view(np.uint64)
         ids = g["doc_id"].to_numpy()
         ia, ib = np.triu_indices(len(g), k=1)
-        dist = hamming64(sig[ia], sig[ib])
+        if band > 0:
+            shifts = (np.arange(band) * 16).astype(np.uint64)
+            bands_lo = (sig[:, None] >> shifts) & np.uint64(0xFFFF)  # docs × band
+            fresh = ~(bands_lo[ia] == bands_lo[ib]).any(axis=1)
+            ia, ib = ia[fresh], ib[fresh]
+        if len(ia) == 0:
+            return _empty_pairs("hamming", "int64")
+        dist = hamming64(sig[ia], sig[ib]).astype(np.int64)
         keep = dist <= max_hamming
         return pd.DataFrame(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": dist[keep]}
         )
 
-    pairs = exploded.groupby(["band", "band_value"]).map_groups(
+    return exploded.groupby(["band", "band_value"]).map_groups(
         bucket_pairs, batch_format="pandas"
-    )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
     )
 
 

@@ -9,10 +9,9 @@ Two physical plans, chosen by dimension size:
 - broadcast (default, dim fits the object store budget): `ray.put` the dim key
   array ONCE, each checker actor `ray.get`s it in __init__ (zero per-batch
   re-shipping) and filters with a vectorized `pc.is_in` — no shuffle at all;
-- hash-partitioned (both sides large): project fact side to its key columns,
-  bucket both sides by hash64(key) % B, co-group per bucket, and emit keys
-  present in the fact bucket but absent from the dim bucket. Only key columns
-  ever move.
+- hash-partitioned (both sides large): project both sides to their key
+  columns, pre-dedup per batch, tag by side, and resolve existence with ONE
+  groupby(fk_key) aggregation. Only (key, count, tag) triples ever move.
 """
 
 from __future__ import annotations
@@ -21,7 +20,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from fdpg_query_data_validation_ray.functions.hashing import hash64
 from fdpg_query_data_validation_ray.rules import DIAGNOSTICS
 from fdpg_query_data_validation_ray.schema import VIOLATION_SCHEMA
 from fdpg_query_data_validation_ray.stages.row_checks import row_key_array
@@ -125,39 +123,43 @@ def dangling_keys_hash(
     columns: list[str],
     dim_ds,
     dim_columns: list[str] | None = None,
-    num_buckets: int = 64,
+    num_buckets: int = 64,  # kept for API stability; single-shuffle plan below
 ):
     """Hash-partitioned anti-join for large dimensions. Returns a Dataset with
     one row per distinct dangling key: (fk_key, n_rows).
 
-    Both sides are projected to their key columns, pre-deduplicated per batch
-    (bounds skew exactly like the uniqueness pre-aggregate), bucketed by
-    hash64(key) % num_buckets, and co-grouped; within a bucket the anti-join is
-    a vectorized `pc.is_in` over key arrays.
+    ONE shuffle total: both sides are projected to their key columns and
+    pre-deduplicated per batch (bounds skew exactly like the uniqueness
+    pre-aggregate — a hot key contributes ≤ 1 row per batch per side), tagged
+    fact=0 / dim=1, then a single groupby(fk_key) computes
+    (Sum(fact count), Max(side)); keys the dim never touched (max side = 0)
+    are dangling. The shuffle key is the FK itself — high cardinality, even
+    distribution — and only (key, count, tag) triples ever move.
     """
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
     dim_columns = list(dim_columns or columns)
 
+    # single-column FKs shuffle in their NATIVE type (int sort ≪ string sort);
+    # only the (small) dangling output is cast to string. Composite keys join
+    # with '|' as usual.
+    def _key(batch: pa.Table, cols: list[str]):
+        if len(cols) == 1:
+            return batch.column(cols[0])
+        return pc.cast(_joined_key(batch, cols), pa.string())
+
     def fact_partial(batch: pa.Table) -> pa.Table:
-        key = pc.cast(_joined_key(batch, list(columns)), pa.string())
-        t = pa.table({"fk_key": key})
+        t = pa.table({"fk_key": _key(batch, list(columns))})
         t = t.group_by(["fk_key"]).aggregate([([], "count_all")])
-        h = hash64(t["fk_key"])
-        return t.append_column(
-            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-        ).append_column("side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        return t.append_column("side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
 
     def dim_partial(batch: pa.Table) -> pa.Table:
-        key = pc.cast(_joined_key(batch, dim_columns), pa.string())
-        t = pa.table({"fk_key": pc.unique(key)})
-        h = hash64(t["fk_key"])
+        key = pc.unique(_key(batch, dim_columns))
         return pa.table(
             {
-                "fk_key": t["fk_key"],
-                "count_all": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-                "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
-                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "fk_key": key,
+                "count_all": pa.array(np.zeros(len(key), dtype=np.int64)),
+                "side": pa.array(np.ones(len(key), dtype=np.int8)),
             }
         )
 
@@ -165,16 +167,13 @@ def dangling_keys_hash(
     dim_keys = dim_ds.map_batches(dim_partial, batch_format="pyarrow")
     tagged = fact_keys.union(dim_keys)
 
-    def anti(group: pa.Table) -> pa.Table:
-        side = group["side"]
-        dim_mask = pc.equal(side, 1)
-        dim_arr = pc.filter(group["fk_key"], dim_mask)
-        fact = group.filter(pc.equal(side, 0))
-        dangling = pc.invert(pc.is_in(fact["fk_key"], value_set=dim_arr.combine_chunks()))
-        bad = fact.filter(pc.fill_null(dangling, False))
-        # per-bucket partial sums; a key appears in exactly one bucket, but may
-        # have several fact partial rows → aggregate below
-        return bad.select(["fk_key", "count_all"])
+    totals = tagged.groupby("fk_key").aggregate(
+        Sum("count_all", alias_name="n_rows"), Max("side", alias_name="_in_dim")
+    )
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["_in_dim"], 0)).drop_columns(["_in_dim"])
+        return t.set_column(
+            t.schema.get_field_index("fk_key"), "fk_key", pc.cast(t["fk_key"], pa.string())
+        )
 
-    out = tagged.groupby("bucket").map_groups(anti, batch_format="pyarrow")
-    return out.groupby("fk_key").aggregate(Sum("count_all", alias_name="n_rows"))
+    return totals.map_batches(finish, batch_format="pyarrow")

@@ -108,6 +108,110 @@ def knn_cosine(
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+# -- IVF (inverted-file) ANN --------------------------------------------------
+
+
+class IVFTopK:
+    """Actor-pool stage for IVF ANN: assign each data vector to its nearest
+    (seeded, data-independent) centroid; score it ONLY against queries that
+    probe that centroid; emit per-batch top-k partials.
+
+    At scale the win is the early filter: rows whose bucket is outside every
+    query's probe set are dropped before any query matmul. Recall < 1 by
+    construction (n_probes/n_centroids trade-off)."""
+
+    def __init__(self, queries_ref, centroids: np.ndarray, probe: np.ndarray,
+                 k: int, vec_column: str, id_column: str):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.query_ids, qm = q
+        self.qm = _normalize(np.asarray(qm, dtype=np.float32))
+        self.centroids = centroids          # (n_centroids × d), normalized
+        self.probe = probe                  # (queries × n_probes) bucket ids
+        self.probe_union = np.unique(probe)
+        self.k = k
+        self.vec_column = vec_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(batch_matrix(batch.column(self.vec_column)))
+        ids = np.asarray(batch.column(self.id_column).to_pylist())
+        bucket = np.argmax(m @ self.centroids.T, axis=1)
+        keep = np.isin(bucket, self.probe_union)
+        m, ids, bucket = m[keep], ids[keep], bucket[keep]
+        out = {"query_id": [], "vec_id": [], "similarity": []}
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "similarity": pa.array([], pa.float64()),
+                }
+            )
+        sims = m @ self.qm.T  # (kept × queries)
+        for qi, qid in enumerate(self.query_ids):
+            mask = np.isin(bucket, self.probe[qi])
+            if not mask.any():
+                continue
+            s = np.where(mask, sims[:, qi], -np.inf)
+            k = min(self.k + 1, int(mask.sum()))
+            top = np.argpartition(-s, k - 1)[:k]
+            for t in top:
+                if np.isfinite(s[t]):
+                    out["query_id"].append(qid)
+                    out["vec_id"].append(ids[t])
+                    out["similarity"].append(float(s[t]))
+        return pa.table(out)
+
+
+def knn_cosine_ivf(
+    ds,
+    queries: tuple[list, np.ndarray],
+    k: int,
+    dim: int,
+    n_centroids: int = 32,
+    n_probes: int = 8,
+    vec_column: str = "embedding",
+    id_column: str = "vec_id",
+    exclude_self: bool = True,
+    seed: int = 11,
+    concurrency=(1, 4),
+):
+    """Approximate top-k cosine neighbors via IVF bucketing (the scale path
+    next to the brute-force baseline `knn_cosine`). Same output shape."""
+    import ray
+
+    rng = np.random.default_rng(seed)
+    centroids = _normalize(rng.standard_normal((n_centroids, dim)).astype(np.float32))
+    qids, qm = queries
+    qmn = _normalize(np.asarray(qm, dtype=np.float32))
+    probe = np.argsort(-(qmn @ centroids.T), axis=1)[:, :n_probes]
+    ref = ray.put((list(qids), qmn))
+
+    partials = ds.map_batches(
+        IVFTopK,
+        fn_constructor_kwargs=dict(
+            queries_ref=ref, centroids=centroids, probe=probe, k=k,
+            vec_column=vec_column, id_column=id_column,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        qid = group["query_id"].iloc[0]
+        g = group
+        if exclude_self:
+            g = g[g["vec_id"] != qid]
+        g = g.sort_values(
+            ["similarity", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return g.assign(rank=np.arange(1, len(g) + 1))
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 # -- LSH (random hyperplanes) ------------------------------------------------
 
 

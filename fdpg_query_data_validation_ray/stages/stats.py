@@ -243,17 +243,18 @@ def finalize(partials: list[ColumnPartial]) -> dict[str, dict]:
     return out
 
 
-def column_stats(
+def collect_partials(
     ds,
     columns: list[str] | None = None,
     categorical: list[str] | None = None,
     merge_concurrency: int = 2,
     batch_size: int = 8192,
-) -> dict[str, dict]:
-    """End-to-end column profile of a Dataset. Returns {column: stats dict}.
+) -> dict[str, ColumnPartial]:
+    """Stream a Dataset into merged ColumnPartials (sketches intact — input to
+    both `finalize` and drift `Snapshot.from_partials`).
 
-    Partial per batch → actor-pool merge → driver finalize; the driver sees
-    only merged partial rows, never data rows.
+    Partial per batch → actor-pool merge → driver fold; the driver sees only
+    merged partial rows, never data rows.
     """
     # partial stage = stateless tasks (elastic, no CPU reservation ahead of
     # time); merge stage = small autoscaling actor pool. Fixed-size pools for
@@ -270,8 +271,27 @@ def column_stats(
         batch_size=256,
         concurrency=(1, merge_concurrency),
     )
-    partials = []
+    merged: dict[str, ColumnPartial] = {}
     for b in partial_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
         t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        partials.extend(_partials_from_table(t))
-    return finalize(partials)
+        for p in _partials_from_table(t):
+            if p.column in merged:
+                merged[p.column].merge(p)
+            else:
+                merged[p.column] = p
+    return merged
+
+
+def column_stats(
+    ds,
+    columns: list[str] | None = None,
+    categorical: list[str] | None = None,
+    merge_concurrency: int = 2,
+    batch_size: int = 8192,
+) -> dict[str, dict]:
+    """End-to-end column profile of a Dataset. Returns {column: stats dict}."""
+    merged = collect_partials(
+        ds, columns=columns, categorical=categorical,
+        merge_concurrency=merge_concurrency, batch_size=batch_size,
+    )
+    return finalize(list(merged.values()))
