@@ -7,10 +7,12 @@ num_cpus=int($RAY_GRAFT_CPUS or 32)) and print ONE JSON line:
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
      "rows_per_s": ...}
 
---scaling: run the flagship corpus-validation pipeline twice in FRESH
-subprocesses (num_cpus=8, then num_cpus=32) on the same input and report both
-throughputs plus efficiency = (T32/T8)/4 — the sandbox substitute for the
-north_rule's N vs 4N node cluster criterion (BASELINE.md).
+--scaling: generate a deterministic 1M-row source-code corpus ONCE (seeded,
+with injected defects), then run the flagship checkpointed validation pipeline
+(row checks + routing + sha256 digests + stats sketches + uniqueness + FK)
+twice in FRESH subprocesses (num_cpus=8, then num_cpus=32) on the same input
+files and report both throughputs plus efficiency = (T32/T8)/4 — the sandbox
+substitute for the north_rule's N vs 4N node cluster criterion (BASELINE.md).
 
 Usage:
     python bench.py                 # headline suite, one JSON line
@@ -117,17 +119,101 @@ def run_suite(names: list[str], sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def _scaling_child(num_cpus: int, sf_dir: str) -> None:
-    """Run the flagship pipeline in this fresh process; print rows & sec."""
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "2000000"))
+SCALING_DIR = "/tmp/qdv_scaling_corpus"
+SCALING_FILES = 32
+SCALING_PARTITIONS = 8
+
+
+def _scaling_plan():
+    import fdpg_query_data_validation_ray as qdv
+    from fdpg_query_data_validation_ray.pipelines.validate import ValidationPlan
+    from fdpg_query_data_validation_ray.sources.corpus import LANGS
+
+    suite = qdv.Suite(
+        "code",
+        [
+            qdv.not_null("content"),
+            qdv.regex("commit", "[0-9a-f]{40}"),
+            qdv.in_set("lang", list(LANGS)),
+            qdv.length_range("content", 10, None),
+        ],
+        key_columns=["repo", "path", "commit"],
+    )
+    registry = qdv.SuiteRegistry(
+        routing_column="lang", routes={l: suite for l in LANGS}
+    )
+    import json as _json
+
+    dim_path = os.path.join(SCALING_DIR, "repo_dim.json")
+    dim_keys = _json.load(open(dim_path))
+    return ValidationPlan(
+        registry=registry,
+        unique_keys=["repo", "path", "commit"],
+        fk_broadcast=[{"columns": ["repo"], "dim_keys": dim_keys, "name": "repos"}],
+        stats_columns=["repo", "lang", "content"],
+        categorical=["lang"],
+        content_column="content",
+    )
+
+
+def _prepare_scaling_corpus() -> list[str]:
+    """Generate + write the 1M-row corpus once (idempotent across runs)."""
+    import glob
+    import json as _json
+
+    marker = os.path.join(SCALING_DIR, f"rows_{SCALING_ROWS}.ok")
+    if os.path.exists(marker):
+        return sorted(glob.glob(os.path.join(SCALING_DIR, "input", "*.parquet")))
+    from fdpg_query_data_validation_ray.sources.corpus import (
+        DefectSpec,
+        generate_corpus,
+        repo_dim,
+        write_corpus_partitioned,
+    )
+
+    n = SCALING_ROWS
+    t = generate_corpus(
+        n,
+        seed=42,
+        defects=DefectSpec(
+            null_content=n // 1000,
+            bad_commit=n // 1000,
+            bad_lang=n // 2000,
+            dup_groups=(2, 3, n // 500),
+            dangling_repo=n // 1000,
+            missing_suite_lang=n // 2000,
+        ),
+    )
+    files = write_corpus_partitioned(t, os.path.join(SCALING_DIR, "input"), SCALING_FILES)
+    dim = [str(x) for x in repo_dim(t).column("repo").to_pylist()]
+    with open(os.path.join(SCALING_DIR, "repo_dim.json"), "w") as f:
+        _json.dump(dim, f)
+    open(marker, "w").write("ok")
+    return files
+
+
+def _scaling_child(num_cpus: int, _unused: str) -> None:
+    """Run the flagship validation in this fresh process; print rows & sec."""
+    import glob
+    import shutil
+
     _init_ray(num_cpus)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from fdpg_query_data_validation_ray.pipelines.queries import q_corpus_validate
+    from fdpg_query_data_validation_ray.pipelines.validate import run_validation
 
-    n_input = _input_rows(sf_dir)
+    files = sorted(glob.glob(os.path.join(SCALING_DIR, "input", "*.parquet")))
+    out_dir = f"/tmp/qdv_scaling_out_{num_cpus}"
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    plan = _scaling_plan()
     t0 = time.perf_counter()
-    _consume(q_corpus_validate(sf_dir))
+    report = run_validation(
+        files, out_dir, plan, num_partitions=SCALING_PARTITIONS
+    )
     dt = time.perf_counter() - t0
-    print(json.dumps({"num_cpus": num_cpus, "sec": dt, "input_rows": n_input}))
+    rows = report.get("total_rows_checked") or SCALING_ROWS
+    print(json.dumps({"num_cpus": num_cpus, "sec": dt, "input_rows": rows}))
     import ray
 
     ray.shutdown()
@@ -135,6 +221,7 @@ def _scaling_child(num_cpus: int, sf_dir: str) -> None:
 
 def run_scaling(sf_dir: str) -> dict:
     """Fresh ray session at 8 CPUs then 32 CPUs; efficiency = (T32/T8)/4."""
+    _prepare_scaling_corpus()
     results = {}
     for n in (8, 32):
         env = dict(os.environ)
@@ -160,7 +247,7 @@ def run_scaling(sf_dir: str) -> dict:
             "corpus_validate@32cpus_sec": round(results[32]["sec"], 3),
         },
         "throughput_rows_per_s": {"cpus8": round(tput8, 1), "cpus32": round(tput32, 1)},
-        "sf": sf_dir,
+        "sf": f"generated corpus, {SCALING_ROWS} rows",
         "num_cpus": 32,
         "input_rows": results[8]["input_rows"],
     }

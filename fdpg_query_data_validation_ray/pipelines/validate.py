@@ -48,9 +48,43 @@ from fdpg_query_data_validation_ray.stages.stats import (
     _partials_to_table,
     finalize,
 )
-from fdpg_query_data_validation_ray.stages.unique import uniqueness_violations
+
 from fdpg_query_data_validation_ray.state.checkpoint import RunManifest
 from fdpg_query_data_validation_ray.functions.hashing import sha256_column
+
+def _shim_fsspec_http() -> None:
+    """fsspec's http module hard-requires aiohttp (absent in this env). Ray
+    probes `from fsspec.implementations.http import HTTPFileSystem` on every
+    path resolve and only catches ModuleNotFoundError; with concurrent
+    partition threads the repeatedly-failing import can also surface as a
+    partial-module ImportError race. Register a minimal stub once so the probe
+    import succeeds deterministically — HTTP filesystems are never used here,
+    and isinstance() against the stub class is always False for real
+    filesystems."""
+    import sys
+    import types
+
+    name = "fsspec.implementations.http"
+    if name in sys.modules:
+        return
+    try:
+        import aiohttp  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+
+    mod = types.ModuleType(name)
+
+    class HTTPFileSystem:
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules[name] = mod
+
+
+_shim_fsspec_http()
+
 
 # tagged-union output schema of the single-pass stage
 UNION_SCHEMA = pa.schema(
@@ -70,6 +104,7 @@ UNION_SCHEMA = pa.schema(
         ("kll", pa.binary()),
         ("cat_counts", pa.binary()),
         ("content_sha256", pa.string()),
+        ("khash", pa.int64()),
     ]
 )
 
@@ -175,6 +210,25 @@ class CheckAndProfile:
                 }
             )
             parts.append(_pad_to_union(digest, "digest"))
+        if self.plan.unique_keys:
+            # per-row 64-bit key hash + joined key string, persisted into the
+            # partition artifact: the global uniqueness phase sieves THESE —
+            # the input is never re-scanned or re-hashed (it was all just in
+            # cache here), and resume gets uniqueness inputs for free
+            from fdpg_query_data_validation_ray.stages.unique import key_hash
+
+            import numpy as np
+
+            kh = key_hash(batch, list(self.plan.unique_keys))
+            keyrec = pa.table(
+                {
+                    "row_key": pc.cast(
+                        row_key_array(batch, tuple(self.plan.unique_keys)), pa.string()
+                    ),
+                    "khash": pa.array(kh.view(np.int64)),
+                }
+            )
+            parts.append(_pad_to_union(keyrec, "keyhash"))
         return pa.concat_tables(parts)
 
 
@@ -196,6 +250,81 @@ def _scan_union(dir_path: str, record_type: str, columns: list[str]) -> pa.Table
     )
 
 
+def _run_one_partition(
+    pid: str,
+    files: list[str],
+    out_dir: str,
+    plan: ValidationPlan,
+    cfg_hash: str,
+    manifest: RunManifest,
+    batch_size: int,
+    concurrency,
+) -> None:
+    import ray.data as rd
+
+    t0 = time.monotonic()
+    tmp_dir = os.path.join(out_dir, f".tmp_{pid}")
+    if os.path.isdir(tmp_dir):
+        import shutil
+
+        shutil.rmtree(tmp_dir)
+    os.makedirs(os.path.join(tmp_dir, "combined"), exist_ok=True)
+
+    ds = rd.read_parquet(files)
+    combined = ds.map_batches(
+        CheckAndProfile,
+        fn_constructor_kwargs=dict(plan=plan),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    combined.write_parquet(os.path.join(tmp_dir, "combined"))
+
+    # small, column-pruned reads of the partition artifact
+    sev = _scan_union(
+        os.path.join(tmp_dir, "combined"), "violation", ["severity"]
+    )["severity"]
+    partial_t = _scan_union(
+        os.path.join(tmp_dir, "combined"),
+        "partial",
+        [f.name for f in UNION_SCHEMA if f.name not in ("record_type", *VIOLATION_SCHEMA.names, "content_sha256")],
+    )
+    partials = finalize_partials(_partials_from_table(partial_t))
+    rows_checked = max((p.n_rows for p in partials.values()), default=0)
+    n_err = int(
+        pc.sum(
+            pc.cast(pc.is_in(sev, value_set=pa.array(["fatal", "error"])), pa.int64())
+        ).as_py()
+        or 0
+    )
+    n_warn = len(sev) - n_err
+    verdict = {
+        "partition_id": pid,
+        "passed": n_err == 0,
+        "rows_checked": rows_checked,
+        "violation_count": n_err,
+        "warning_count": n_warn,
+        "lineage": {"input_files": files, "config_hash": cfg_hash},
+        "metrics": {"wall_s": round(time.monotonic() - t0, 3)},
+        "stats_partials": _encode_partials(partials),
+    }
+    manifest.commit_partition(pid, verdict, tmp_dir)
+
+
+def _default_pool(partition_threads: int) -> tuple[int, int]:
+    """Actor-pool bounds for CheckAndProfile, sized from the cluster so the
+    pools of concurrently-running partitions together can use every CPU
+    without one pool starving the read/write stages."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    per = max(2, (cpus - 2) // max(1, partition_threads))
+    return (1, per)
+
+
 def run_validation(
     input_files: list[str],
     out_dir: str,
@@ -203,9 +332,20 @@ def run_validation(
     num_partitions: int = 8,
     batch_size: int = 4096,
     concurrency=None,
+    partition_threads: int | None = None,
 ) -> dict:
     """Execute (or resume) a checkpointed validation run; returns the merged
-    report dict (also written to out_dir/report.json)."""
+    report dict (also written to out_dir/report.json).
+
+    Partitions run `partition_threads` at a time (driver threads, each
+    executing its own streaming Dataset): one partition's actor-pool warm-up
+    and sink latency overlaps another's compute, while the checkpoint unit —
+    one verdict + artifact dir per partition, committed atomically — stays
+    intact. Verdict merge order is sorted, so the report is byte-identical
+    regardless of completion order (resume-safe determinism, SURVEY.md §7.4).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     import ray.data as rd
 
     manifest = RunManifest(out_dir)
@@ -215,67 +355,45 @@ def run_validation(
         {"config_hash": cfg_hash, "partitions": partitions, "input_files": sorted(input_files)}
     )
 
-    for pid in sorted(partitions):
-        if manifest.is_complete(pid):
-            continue
-        t0 = time.monotonic()
-        files = partitions[pid]
-        tmp_dir = os.path.join(out_dir, f".tmp_{pid}")
-        if os.path.isdir(tmp_dir):
-            import shutil
+    todo = [pid for pid in sorted(partitions) if not manifest.is_complete(pid)]
+    if partition_threads is None:
+        # each concurrent partition needs headroom for its actor pool PLUS its
+        # read/write tasks; on small clusters run sequentially or the pools'
+        # reserved actors starve the task stages (classic deadlock)
+        import ray
 
-            shutil.rmtree(tmp_dir)
-        os.makedirs(os.path.join(tmp_dir, "combined"), exist_ok=True)
-
-        ds = rd.read_parquet(files)
-        # callable class ⇒ actor pool; autoscaling (1, N) so the pool never
-        # starves the read/write stages on small CPU counts
-        mb_kwargs = dict(
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency if concurrency is not None else (1, 4),
-        )
-        combined = ds.map_batches(
-            CheckAndProfile, fn_constructor_kwargs=dict(plan=plan), **mb_kwargs
-        )
-        combined.write_parquet(os.path.join(tmp_dir, "combined"))
-
-        # small, column-pruned reads of the partition artifact
-        sev = _scan_union(
-            os.path.join(tmp_dir, "combined"), "violation", ["severity"]
-        )["severity"]
-        partial_t = _scan_union(
-            os.path.join(tmp_dir, "combined"),
-            "partial",
-            [f.name for f in UNION_SCHEMA if f.name not in ("record_type", *VIOLATION_SCHEMA.names, "content_sha256")],
-        )
-        partials = finalize_partials(_partials_from_table(partial_t))
-        rows_checked = max((p.n_rows for p in partials.values()), default=0)
-        n_err = int(
-            pc.sum(
-                pc.cast(pc.is_in(sev, value_set=pa.array(["fatal", "error"])), pa.int64())
-            ).as_py()
-            or 0
-        )
-        n_warn = len(sev) - n_err
-        verdict = {
-            "partition_id": pid,
-            "passed": n_err == 0,
-            "rows_checked": rows_checked,
-            "violation_count": n_err,
-            "warning_count": n_warn,
-            "lineage": {"input_files": files, "config_hash": cfg_hash},
-            "metrics": {"wall_s": round(time.monotonic() - t0, 3)},
-            "stats_partials": _encode_partials(partials),
-        }
-        manifest.commit_partition(pid, verdict, tmp_dir)
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        partition_threads = min(4, max(1, cpus // 8), max(1, len(todo)))
+    if concurrency is None:
+        concurrency = _default_pool(partition_threads)
+    if todo:
+        with ThreadPoolExecutor(max_workers=partition_threads) as pool:
+            futures = [
+                pool.submit(
+                    _run_one_partition,
+                    pid,
+                    partitions[pid],
+                    out_dir,
+                    plan,
+                    cfg_hash,
+                    manifest,
+                    batch_size,
+                    concurrency,
+                )
+                for pid in todo
+            ]
+            for f in futures:
+                f.result()
 
     # ---- global phase: cross-partition checks ------------------------------
     global_violations: list[dict] = []
     if plan.unique_keys:
-        ds_keys = rd.read_parquet(sorted(input_files), columns=list(plan.unique_keys))
-        uv = uniqueness_violations(ds_keys, plan.unique_keys).to_pandas()
-        global_violations.extend(uv.to_dict("records"))
+        global_violations.extend(
+            _uniqueness_from_artifacts(manifest, list(plan.unique_keys))
+        )
     merged_partials = _merge_all_partials(manifest)
     if plan.drift_rules and plan.snapshot_json:
         global_violations.extend(
@@ -291,6 +409,53 @@ def run_validation(
     report = build_report(manifest, merged_partials, global_violations, cfg_hash)
     RunManifest._atomic_json(os.path.join(out_dir, "report.json"), report)
     return report
+
+
+def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) -> list[dict]:
+    """Cross-partition uniqueness from the persisted per-row (row_key, khash)
+    records — the input is never re-scanned (the check pass already hashed
+    every row while it was hot). Sieve: np.unique over the int64 hashes finds
+    candidate duplicates; the exact verify groups the candidates' row_key
+    strings, so 64-bit collisions between distinct keys drop out at the final
+    count. Driver-side cost is one pruned artifact scan (8B hash + key string
+    per row); at extreme scale the same sieve runs per hash-range over the
+    partition artifacts (they are already partition-split)."""
+    import numpy as np
+
+    from fdpg_query_data_validation_ray.rules import DIAGNOSTICS
+
+    tables = []
+    for pid in manifest.completed_partitions():
+        d = os.path.join(manifest.partition_dir(pid), "combined")
+        if os.path.isdir(d):
+            tables.append(_scan_union(d, "keyhash", ["row_key", "khash"]))
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return []
+    t = pa.concat_tables(tables).combine_chunks()
+    kh = t["khash"].to_numpy()
+    uniq, counts = np.unique(kh, return_counts=True)
+    cand = uniq[counts > 1]
+    if len(cand) == 0:
+        return []
+    ix = np.searchsorted(cand, kh)
+    ix[ix == len(cand)] = 0
+    picked = t.filter(pa.array(cand[ix] == kh))
+    g = picked.group_by(["row_key"]).aggregate([([], "count_all")])
+    g = g.filter(pc.greater(g["count_all"], 1)).sort_by("row_key")
+    rule_id = f"unique({','.join(unique_keys)})"
+    location = ",".join(unique_keys)
+    return [
+        {
+            "rule_id": rule_id,
+            "severity": "error",
+            "location": location,
+            "diagnostics": DIAGNOSTICS["unique"],
+            "row_key": rk,
+            "actual": str(c),
+        }
+        for rk, c in zip(g["row_key"].to_pylist(), g["count_all"].to_pylist())
+    ]
 
 
 def finalize_partials(partials: list[ColumnPartial]) -> dict[str, ColumnPartial]:

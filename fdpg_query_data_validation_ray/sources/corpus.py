@@ -56,7 +56,9 @@ class DefectSpec:
 def _commits(rng: np.random.Generator, n: int) -> np.ndarray:
     raw = rng.integers(0, 16, size=(n, 40))
     digits = np.array(list("0123456789abcdef"))
-    return np.array(["".join(row) for row in digits[raw]], dtype=object)
+    # (n × 40) single chars reinterpreted as n 40-char strings — no row loop
+    hex40 = np.ascontiguousarray(digits[raw]).view("<U40").reshape(n)
+    return hex40.astype(object)
 
 
 def generate_corpus(
@@ -86,15 +88,16 @@ def generate_corpus(
     # deterministic from the seed so sha256 is reproducible (FIXTURES.md)
     n_lines = np.clip(rng.lognormal(np.log(mean_lines), 0.6, n_rows).astype(int), 1, 400)
     word_ix = rng.integers(0, len(_WORDS), size=int(n_lines.sum()) * 6)
-    words = _WORDS[word_ix]
+    # vectorized line assembly: object-array `+` concatenates strings in C
+    w = _WORDS[word_ix].reshape(-1, 6)
+    lines = w[:, 0]
+    for j in range(1, 6):
+        lines = lines + " " + w[:, j]
+    headers = "// " + repos + ":" + paths + "\n"
+    offsets = np.concatenate([[0], np.cumsum(n_lines)])
     contents = np.empty(n_rows, dtype=object)
-    pos = 0
     for i in range(n_rows):
-        k = int(n_lines[i])
-        chunk = words[pos : pos + k * 6]
-        pos += k * 6
-        lines = [" ".join(chunk[j * 6 : (j + 1) * 6]) for j in range(k)]
-        contents[i] = f"// {repos[i]}:{paths[i]}\n" + "\n".join(lines)
+        contents[i] = headers[i] + "\n".join(lines[offsets[i] : offsets[i + 1]])
 
     # -- defect injection (deterministic row positions from the tail) --------
     cursor = n_rows

@@ -1,73 +1,152 @@
-"""Uniqueness constraint: duplicate-key detection via two-phase aggregation.
+"""Uniqueness constraint: duplicate-key detection, hash-first and exact.
 
 Reference analog: the reference's only dedup is IssueSet's exact
 hash-dedup-and-count (extraction/IssueSet.py:9-26); the north_rule lifts the
 same shape to data rows — uniqueness on (repo, path, commit) with the
 duplicate count attached to each violation.
 
-Scale design (SURVEY.md §2.7, §4.2):
-- project to the key columns BEFORE any exchange (never shuffle `content`);
-- phase 1: per-batch pyarrow group_by collapses intra-batch duplicates —
-  this is the salted pre-aggregate (salt = batch), so a hot key contributes at
-  most one row per batch to the shuffle, bounding skew;
-- phase 2: a Ray Data hash groupby over the (much smaller) partial counts,
-  summing to global counts; only keys with count > 1 survive.
+Scale design (SURVEY.md §2.7, §4.2). A groupby over the composite STRING key
+is an all-to-all sort of every row's key strings — measured 22s on 1M rows
+where the entire row-check pass takes 10s; even an int64-hash groupby pays the
+full exchange (17s). Duplicates are rare, so detection is restructured as a
+candidate sieve + exact verify, with NO global shuffle:
+
+- pass 1 (candidate sieve): each batch reduces its rows to 64-bit mixed key
+  hashes (8 bytes/row, vectorized, no string concatenation); the hash arrays
+  stream to the driver where one `np.unique(return_counts)` finds hashes seen
+  more than once. This is the same partial→merge shape as the stats sketches —
+  the "sketch" is the exact hash multiset at 1/1000th the width of the keys.
+  Memory envelope: 8 bytes × rows at the driver (8 GB at 10^9 rows); beyond
+  that, range-partition the hash stream by prefix and sieve per range — the
+  candidate set stays tiny either way.
+- pass 2 (exact verify): the sorted candidate-hash array is broadcast
+  (`ray.put`, read once per actor), the key columns are re-scanned, rows whose
+  key-hash hits the set (binary search) are kept, and the survivors — roughly
+  the duplicates themselves — are grouped by the ACTUAL key values; only
+  groups with count > 1 survive. Exact under 64-bit collisions: distinct keys
+  that collide fall out at the final count, true duplicates always surface.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from fdpg_query_data_validation_ray.functions.hashing import hash64, mix64
 from fdpg_query_data_validation_ray.rules import DIAGNOSTICS
 from fdpg_query_data_validation_ray.schema import VIOLATION_SCHEMA
 from fdpg_query_data_validation_ray.stages.row_checks import row_key_array
 
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def key_hash(t: pa.Table, key_columns: list[str]) -> np.ndarray:
+    """Order-sensitive 64-bit combined hash of the key columns (no string
+    join materialized)."""
+    h = hash64(t.column(key_columns[0]))
+    with np.errstate(over="ignore"):
+        for c in key_columns[1:]:
+            h = mix64(h * _GOLDEN ^ hash64(t.column(c)))
+    return h
+
+
+def _empty_result(ds, key_columns: list[str], count_name: str) -> pa.Table:
+    schema = ds.schema()
+    fields = [(c, schema.base_schema.field(c).type) for c in key_columns]
+    return pa.table(
+        {c: pa.array([], t) for c, t in fields}
+        | {count_name: pa.array([], pa.int64())}
+    )
+
+
+def candidate_dup_hashes(ds, key_columns: list[str]) -> np.ndarray:
+    """Pass 1: sorted int64 hashes that occur more than once (superset of the
+    true duplicate keys)."""
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        kh = key_hash(batch, key_columns)
+        return pa.table({"khash": pa.array(kh.view(np.int64))})
+
+    proj = ds.map_batches(to_hashes, batch_format="pyarrow")
+    chunks = [b["khash"].to_numpy() for b in proj.iter_batches(batch_format="pyarrow")]
+    if not chunks:
+        return np.array([], dtype=np.int64)
+    uniq, counts = np.unique(np.concatenate(chunks), return_counts=True)
+    return uniq[counts > 1]  # np.unique output is sorted
+
 
 def duplicate_keys(ds, key_columns: list[str], count_name: str = "dup_count"):
-    """Dataset of duplicate key groups: (key columns..., dup_count>1)."""
-    from ray.data.aggregate import Sum
+    """Duplicate key groups: (key columns..., count_name > 1). Returns a
+    pyarrow Table sorted by the key columns (duplicate sets are report-sized;
+    the heavy work streams)."""
+    import ray
 
     key_columns = list(key_columns)
+    cand = candidate_dup_hashes(ds, key_columns)
+    if len(cand) == 0:
+        return _empty_result(ds, key_columns, count_name)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        t = batch.select(key_columns)
-        return t.group_by(key_columns).aggregate([([], "count_all")])
+    hset_ref = ray.put(cand)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    totals = partials.groupby(key_columns).aggregate(
-        Sum("count_all", alias_name=count_name)
+    class PickCandidates:
+        """Actor-pool stage: binary-search each row's key hash against the
+        broadcast candidate array (fetched once per actor)."""
+
+        def __init__(self, hset_ref):
+            self.hset = ray.get(hset_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            kh = key_hash(batch, key_columns).view(np.int64)
+            ix = np.searchsorted(self.hset, kh)
+            ix[ix == len(self.hset)] = 0
+            mask = self.hset[ix] == kh
+            return batch.select(key_columns).filter(pa.array(mask))
+
+    picked = ds.map_batches(
+        PickCandidates,
+        fn_constructor_kwargs=dict(hset_ref=hset_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
     )
-    return totals.map_batches(
-        lambda t: t.filter(pc.greater(t[count_name], 1)), batch_format="pyarrow"
+    # survivors ≈ the duplicate rows themselves — report-sized; exact count by
+    # true key happens locally
+    parts = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in picked.iter_batches(batch_format="pyarrow")
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return _empty_result(ds, key_columns, count_name)
+    t = pa.concat_tables(parts).combine_chunks()
+    g = t.group_by(key_columns).aggregate([([], "count_all")])
+    g = g.filter(pc.greater(g["count_all"], 1)).rename_columns(
+        key_columns + [count_name]
     )
+    return g.sort_by([(c, "ascending") for c in key_columns])
 
 
 def uniqueness_violations(ds, key_columns: list[str], severity: str = "error"):
     """Violation rows (VIOLATION_SCHEMA) — one per duplicate key group, with
-    the group size in `actual` (IssueSet count semantics)."""
+    the group size in `actual` (IssueSet count semantics). Returns a pyarrow
+    Table."""
     key_columns = list(key_columns)
     rule_id = f"unique({','.join(key_columns)})"
     location = ",".join(key_columns)
     diagnostics = DIAGNOSTICS["unique"]
 
-    def to_violations(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        if n == 0:
-            return VIOLATION_SCHEMA.empty_table()
-        keys = row_key_array(t, tuple(key_columns))
-        return pa.table(
-            {
-                "rule_id": pa.array([rule_id] * n),
-                "severity": pa.array([severity] * n),
-                "location": pa.array([location] * n),
-                "diagnostics": pa.array([diagnostics] * n),
-                "row_key": pc.cast(keys, pa.string()),
-                "actual": pc.cast(t["dup_count"], pa.string()),
-            },
-            schema=VIOLATION_SCHEMA,
-        )
-
-    return duplicate_keys(ds, key_columns).map_batches(
-        to_violations, batch_format="pyarrow"
+    t = duplicate_keys(ds, key_columns)
+    n = t.num_rows
+    if n == 0:
+        return VIOLATION_SCHEMA.empty_table()
+    keys = row_key_array(t, tuple(key_columns))
+    return pa.table(
+        {
+            "rule_id": pa.array([rule_id] * n),
+            "severity": pa.array([severity] * n),
+            "location": pa.array([location] * n),
+            "diagnostics": pa.array([diagnostics] * n),
+            "row_key": pc.cast(keys, pa.string()),
+            "actual": pc.cast(t["dup_count"], pa.string()),
+        },
+        schema=VIOLATION_SCHEMA,
     )

@@ -48,7 +48,7 @@ def test_uniqueness_finds_dup_groups(ray_session):
 
 def test_uniqueness_clean_corpus_empty(ray_session):
     ds, _ = corpus_ds(DefectSpec())
-    assert duplicate_keys(ds, KEYS).count() == 0
+    assert duplicate_keys(ds, KEYS).num_rows == 0
 
 
 def test_fk_broadcast(ray_session):
