@@ -154,6 +154,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
+        "first_docs_per_lang": """
+            SELECT lang, doc_id, CAST(rn AS BIGINT) AS rank FROM (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 5
+        """,
         "dedup_exact_docs": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
             FROM documents GROUP BY 1 HAVING COUNT(*) > 1

@@ -326,6 +326,21 @@ def q_segment_order_totals(sf_dir: str):
     )
 
 
+def q_first_docs_per_lang(sf_dir: str):
+    """Per-key sample cap (reference TOTAL=500 per class, main.py:222-223):
+    first 5 doc_ids per lang, deterministic under any partitioning."""
+    from fdpg_query_data_validation_ray.stages.sampling import first_n_per_key
+
+    ds = _read(sf_dir, "documents", ["lang", "doc_id"])
+    out = first_n_per_key(ds, 5, "lang", ["doc_id"], rank_column="rank")
+    return out.map_batches(
+        lambda t: t.select(["lang", "doc_id", "rank"]).cast(
+            pa.schema([("lang", pa.string()), ("doc_id", pa.int64()), ("rank", pa.int64())])
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_dedup_exact_docs(sf_dir: str):
     from fdpg_query_data_validation_ray.stages.dedup import exact_duplicate_groups
 
@@ -588,6 +603,7 @@ QUERIES = {
     "segment_order_totals": q_segment_order_totals,
     "knn_cosine_ivf": q_knn_cosine_ivf,
     "drift_docs": q_drift_docs,
+    "first_docs_per_lang": q_first_docs_per_lang,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_exact_props": q_dedup_exact_props,
     "dedup_minhash": q_dedup_minhash,

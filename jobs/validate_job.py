@@ -1,0 +1,153 @@
+"""`ray job submit` entry point for the validation engine.
+
+Reference analog: the compose-orchestrated extraction container
+(/root/reference/docker-compose.yml:85-103 + startup_and_run.sh) — here the
+whole service graph collapses into one Ray job (SURVEY.md §3.2).
+
+Usage (cluster):
+    ray job submit --working-dir . -- \
+        python jobs/validate_job.py \
+            --input '/data/corpus/*.parquet' \
+            --out /data/qdv_out \
+            --config configs/code_suite.json \
+            [--partitions 64] [--batch-size 4096]
+
+The config JSON holds the declarative plan (extension surface, SURVEY.md
+§2.10 — edit config, not code):
+    {
+      "registry": {"routing_column": "lang", "routes": {...}},   # or "suite"
+      "unique_keys": ["repo", "path", "commit"],
+      "fk": [{"columns": ["repo"], "dim_keys_file": "repos.json",
+              "name": "repos"}],
+      "stats_columns": ["repo", "lang", "content"],
+      "categorical": ["lang"],
+      "content_column": "content",
+      "drift": [{"column": "lang", "kind": "categorical"}],
+      "snapshot_file": "snapshot.json"
+    }
+
+Resume: re-submit with the same --out; finished partitions are skipped
+(per-partition verdict checkpoints, state/checkpoint.py). A changed config is
+refused (config-hash lineage guard).
+
+This script OWNS its Ray session (unlike __ray_entry__.py, whose caller
+inits); `ray job submit` runs it as the driver inside the cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+# `ray job submit --working-dir .` ships the repo root; make it importable
+# whether the job runs from the repo root or from the shipped working dir
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_plan(cfg: dict):
+    from fdpg_query_data_validation_ray.pipelines.validate import ValidationPlan
+    from fdpg_query_data_validation_ray.rules import Rule, Suite, SuiteRegistry
+    from fdpg_query_data_validation_ray.stages.drift import Snapshot  # noqa: F401
+
+    registry = suite = None
+    if "registry" in cfg:
+        registry = SuiteRegistry.from_json(json.dumps(cfg["registry"]))
+    if "suite" in cfg:
+        suite = Suite.from_json(json.dumps(cfg["suite"]))
+
+    fk = []
+    for f in cfg.get("fk", []):
+        keys = f.get("dim_keys")
+        if keys is None and "dim_keys_file" in f:
+            keys = json.load(open(f["dim_keys_file"]))
+        fk.append({"columns": f["columns"], "dim_keys": keys, "name": f.get("name", "dim")})
+
+    drift_rules = [
+        Rule(
+            "drift",
+            d["column"],
+            d.get("severity", "warning"),
+            {
+                "hist_kind": d.get("kind", "categorical"),
+                "psi_threshold": d.get("psi_threshold", 0.2),
+                "ks_threshold": d.get("ks_threshold", 0.2),
+            },
+        )
+        for d in cfg.get("drift", [])
+    ]
+    snapshot_json = None
+    if "snapshot_file" in cfg:
+        snapshot_json = open(cfg["snapshot_file"]).read()
+
+    return ValidationPlan(
+        registry=registry,
+        suite=suite,
+        unique_keys=cfg.get("unique_keys"),
+        fk_broadcast=fk,
+        drift_rules=drift_rules,
+        snapshot_json=snapshot_json,
+        stats_columns=cfg.get("stats_columns"),
+        categorical=cfg.get("categorical", []),
+        content_column=cfg.get("content_column"),
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="parquet path or glob")
+    p.add_argument("--out", required=True, help="checkpointed output directory")
+    p.add_argument("--config", required=True, help="plan config JSON file")
+    p.add_argument("--partitions", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=4096)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        # under `ray job submit` RAY_ADDRESS points at the cluster; standalone
+        # falls back to a local session. PYTHONPATH must reach the WORKERS
+        # (the driver-side sys.path edit does not propagate), so ship it via
+        # runtime_env — on a cluster `--working-dir` puts the repo there too.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ray.init(
+            ignore_reinit_error=True,
+            runtime_env={
+                "env_vars": {
+                    "PYTHONPATH": repo_root
+                    + os.pathsep
+                    + os.environ.get("PYTHONPATH", "")
+                }
+            },
+        )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from fdpg_query_data_validation_ray.pipelines.validate import run_validation
+
+    files = sorted(glob.glob(args.input)) or [args.input]
+    plan = build_plan(json.load(open(args.config)))
+    report = run_validation(
+        files, args.out, plan,
+        num_partitions=args.partitions, batch_size=args.batch_size,
+    )
+    print(
+        json.dumps(
+            {
+                "passed": report["passed"],
+                "total_rows_checked": report["total_rows_checked"],
+                "total_violations": report["total_violations"],
+                "partitions": len(report["verdicts"]),
+                "report": f"{args.out}/report.json",
+            }
+        )
+    )
+    ray.shutdown()
+    return 0 if report["passed"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,8 +44,11 @@ def test_minhash_signature_properties():
     assert np.array_equal(sigs[0], sigs[1])  # identical text → identical sig
     near = (sigs[0] == sigs[2]).mean()
     far = (sigs[0] == sigs[3]).mean()
-    assert near > 0.7
+    # 128-perm estimator std ≈ sqrt(J(1−J)/128) ≈ 0.04 — assert the gap, not
+    # a razor-thin point estimate
+    assert near > 0.6
     assert far < 0.2
+    assert near - far > 0.35
 
 
 def test_exact_dedup(ray_session):
