@@ -40,20 +40,32 @@ HEADLINE = [
     "row_checks_documents",
     "issue_dedup_counts",
     "unique_docs_lang_nchars",
+    "fk_orders_customer",
     "fk_lineitem_orders_hash",
     "col_stats_lineitem",
     "stats_sketches",
+    "distinct_exact",
     "lang_distribution",
+    "content_length_hist",
+    "drift_docs",
     "events_hourly",
     "pricing_summary",
+    "segment_order_totals",
     "top_building_orders",
+    "top_users_by_events",
     "events_recent_topk",
+    "first_docs_per_lang",
     "dedup_exact_docs",
     "dedup_minhash",
     "dedup_simhash",
     "knn_cosine",
+    "knn_cosine_ivf",
+    "cosine_near_dup",
     "token_count_docs",
+    "lang_id_docs",
     "quality_docs",
+    "fingerprint_docs",
+    "multimodal_decode",
 ]
 
 

@@ -517,6 +517,52 @@ def q_fingerprint_docs(sf_dir: str):
     )
 
 
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing over a derived binary column: deterministic fake
+    image payloads (seeded by doc_id) → actor-pool decode → resize → decode,
+    small batches for fat binary rows (stages/multimodal.py)."""
+    from fdpg_query_data_validation_ray.stages.multimodal import (
+        DecodeStage,
+        ResizeStage,
+        encode_fake_image,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def attach_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        nchars = t["n_chars"].to_pylist()
+        payloads = [
+            encode_fake_image(8 + (n or 0) % 24, 8 + int(i) % 16, seed=int(i))
+            for i, n in zip(ids, nchars)
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"].combine_chunks(), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    decoded = (
+        ds.map_batches(attach_payload, batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            ResizeStage,
+            fn_constructor_kwargs=dict(factor=2),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+        .map_batches(
+            DecodeStage,
+            fn_constructor_kwargs=dict(mode="fake"),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+    )
+    return decoded.map_batches(
+        lambda t: t.select(["doc_id", "width", "height", "mean_intensity"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_stats_sketches(sf_dir: str):
     """HLL distinct + KLL quantiles per documents column (approximate — no
     SQL oracle; rank-error-bounded)."""
@@ -615,6 +661,7 @@ QUERIES = {
     "lang_id_docs": q_lang_id_docs,
     "quality_docs": q_quality_docs,
     "fingerprint_docs": q_fingerprint_docs,
+    "multimodal_decode": q_multimodal_decode,
     "stats_sketches": q_stats_sketches,
     "corpus_validate": q_corpus_validate,
 }

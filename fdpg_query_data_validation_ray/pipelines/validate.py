@@ -405,9 +405,11 @@ def run_validation(
         )
 
     from fdpg_query_data_validation_ray.pipelines.report import build_report
+    from fdpg_query_data_validation_ray.pipelines.report_md import write_markdown_report
 
     report = build_report(manifest, merged_partials, global_violations, cfg_hash)
     RunManifest._atomic_json(os.path.join(out_dir, "report.json"), report)
+    write_markdown_report(report, os.path.join(out_dir, "report.md"))
     return report
 
 

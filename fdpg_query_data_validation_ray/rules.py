@@ -229,12 +229,16 @@ class Suite:
 
 @dataclass
 class SuiteRegistry:
-    """Routing table: value of `routing_column` → suite.
+    """Routing table: value of `routing_column` → suite, with optional
+    TWO-LEVEL routing — (routing value, sub value) → suite.
 
     Reference analog: maps/validation_mapping.json — resourceType → profile URL
-    and (Observation, LOINC) → profile, 827 entries, consumed at
-    extraction/main.py:159.  A route miss yields a warning-channel issue per
-    affected row group, never a crash (extraction/main.py:191-206).
+    at level 1, and for Observation a second level LOINC code → profile (827
+    entries), consumed at extraction/main.py:159.  Here level 2 is
+    `sub_column`: a routing value present in `sub_routes` is resolved by the
+    row's sub-column value first, falling back to the level-1 route, then
+    `default`.  A route miss yields a warning-channel issue per affected row
+    group, never a crash (extraction/main.py:191-206).
 
     The registry is a small plain object: broadcast it by closure capture /
     `ray.put`; never shuffled.
@@ -243,9 +247,18 @@ class SuiteRegistry:
     routing_column: str
     routes: dict[str, Suite]
     default: Suite | None = None
+    sub_column: str | None = None
+    sub_routes: dict[str, dict[str, Suite]] = field(default_factory=dict)
 
-    def resolve(self, key: str) -> Suite | None:
+    def resolve(self, key: str, sub: str | None = None) -> Suite | None:
+        if self.sub_column and key in self.sub_routes:
+            hit = self.sub_routes[key].get(sub or "")
+            if hit is not None:
+                return hit
         return self.routes.get(key, self.default)
+
+    def has_sub_routes(self, key: str) -> bool:
+        return bool(self.sub_column) and key in self.sub_routes
 
     def to_json(self) -> str:
         return json.dumps(
@@ -253,6 +266,11 @@ class SuiteRegistry:
                 "routing_column": self.routing_column,
                 "routes": {k: json.loads(s.to_json()) for k, s in self.routes.items()},
                 "default": json.loads(self.default.to_json()) if self.default else None,
+                "sub_column": self.sub_column,
+                "sub_routes": {
+                    k: {sk: json.loads(s.to_json()) for sk, s in sub.items()}
+                    for k, sub in self.sub_routes.items()
+                },
             },
             indent=2,
         )
@@ -272,4 +290,9 @@ class SuiteRegistry:
             routing_column=d["routing_column"],
             routes={k: mk(v) for k, v in d["routes"].items()},
             default=mk(d["default"]) if d.get("default") else None,
+            sub_column=d.get("sub_column"),
+            sub_routes={
+                k: {sk: mk(sv) for sk, sv in sub.items()}
+                for k, sub in d.get("sub_routes", {}).items()
+            },
         )

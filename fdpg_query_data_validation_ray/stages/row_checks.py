@@ -196,9 +196,14 @@ class RowChecker:
         self.registry = registry
         # pre-compile regexes once per actor (reference: profiles compiled once
         # in the marshal JVM, docker-compose.yml:47-66)
+        sub_suites = (
+            [s for sub in registry.sub_routes.values() for s in sub.values()]
+            if registry
+            else []
+        )
         for s in [suite] if suite else list((registry.routes or {}).values()) + (
             [registry.default] if registry and registry.default else []
-        ):
+        ) + sub_suites:
             for r in s.row_rules:
                 if r.kind == "regex":
                     re.compile(r.params["pattern"])
@@ -217,31 +222,49 @@ class RowChecker:
                 else pc.equal(_stringify(rcol), key)
             )
             sub = table.filter(pc.fill_null(mask, False))
-            suite = reg.resolve(key)
-            if suite is None:
-                # fallback: per-row warning, run continues
-                rk = row_key_array(sub, self._any_key_columns())
-                n = sub.num_rows
-                out.append(
-                    pa.table(
-                        {
-                            "rule_id": pa.array([MISSING_SUITE_RULE_ID] * n),
-                            "severity": pa.array(["warning"] * n),
-                            "location": pa.array([reg.routing_column] * n),
-                            "diagnostics": pa.array(
-                                ["no constraint suite routed for value"] * n
-                            ),
-                            "row_key": pc.cast(rk, pa.string()),
-                            "actual": pa.array([key] * n, pa.string()),
-                        },
-                        schema=VIOLATION_SCHEMA,
+            if reg.has_sub_routes(key) and reg.sub_column in sub.column_names:
+                # level-2 routing (reference: Observation → LOINC → profile,
+                # maps/validation_mapping.json): split this slice again by the
+                # sub-column and resolve per (key, sub value)
+                scol = sub.column(reg.sub_column)
+                for skey in sorted(
+                    pc.unique(pc.fill_null(_stringify(scol), "")).to_pylist()
+                ):
+                    smask = (
+                        pc.is_null(scol)
+                        if skey == ""
+                        else pc.equal(_stringify(scol), skey)
                     )
-                )
-            else:
-                out.append(check_batch(sub, suite))
+                    ssub = sub.filter(pc.fill_null(smask, False))
+                    out.append(
+                        self._check_or_warn(ssub, reg.resolve(key, skey), f"{key}/{skey}")
+                    )
+                continue
+            out.append(self._check_or_warn(sub, reg.resolve(key), key))
         if not out:
             return empty_violations()
         return pa.concat_tables(out)
+
+    def _check_or_warn(self, sub: pa.Table, suite: Suite | None, label: str) -> pa.Table:
+        """Check `sub` against `suite`; a missing route degrades to per-row
+        warnings (reference fallback, extraction/main.py:191-206)."""
+        if suite is not None:
+            return check_batch(sub, suite)
+        rk = row_key_array(sub, self._any_key_columns())
+        n = sub.num_rows
+        return pa.table(
+            {
+                "rule_id": pa.array([MISSING_SUITE_RULE_ID] * n),
+                "severity": pa.array(["warning"] * n),
+                "location": pa.array([self.registry.routing_column] * n),
+                "diagnostics": pa.array(
+                    ["no constraint suite routed for value"] * n
+                ),
+                "row_key": pc.cast(rk, pa.string()),
+                "actual": pa.array([label] * n, pa.string()),
+            },
+            schema=VIOLATION_SCHEMA,
+        )
 
     def _any_key_columns(self) -> tuple[str, ...]:
         reg = self.registry

@@ -1,0 +1,125 @@
+"""Two-level suite routing, markdown report, and issue helper tests."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import fdpg_query_data_validation_ray as qdv
+from fdpg_query_data_validation_ray.rules import SuiteRegistry
+from fdpg_query_data_validation_ray.pipelines.report_md import (
+    filter_issues_by_location,
+    issues_by_severity,
+    normalize_location,
+    render_markdown,
+    sorted_by_severity,
+)
+from fdpg_query_data_validation_ray.stages.row_checks import RowChecker
+
+
+def _suites():
+    keys = ["repo", "path", "commit"]
+    strict = qdv.Suite("strict", [qdv.not_null("content"),
+                                  qdv.regex("commit", "[0-9a-f]{40}")], keys)
+    lax = qdv.Suite("lax", [qdv.not_null("content")], keys)
+    return strict, lax
+
+
+def _table():
+    return pa.table(
+        {
+            "repo": ["a/r1", "a/r1", "b/r2", "b/r2"],
+            "path": ["f1", "f2", "f3", "f4"],
+            "commit": ["zz", "zz", "zz", "zz"],  # always fails the regex rule
+            "lang": ["python", "python", "python", "fortran"],
+            "content": ["x", None, "y", "z"],
+        }
+    )
+
+
+def test_two_level_routing_resolves_by_sub_value():
+    strict, lax = _suites()
+    reg = SuiteRegistry(
+        routing_column="lang",
+        routes={"python": strict},
+        sub_column="repo",
+        sub_routes={"python": {"b/r2": lax}},
+    )
+    checker = RowChecker(registry=reg)
+    v = checker(_table()).to_pandas()
+    # a/r1 rows take the level-1 strict suite: regex violations on both rows
+    assert len(v[(v.rule_id == "regex(commit)")]) == 2
+    # b/r2 python row routed to lax by sub value: no regex violation for f3
+    assert not any(v[(v.rule_id == "regex(commit)")]["row_key"].str.contains("b/r2"))
+    # null content caught regardless of route
+    assert len(v[v.rule_id == "not_null(content)"]) == 1
+    # fortran has no route at all → missing_suite warning
+    miss = v[v.rule_id == "missing_suite"]
+    assert len(miss) == 1 and miss.iloc[0]["severity"] == "warning"
+
+
+def test_two_level_routing_json_roundtrip():
+    strict, lax = _suites()
+    reg = SuiteRegistry(
+        routing_column="lang",
+        routes={"python": strict},
+        sub_column="repo",
+        sub_routes={"python": {"b/r2": lax}},
+    )
+    reg2 = SuiteRegistry.from_json(reg.to_json())
+    assert reg2.sub_column == "repo"
+    assert reg2.resolve("python", "b/r2").name == "lax"
+    assert reg2.resolve("python", "other").name == "strict"
+    assert reg.to_json() == reg2.to_json()
+
+
+ISSUES = [
+    {"rule_id": "r1", "severity": "warning", "location": "files[3].name",
+     "diagnostics": "d", "count": 2, "sample_row_keys": ["k1"]},
+    {"rule_id": "r2", "severity": "fatal", "location": "content",
+     "diagnostics": "d", "count": 1, "sample_row_keys": []},
+    {"rule_id": "r3", "severity": "error", "location": "commit",
+     "diagnostics": "d", "count": 5, "sample_row_keys": ["k2", "k3"]},
+]
+
+
+def test_issue_helpers():
+    assert normalize_location("files[3].name") == "files[*].name"
+    assert normalize_location("a[12].b[0]") == "a[*].b[*]"
+    assert [i["rule_id"] for i in sorted_by_severity(ISSUES)] == ["r2", "r3", "r1"]
+    assert filter_issues_by_location(ISSUES, "commit") == [ISSUES[2]]
+    assert issues_by_severity(ISSUES, "fatal") == [ISSUES[1]]
+
+
+def test_render_markdown_shape():
+    report = {
+        "passed": False,
+        "total_rows_checked": 10,
+        "total_violations": 6,
+        "config_hash": "abc",
+        "validation": [ISSUES[1], ISSUES[2]],
+        "general": [ISSUES[0]],
+        "error": [],
+        "verdicts": {"p00000": {"passed": False, "rows_checked": 10,
+                                "violation_count": 6, "warning_count": 2}},
+        "distribution": {"lang": {"count": 10, "nulls": 0, "null_ratio": 0.0,
+                                  "distinct_hll": 3.0, "min": "de", "max": "python"}},
+        "quantiles_approx": {"n_chars": {"p50": 100.0, "p99": 400.0}},
+    }
+    md = render_markdown(report)
+    assert "FAILED" in md
+    assert "| p00000 |" in md
+    assert "files[*].name" in md  # normalized location
+    assert "## Column statistics" in md
+    assert "## Quantiles" in md
+
+
+def test_multimodal_query(ray_session):
+    from fdpg_query_data_validation_ray.pipelines.queries import q_multimodal_decode
+
+    out = q_multimodal_decode("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 500  # one row per sf0.001 document
+    assert out["width"].notna().all()
+    # resize by factor 2 halves (ceil) the original 8..31 × 8..23 dims
+    assert out["width"].between(4, 16).all()
+    assert out["height"].between(4, 12).all()
+    assert out["mean_intensity"].between(0, 255).all()
