@@ -41,6 +41,21 @@ def issues_by_severity(issues: list[dict], severity: str) -> list[dict]:
     return [i for i in issues if i.get("severity") == severity]
 
 
+def semi_join_issues_by_paths(issues: list[dict], allowed_locations: set[str]) -> list[dict]:
+    """Keep issues whose normalized location is in the relevance allowlist
+    (reference: filter_issues_by_fdpg_query_paths — semi-join of issues vs the
+    type's relevant FHIR paths, report_visualizer.py:364-395, F2)."""
+    allowed = {normalize_location(loc) for loc in allowed_locations}
+    return [i for i in issues if normalize_location(i.get("location") or "") in allowed]
+
+
+def drop_known_issues(issues: list[dict], known_rule_ids: set[str]) -> list[dict]:
+    """Anti-join issues vs a known-issue allowlist by rule_id (reference:
+    expected-noise filtering before asserting emptiness,
+    extraction/test/test_profiles.py:166-180, F5)."""
+    return [i for i in issues if i.get("rule_id") not in known_rule_ids]
+
+
 def sorted_by_severity(issues: list[dict]) -> list[dict]:
     return sorted(
         issues,

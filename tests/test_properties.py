@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis): sketch merge laws, key hashing, rules.
+
+The reference has no property tests (SURVEY.md §5); the engine's correctness
+under ANY partitioning rests on commutative-associative merges, so those laws
+are checked explicitly here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fdpg_query_data_validation_ray.functions.sketches import HLL, KLL
+
+floats = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(floats, min_size=1, max_size=500), st.integers(1, 5))
+def test_kll_merge_equals_single_stream(values, n_splits):
+    """Quantiles from split-then-merged sketches stay within rank error of the
+    single-stream sketch, and n is exact."""
+    whole = KLL()
+    whole.add_values(np.array(values, dtype=np.float64))
+    parts = [KLL() for _ in range(n_splits)]
+    for i, v in enumerate(values):
+        parts[i % n_splits].add_values(np.array([v], dtype=np.float64))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.n == whole.n == len(values)
+    s = sorted(values)
+    for q in (0.0, 0.5, 1.0):
+        est = merged.quantile(q)
+        # rank-error bound: the estimate must be a value within ±15% rank
+        lo = s[max(0, int(q * (len(s) - 1)) - max(3, len(s) // 6))]
+        hi = s[min(len(s) - 1, int(q * (len(s) - 1)) + max(3, len(s) // 6))]
+        assert lo <= est <= hi
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=300))
+def test_hll_merge_commutative_and_bounded(values):
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+
+    h = hash64(np.array(values, dtype=object))
+    a, b = HLL(), HLL()
+    a.add_hashes(h[: len(h) // 2])
+    b.add_hashes(h[len(h) // 2 :])
+    ab = HLL.from_bytes(a.to_bytes())
+    ab.merge(b)
+    ba = HLL.from_bytes(b.to_bytes())
+    ba.merge(a)
+    assert ab.estimate() == ba.estimate()  # merge is commutative
+    truth = len(set(values))
+    est = ab.estimate()
+    assert 0.5 * truth <= est <= 1.5 * truth + 2  # sane accuracy envelope
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=6), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_key_hash_equality_iff_same_key_almost_surely(pairs):
+    import pyarrow as pa
+
+    from fdpg_query_data_validation_ray.stages.unique import key_hash
+
+    t = pa.table(
+        {
+            "a": [p[0] for p in pairs],
+            "b": [p[1] for p in pairs],
+        }
+    )
+    h = key_hash(t, ["a", "b"])
+    seen: dict[tuple, int] = {}
+    for i, p in enumerate(pairs):
+        if p in seen:
+            assert h[i] == h[seen[p]]  # equal keys → equal hashes, always
+        else:
+            seen[p] = i
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(0, 3), min_size=1, max_size=200))
+def test_issue_dedup_counts_partition_invariant(assignments):
+    """dedup_issues totals are identical under any grouping of the violation
+    stream (IssueSet count semantics, commutative)."""
+    from fdpg_query_data_validation_ray.pipelines.report import dedup_issues
+
+    rows = [
+        {
+            "rule_id": f"r{a}",
+            "severity": "error",
+            "location": "c",
+            "diagnostics": "d",
+            "row_key": f"k{i}",
+        }
+        for i, a in enumerate(assignments)
+    ]
+    base = {g["rule_id"]: g["count"] for g in dedup_issues(rows)}
+    shuffled = list(reversed(rows))
+    again = {g["rule_id"]: g["count"] for g in dedup_issues(shuffled)}
+    assert base == again
+    assert sum(base.values()) == len(rows)
