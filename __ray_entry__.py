@@ -169,6 +169,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(props) AS text_md5, MIN(event_id) AS keep_id, COUNT(*) AS n_copies
             FROM events GROUP BY 1 HAVING COUNT(*) > 1
         """,
+        "supplier_balance_by_region": """
+            SELECT r_name, COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_acctbal_cents
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "parts_by_brand_size": """
+            SELECT p_brand, p_size, COUNT(*) AS n_parts,
+                   CAST(MIN(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                       AS min_price_cents,
+                   CAST(MAX(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                       AS max_price_cents
+            FROM part GROUP BY p_brand, p_size
+        """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
                        WHERE vec_id IN (0, 1, 2, 3, 4)),

@@ -383,6 +383,66 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.5)
 
 
+def q_supplier_balance_by_region(sf_dir: str):
+    """Three-way broadcast join (supplier ⋈ nation ⋈ region): the two tiny
+    dims collapse to ONE driver-side lookup (suppkey-side never shuffles) —
+    the broadcast-small-side plan for star-schema rollups (J1)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    n2r = {
+        nk: rmap[rk]
+        for nk, rk in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()
+        )
+    }
+    keys = pa.array(sorted(n2r), pa.int64())
+    vals = pa.array([n2r[k] for k in sorted(n2r)], pa.string())
+
+    def attach_region(t: pa.Table) -> pa.Table:
+        ix = pc.index_in(t["s_nationkey"], value_set=keys)
+        return pa.table(
+            {
+                "r_name": pc.take(vals, ix),
+                "acctbal_cents": _cents(t["s_acctbal"]),
+            }
+        )
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    return ds.map_batches(attach_region, batch_format="pyarrow").groupby(
+        "r_name"
+    ).aggregate(
+        Count(alias_name="n_suppliers"),
+        Sum("acctbal_cents", alias_name="sum_acctbal_cents"),
+    )
+
+
+def q_parts_by_brand_size(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": t["p_brand"].combine_chunks(),
+                "p_size": t["p_size"].combine_chunks(),
+                "price_cents": _cents(t["p_retailprice"]),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby(
+        ["p_brand", "p_size"]
+    ).aggregate(
+        Count(alias_name="n_parts"),
+        Min("price_cents", alias_name="min_price_cents"),
+        Max("price_cents", alias_name="max_price_cents"),
+    )
+
+
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
@@ -655,6 +715,8 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "supplier_balance_by_region": q_supplier_balance_by_region,
+    "parts_by_brand_size": q_parts_by_brand_size,
     "knn_cosine": q_knn_cosine,
     "cosine_near_dup": q_cosine_near_dup,
     "token_count_docs": q_token_count_docs,

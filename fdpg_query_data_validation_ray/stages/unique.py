@@ -75,14 +75,60 @@ def candidate_dup_hashes(ds, key_columns: list[str]) -> np.ndarray:
     return uniq[counts > 1]  # np.unique output is sorted
 
 
-def duplicate_keys(ds, key_columns: list[str], count_name: str = "dup_count"):
+def candidate_dup_hashes_shuffle(ds, key_columns: list[str]) -> np.ndarray:
+    """Pass 1, hash-partitioned variant (the north_rule's explicit salted
+    shuffle plan — use when 8 B/row exceeds the driver budget, ≳10⁹ rows):
+
+    - salted pre-aggregate: per-batch pyarrow group_by collapses intra-batch
+      duplicates, so a hot key ships ≤ 1 (hash, partial-count) row per batch —
+      the salt is the batch itself, bounding any reducer's share of a hot key
+      by the number of batches, not the number of rows;
+    - hash shuffle: groupby over the int64 key hash (even distribution by
+      construction — it IS a hash) sums partial counts per reducer;
+    - only hashes with global count > 1 return to the driver (rare).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(key_columns)
+        t = t.group_by(key_columns).aggregate([([], "count_all")])
+        kh = key_hash(t, key_columns)
+        return pa.table(
+            {"khash": pa.array(kh.view(np.int64)), "count_all": t["count_all"]}
+        )
+
+    totals = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "khash"
+    ).aggregate(Sum("count_all", alias_name="n"))
+    cand = totals.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)).select(["khash"]),
+        batch_format="pyarrow",
+    )
+    chunks = [
+        b["khash"].to_numpy() for b in cand.iter_batches(batch_format="pyarrow")
+    ]
+    if not chunks:
+        return np.array([], dtype=np.int64)
+    return np.sort(np.concatenate(chunks))
+
+
+def duplicate_keys(
+    ds, key_columns: list[str], count_name: str = "dup_count", mode: str = "sieve"
+):
     """Duplicate key groups: (key columns..., count_name > 1). Returns a
     pyarrow Table sorted by the key columns (duplicate sets are report-sized;
-    the heavy work streams)."""
+    the heavy work streams).
+
+    mode="sieve" (default): driver-merged hash sieve — fastest while 8 B/row
+    fits the driver. mode="shuffle": salted hash-partitioned groupby for
+    beyond-driver scale. Identical results (both verify exactly on pass 2)."""
     import ray
 
     key_columns = list(key_columns)
-    cand = candidate_dup_hashes(ds, key_columns)
+    if mode == "shuffle":
+        cand = candidate_dup_hashes_shuffle(ds, key_columns)
+    else:
+        cand = candidate_dup_hashes(ds, key_columns)
     if len(cand) == 0:
         return _empty_result(ds, key_columns, count_name)
 

@@ -47,3 +47,18 @@ def test_minhash_identical_clique_bounded(ray_session):
     expected = n_clique * (n_clique - 1) // 2
     assert len(clique_pairs) == expected
     assert not clique_pairs.duplicated(["id_a", "id_b"]).any()
+
+
+def test_duplicate_keys_shuffle_mode_matches_sieve(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    repo = np.array([f"r{i}" for i in rng.integers(0, 500, 5000)], dtype=object)
+    path = np.array([f"p{i}" for i in rng.integers(0, 40, 5000)], dtype=object)
+    t = pa.table({"repo": repo, "path": path})
+    a = duplicate_keys(rd.from_arrow(t).repartition(8), ["repo", "path"]).to_pandas()
+    b = duplicate_keys(
+        rd.from_arrow(t).repartition(8), ["repo", "path"], mode="shuffle"
+    ).to_pandas()
+    assert a.equals(b)
+    assert len(a) > 0  # this density guarantees collisions
