@@ -89,11 +89,21 @@ def _init_ray(num_cpus: int) -> None:
     import ray
 
     if not ray.is_initialized():
+        # the repo must be importable from WORKER processes too (a driver-side
+        # sys.path edit does not propagate) — ship PYTHONPATH via runtime_env
+        repo_root = os.path.dirname(os.path.abspath(__file__))
         ray.init(
             address="local",
             num_cpus=num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
+            runtime_env={
+                "env_vars": {
+                    "PYTHONPATH": repo_root
+                    + os.pathsep
+                    + os.environ.get("PYTHONPATH", "")
+                }
+            },
         )
     import ray.data as rd
 
@@ -177,6 +187,13 @@ def _prepare_scaling_corpus() -> list[str]:
     marker = os.path.join(SCALING_DIR, f"rows_{SCALING_ROWS}.ok")
     if os.path.exists(marker):
         return sorted(glob.glob(os.path.join(SCALING_DIR, "input", "*.parquet")))
+    # regenerating at a different size: clear the whole dir so a stale
+    # rows_<other>.ok can never claim the new corpus
+    import shutil
+
+    if os.path.isdir(SCALING_DIR):
+        shutil.rmtree(SCALING_DIR)
+    os.makedirs(SCALING_DIR, exist_ok=True)
     from fdpg_query_data_validation_ray.sources.corpus import (
         DefectSpec,
         generate_corpus,

@@ -20,20 +20,42 @@ _HASH_KEY = "fdpgqdvray012345"  # must be exactly 16 bytes
 assert len(_HASH_KEY) == 16
 
 
+_NULL_HASH = np.uint64(0x8C58_F183_DD02_9F41)
+
+
 def hash64(values, seed: int = 0) -> np.ndarray:
     """Deterministic uint64 hash of an array of scalars (strings or numerics).
 
-    Nulls hash to a fixed value. `seed` derives independent hash families
-    (minhash permutations, salting) by mixing into the result with
-    splitmix64-style finalization.
+    Nulls hash to a fixed value. CRITICAL batch-stability property: the hash of
+    a value must not depend on which batch it arrived in — in particular an
+    int64 column must hash identically whether or not its batch happens to
+    contain nulls (a naive to_pandas turns int64-with-null into float64 and
+    the same key silently hashes differently across batches, making the
+    uniqueness sieve miss duplicates). Integer Arrow columns therefore keep
+    their integer dtype via fill_null + explicit null-mask overwrite.
+
+    `seed` derives independent hash families (minhash permutations, salting)
+    via splitmix64-style finalization.
     """
+    null_mask = None
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        values = values.to_pandas()
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if pa.types.is_integer(values.type):
+            if values.null_count:
+                null_mask = values.is_null().to_numpy(zero_copy_only=False)
+                values = values.fill_null(0)  # dtype stays integer
+            values = values.to_numpy(zero_copy_only=False)
+        else:
+            values = values.to_pandas()
     arr = np.asarray(values, dtype=object) if not isinstance(values, np.ndarray) else values
     if arr.dtype == object:
         h = pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
     else:
         h = pd.util.hash_array(arr, hash_key=_HASH_KEY)
+    if null_mask is not None:
+        h = h.copy()
+        h[null_mask] = _NULL_HASH
     if seed:
         h = mix64(h ^ np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
     return h

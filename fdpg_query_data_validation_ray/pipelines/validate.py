@@ -426,23 +426,37 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
 
     from fdpg_query_data_validation_ray.rules import DIAGNOSTICS
 
-    tables = []
-    for pid in manifest.completed_partitions():
-        d = os.path.join(manifest.partition_dir(pid), "combined")
-        if os.path.isdir(d):
-            tables.append(_scan_union(d, "keyhash", ["row_key", "khash"]))
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
+    dirs = [
+        os.path.join(manifest.partition_dir(pid), "combined")
+        for pid in manifest.completed_partitions()
+    ]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    # pass A: hashes only (8 B/row at the driver — the documented envelope)
+    hash_chunks = [
+        _scan_union(d, "keyhash", ["khash"])["khash"].to_numpy() for d in dirs
+    ]
+    hash_chunks = [c for c in hash_chunks if len(c)]
+    if not hash_chunks:
         return []
-    t = pa.concat_tables(tables).combine_chunks()
-    kh = t["khash"].to_numpy()
-    uniq, counts = np.unique(kh, return_counts=True)
+    uniq, counts = np.unique(np.concatenate(hash_chunks), return_counts=True)
     cand = uniq[counts > 1]
     if len(cand) == 0:
         return []
-    ix = np.searchsorted(cand, kh)
-    ix[ix == len(cand)] = 0
-    picked = t.filter(pa.array(cand[ix] == kh))
+    # pass B: re-scan per partition, keep ONLY candidate rows' key strings
+    picked_parts = []
+    for d in dirs:
+        t = _scan_union(d, "keyhash", ["row_key", "khash"])
+        if not t.num_rows:
+            continue
+        kh = t["khash"].to_numpy()
+        ix = np.searchsorted(cand, kh)
+        ix[ix == len(cand)] = 0
+        part = t.filter(pa.array(cand[ix] == kh))
+        if part.num_rows:
+            picked_parts.append(part)
+    if not picked_parts:
+        return []
+    picked = pa.concat_tables(picked_parts).combine_chunks()
     g = picked.group_by(["row_key"]).aggregate([([], "count_all")])
     g = g.filter(pc.greater(g["count_all"], 1)).sort_by("row_key")
     rule_id = f"unique({','.join(unique_keys)})"

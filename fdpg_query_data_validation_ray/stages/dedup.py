@@ -41,9 +41,16 @@ def _sieve_multi_buckets(exploded, bucket_column: str):
     ~0 after the sieve). Bucket ids (int64) stream to the driver for one
     np.unique — 8 bytes/row, the same partial→merge shape as the uniqueness
     sieve — and the multi-member set is broadcast back as a sorted array for
-    a binary-search membership filter."""
+    a binary-search membership filter.
+
+    The explosion is materialized first: the sieve consumes the dataset once
+    for bucket ids and the filtered groupby consumes it again — without
+    materialization Ray would re-run the signature computation (the dominant
+    cost) from scratch on the second pass. Blocks live in the object store
+    and spill if needed."""
     import ray
 
+    exploded = exploded.materialize()
     ids = exploded.select_columns([bucket_column])
     chunks = [
         b[bucket_column].to_numpy()

@@ -140,13 +140,30 @@ def dangling_keys_hash(
 
     dim_columns = list(dim_columns or columns)
 
-    # single-column FKs shuffle in their NATIVE type (int sort ≪ string sort);
-    # only the (small) dangling output is cast to string. Composite keys join
-    # with '|' as usual.
+    # single-column FKs shuffle in a NATIVE numeric type (int sort ≪ string
+    # sort); only the (small) dangling output is cast to string. The shuffle
+    # key type must be IDENTICAL on both sides — fact int32 vs dim int64 would
+    # otherwise fail the union or mis-compare — so promote once from the two
+    # schemas: both integer → int64, else string. Composite keys join with '|'.
+    def _schema_type(ds_, col):
+        return ds_.schema().base_schema.field(col).type
+
+    if len(columns) == 1:
+        ftype = _schema_type(fact_ds, columns[0])
+        dtype_ = _schema_type(dim_ds, dim_columns[0])
+        if pa.types.is_integer(ftype) and pa.types.is_integer(dtype_):
+            key_type = pa.int64()
+        else:
+            key_type = pa.string()
+    else:
+        key_type = pa.string()
+
     def _key(batch: pa.Table, cols: list[str]):
         if len(cols) == 1:
-            return batch.column(cols[0])
-        return pc.cast(_joined_key(batch, cols), pa.string())
+            # null FKs are not dangling (reference: absent elements surface as
+            # cardinality issues, not reference issues) — drop before counting
+            return pc.drop_null(pc.cast(batch.column(cols[0]), key_type))
+        return pc.drop_null(pc.cast(_joined_key(batch, cols), pa.string()))
 
     def fact_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"fk_key": _key(batch, list(columns))})

@@ -212,30 +212,23 @@ class RowChecker:
         if self.suite is not None:
             return check_batch(table, self.suite)
         reg = self.registry
-        rcol = table.column(reg.routing_column)
-        keys = pc.unique(pc.fill_null(_stringify(rcol), "")).to_pylist()
+        # null routing values are normalized to "" BEFORE computing both the
+        # key set and the per-key masks, so null and ""-valued rows route
+        # together (usually to the missing-suite warning) and NO row can fall
+        # between the masks — an is_null mask for key "" would silently skip
+        # rows whose routing column holds an actual empty string
+        rnorm = pc.fill_null(_stringify(table.column(reg.routing_column)), "")
+        keys = pc.unique(rnorm).to_pylist()
         out: list[pa.Table] = []
         for key in sorted(keys):
-            mask = (
-                pc.is_null(rcol)
-                if key == ""
-                else pc.equal(_stringify(rcol), key)
-            )
-            sub = table.filter(pc.fill_null(mask, False))
+            sub = table.filter(pc.equal(rnorm, key))
             if reg.has_sub_routes(key) and reg.sub_column in sub.column_names:
                 # level-2 routing (reference: Observation → LOINC → profile,
                 # maps/validation_mapping.json): split this slice again by the
                 # sub-column and resolve per (key, sub value)
-                scol = sub.column(reg.sub_column)
-                for skey in sorted(
-                    pc.unique(pc.fill_null(_stringify(scol), "")).to_pylist()
-                ):
-                    smask = (
-                        pc.is_null(scol)
-                        if skey == ""
-                        else pc.equal(_stringify(scol), skey)
-                    )
-                    ssub = sub.filter(pc.fill_null(smask, False))
+                snorm = pc.fill_null(_stringify(sub.column(reg.sub_column)), "")
+                for skey in sorted(pc.unique(snorm).to_pylist()):
+                    ssub = sub.filter(pc.equal(snorm, skey))
                     out.append(
                         self._check_or_warn(ssub, reg.resolve(key, skey), f"{key}/{skey}")
                     )

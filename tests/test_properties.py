@@ -110,3 +110,33 @@ def test_issue_dedup_counts_partition_invariant(assignments):
     again = {g["rule_id"]: g["count"] for g in dedup_issues(shuffled)}
     assert base == again
     assert sum(base.values()) == len(rows)
+
+
+def test_hash64_integer_batch_stability():
+    """Regression: an int64 key must hash identically whether or not its batch
+    contains nulls (a float64 fallback would split duplicate keys across
+    batches and the uniqueness sieve would miss them)."""
+    import pyarrow as pa
+
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+
+    clean = hash64(pa.array([7, 8], pa.int64()))
+    with_null = hash64(pa.array([7, None], pa.int64()))
+    assert clean[0] == with_null[0]
+    chunked = hash64(pa.chunked_array([pa.array([7]), pa.array([None, 8])]))
+    assert chunked[0] == clean[0] and chunked[2] == clean[1]
+
+
+def test_duplicate_keys_across_null_batches(ray_session):
+    """End-to-end: duplicate int keys split between a null-free and a
+    null-containing batch are still found."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.unique import duplicate_keys
+
+    t1 = pa.table({"k": pa.array([7, 1, 2], pa.int64())})
+    t2 = pa.table({"k": pa.array([7, None, 3], pa.int64())})
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    dups = duplicate_keys(ds, ["k"]).to_pandas()
+    assert len(dups) == 1 and dups.iloc[0]["dup_count"] == 2

@@ -123,3 +123,33 @@ def test_multimodal_query(ray_session):
     assert out["width"].between(4, 16).all()
     assert out["height"].between(4, 12).all()
     assert out["mean_intensity"].between(0, 255).all()
+
+
+def test_empty_string_routing_value_not_dropped():
+    """Regression: rows whose routing (or sub-routing) column holds an actual
+    empty string must still be validated / warned, not silently skipped."""
+    strict, lax = _suites()
+    reg = SuiteRegistry(
+        routing_column="lang",
+        routes={"python": strict},
+        sub_column="repo",
+        sub_routes={"python": {"b/r2": lax}},
+    )
+    t = pa.table(
+        {
+            "repo": ["", "a/r1"],
+            "path": ["f1", "f2"],
+            "commit": ["zz", "zz"],
+            "lang": ["python", ""],       # row 2: empty routing value
+            "content": [None, None],      # both violate not_null under a suite
+        }
+    )
+    v = RowChecker(registry=reg)(t).to_pandas()
+    # row 1: lang=python, repo="" → no sub route for "" → falls back to strict
+    assert (v["rule_id"] == "not_null(content)").sum() == 1
+    assert (v["rule_id"] == "regex(commit)").sum() == 1
+    # row 2: lang="" has no route → missing_suite warning, NOT silence
+    miss = v[v.rule_id == "missing_suite"]
+    assert len(miss) == 1 and miss.iloc[0]["actual"] == ""
+    # every row accounted for: no row escaped both branches
+    assert set(v["row_key"]) == {"|f1|zz", "a/r1|f2|zz"}
