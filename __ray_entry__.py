@@ -186,6 +186,13 @@ def oracle_sql() -> dict[str, str]:
                        AS max_price_cents
             FROM part GROUP BY p_brand, p_size
         """,
+        "dedup_keep_first": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM documents)
+            WHERE rn = 1
+        """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
                        WHERE vec_id IN (0, 1, 2, 3, 4)),

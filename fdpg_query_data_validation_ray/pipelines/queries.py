@@ -362,6 +362,18 @@ def q_dedup_exact_props(sf_dir: str):
     return exact_duplicate_groups(ds, "props", "event_id")
 
 
+def q_dedup_keep_first(sf_dir: str):
+    """Exact dedup that KEEPS one representative row (min doc_id) per distinct
+    text — the materializing counterpart of dedup_exact_docs."""
+    from fdpg_query_data_validation_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    out = exact_dedup(ds, "text", "doc_id")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+
+
 def q_dedup_minhash(sf_dir: str):
     from fdpg_query_data_validation_ray.stages.dedup import minhash_near_duplicates
 
@@ -712,6 +724,7 @@ QUERIES = {
     "first_docs_per_lang": q_first_docs_per_lang,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_exact_props": q_dedup_exact_props,
+    "dedup_keep_first": q_dedup_keep_first,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

@@ -67,9 +67,11 @@ def build_report(
     from fdpg_query_data_validation_ray.pipelines.validate import _scan_union
     import os
 
-    per_row: list[dict] = []
+    from concurrent.futures import ThreadPoolExecutor
+
+    pids = manifest.completed_partitions()
     verdicts = {}
-    for pid in manifest.completed_partitions():
+    for pid in pids:
         v = manifest.load_verdict(pid)
         verdicts[pid] = {
             "passed": v["passed"],
@@ -78,13 +80,21 @@ def build_report(
             "warning_count": v["warning_count"],
             "lineage": v["lineage"],
         }
+
+    def scan(pid: str) -> list[dict]:
         d = os.path.join(manifest.partition_dir(pid), "combined")
-        if os.path.isdir(d):
-            t = _scan_union(
-                d, "violation",
-                ["rule_id", "severity", "location", "diagnostics", "row_key"],
-            )
-            per_row.extend(t.to_pylist())
+        if not os.path.isdir(d):
+            return []
+        return _scan_union(
+            d, "violation",
+            ["rule_id", "severity", "location", "diagnostics", "row_key"],
+        ).to_pylist()
+
+    per_row: list[dict] = []
+    if pids:
+        with ThreadPoolExecutor(max_workers=min(8, len(pids))) as pool:
+            for rows in pool.map(scan, pids):
+                per_row.extend(rows)
     all_rows = per_row + list(global_violations)
     issues = dedup_issues(all_rows)
 

@@ -426,15 +426,21 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
 
     from fdpg_query_data_validation_ray.rules import DIAGNOSTICS
 
+    from concurrent.futures import ThreadPoolExecutor
+
     dirs = [
         os.path.join(manifest.partition_dir(pid), "combined")
         for pid in manifest.completed_partitions()
     ]
     dirs = [d for d in dirs if os.path.isdir(d)]
-    # pass A: hashes only (8 B/row at the driver — the documented envelope)
-    hash_chunks = [
-        _scan_union(d, "keyhash", ["khash"])["khash"].to_numpy() for d in dirs
-    ]
+    if not dirs:
+        return []
+    # pass A: hashes only (8 B/row at the driver — the documented envelope);
+    # per-partition scans run in threads (parquet decode releases the GIL)
+    with ThreadPoolExecutor(max_workers=min(8, len(dirs))) as pool:
+        hash_chunks = list(
+            pool.map(lambda d: _scan_union(d, "keyhash", ["khash"])["khash"].to_numpy(), dirs)
+        )
     hash_chunks = [c for c in hash_chunks if len(c)]
     if not hash_chunks:
         return []
@@ -442,18 +448,20 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
     cand = uniq[counts > 1]
     if len(cand) == 0:
         return []
+
     # pass B: re-scan per partition, keep ONLY candidate rows' key strings
-    picked_parts = []
-    for d in dirs:
+    def pick(d: str):
         t = _scan_union(d, "keyhash", ["row_key", "khash"])
         if not t.num_rows:
-            continue
+            return None
         kh = t["khash"].to_numpy()
         ix = np.searchsorted(cand, kh)
         ix[ix == len(cand)] = 0
         part = t.filter(pa.array(cand[ix] == kh))
-        if part.num_rows:
-            picked_parts.append(part)
+        return part if part.num_rows else None
+
+    with ThreadPoolExecutor(max_workers=min(8, len(dirs))) as pool:
+        picked_parts = [p for p in pool.map(pick, dirs) if p is not None]
     if not picked_parts:
         return []
     picked = pa.concat_tables(picked_parts).combine_chunks()
