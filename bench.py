@@ -250,22 +250,30 @@ def _scaling_child(num_cpus: int, _unused: str) -> None:
     ray.shutdown()
 
 
-def run_scaling(sf_dir: str) -> dict:
-    """Fresh ray session at 8 CPUs then 32 CPUs; efficiency = (T32/T8)/4."""
+def run_scaling(sf_dir: str, reps: int = 2) -> dict:
+    """Fresh ray session at 8 CPUs and 32 CPUs; efficiency = (T32/T8)/4.
+
+    Runs alternate (8, 32, 8, 32, …) and each config keeps its MINIMUM wall
+    time: shared-sandbox CPU throughput varies over time (measured ~2.5×
+    between quiet and throttled windows), and interleaved minimums estimate
+    the un-throttled time for both configs under the same conditions."""
     _prepare_scaling_corpus()
-    results = {}
-    for n in (8, 32):
-        env = dict(os.environ)
-        env.pop("RAY_ADDRESS", None)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--_scaling-child", str(n), sf_dir],
-            capture_output=True,
-            text=True,
-            env=env,
-            check=True,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[n] = json.loads(line)
+    results: dict[int, dict] = {}
+    for _ in range(max(1, reps)):
+        for n in (8, 32):
+            env = dict(os.environ)
+            env.pop("RAY_ADDRESS", None)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_scaling-child", str(n), sf_dir],
+                capture_output=True,
+                text=True,
+                env=env,
+                check=True,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if n not in results or r["sec"] < results[n]["sec"]:
+                results[n] = r
     tput8 = results[8]["input_rows"] / results[8]["sec"]
     tput32 = results[32]["input_rows"] / results[32]["sec"]
     eff = (tput32 / tput8) / 4.0

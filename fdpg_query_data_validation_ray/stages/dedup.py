@@ -125,21 +125,39 @@ def exact_duplicate_groups(ds, text_column: str, id_column: str):
     )
 
 
-def exact_dedup(ds, text_column: str, id_column: str):
-    """Keep exactly one row per distinct text (the min id): hash → groupby →
-    first. Returns the deduplicated Dataset (all original columns)."""
+def exact_dedup(ds, text_column: str, id_column: str, num_partitions: int = 16):
+    """Keep exactly one row per distinct text (the min id). Returns the
+    deduplicated Dataset (all original columns).
+
+    Plan: per-batch (md5, min id) partials → groupby(md5) global min-id (only
+    32-byte hashes + ids shuffle) → native hash join back against the hashed
+    rows on (md5, id). No per-group Python (a groupby(md5).map_groups would
+    pay per-group overhead on a mostly-unique hash column — the LSH
+    singleton-bucket problem all over again)."""
+    from ray.data.aggregate import Min
+
     def add_hash(batch: pa.Table) -> pa.Table:
         return batch.append_column("__md5", md5_column(batch.column(text_column)))
 
-    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, id_column)
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
+    def keep_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["__md5", id_column])
+        return t.group_by(["__md5"]).aggregate([(id_column, "min")])
+
+    keepers = (
+        hashed.map_batches(keep_partial, batch_format="pyarrow")
         .groupby("__md5")
-        .map_groups(keep_min, batch_format="pandas")
-        .drop_columns(["__md5"])
+        .aggregate(Min(f"{id_column}_min", alias_name="__keep_id"))
     )
+    joined = hashed.join(
+        keepers,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("__md5", id_column),
+        right_on=("__md5", "__keep_id"),
+    )
+    return joined.drop_columns(["__md5"])
 
 
 # -- MinHash + LSH ----------------------------------------------------------
