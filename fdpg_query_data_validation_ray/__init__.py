@@ -31,6 +31,9 @@ from fdpg_query_data_validation_ray.rules import (  # noqa: F401
     length_range,
     value_range,
     dtype,
+    unique,
+    foreign_key,
+    drift,
 )
 from fdpg_query_data_validation_ray.schema import (  # noqa: F401
     CORPUS_SCHEMA,

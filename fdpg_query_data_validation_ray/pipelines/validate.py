@@ -371,8 +371,8 @@ def run_validation(
         concurrency = _default_pool(partition_threads)
     if todo:
         with ThreadPoolExecutor(max_workers=partition_threads) as pool:
-            futures = [
-                pool.submit(
+            futures = {
+                pid: pool.submit(
                     _run_one_partition,
                     pid,
                     partitions[pid],
@@ -384,9 +384,21 @@ def run_validation(
                     concurrency,
                 )
                 for pid in todo
-            ]
-            for f in futures:
-                f.result()
+            }
+            for pid, f in futures.items():
+                try:
+                    f.result()
+                except Exception as exc:
+                    # error channel (reference: request failure → error issue,
+                    # run continues, extraction/main.py:90-93,140-141): the
+                    # partition commits a FAILED verdict carrying an
+                    # error-channel issue; other partitions keep running and
+                    # the merged report shows the failure as data. The verdict
+                    # is complete, so a resume does NOT silently retry —
+                    # delete the partition dir to force re-processing.
+                    _commit_failed_partition(
+                        manifest, pid, partitions[pid], cfg_hash, out_dir, exc
+                    )
 
     # ---- global phase: cross-partition checks ------------------------------
     global_violations: list[dict] = []
@@ -411,6 +423,66 @@ def run_validation(
     RunManifest._atomic_json(os.path.join(out_dir, "report.json"), report)
     write_markdown_report(report, os.path.join(out_dir, "report.md"))
     return report
+
+
+def _commit_failed_partition(
+    manifest: RunManifest,
+    pid: str,
+    files: list[str],
+    cfg_hash: str,
+    out_dir: str,
+    exc: Exception,
+) -> None:
+    import shutil
+
+    tmp_dir = os.path.join(out_dir, f".tmp_fail_{pid}")
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(os.path.join(tmp_dir, "combined"), exist_ok=True)
+    err_row = pa.table(
+        {
+            "record_type": ["violation"],
+            "rule_id": ["error:partition_failed"],
+            "severity": ["error"],
+            "location": [""],
+            "diagnostics": [f"{type(exc).__name__}: partition could not be processed"],
+            "row_key": [pid],
+            "actual": [str(exc)[:200]],
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        _pad_to_union(err_row.drop_columns(["record_type"]), "violation"),
+        os.path.join(tmp_dir, "combined", "error.parquet"),
+    )
+    verdict = {
+        "partition_id": pid,
+        "passed": False,
+        "rows_checked": 0,
+        "violation_count": 1,
+        "warning_count": 0,
+        "lineage": {"input_files": files, "config_hash": cfg_hash},
+        "metrics": {"failed": True},
+        "stats_partials": _encode_partials({}),
+    }
+    manifest.commit_partition(pid, verdict, tmp_dir)
+
+
+def snapshot_from_run(out_dir: str) -> str:
+    """Build a drift Snapshot JSON from a finished run's persisted sketch
+    partials and write it to out_dir/snapshot.json — the reference baseline a
+    later run's `drift_rules` compare against (completes the drift loop:
+    run 1 snapshots, run 2 drifts)."""
+    manifest = RunManifest(out_dir)
+    merged = _merge_all_partials(manifest)
+    snap = Snapshot.from_partials(list(merged.values()))
+    path = os.path.join(out_dir, "snapshot.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(snap.to_json())
+    os.replace(tmp, path)
+    return path
 
 
 def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) -> list[dict]:

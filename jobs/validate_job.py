@@ -102,6 +102,12 @@ def main(argv=None) -> int:
     p.add_argument("--config", required=True, help="plan config JSON file")
     p.add_argument("--partitions", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument(
+        "--write-snapshot",
+        action="store_true",
+        help="after the run, write out/snapshot.json from the merged sketches "
+        "(the drift baseline for a future run's 'snapshot_file')",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -134,6 +140,10 @@ def main(argv=None) -> int:
         files, args.out, plan,
         num_partitions=args.partitions, batch_size=args.batch_size,
     )
+    if args.write_snapshot:
+        from fdpg_query_data_validation_ray.pipelines.validate import snapshot_from_run
+
+        snapshot_from_run(args.out)
     print(
         json.dumps(
             {
