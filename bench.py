@@ -243,7 +243,16 @@ def _scaling_child(num_cpus: int, _unused: str) -> None:
         files, out_dir, plan, num_partitions=SCALING_PARTITIONS
     )
     dt = time.perf_counter() - t0
-    rows = report.get("total_rows_checked") or SCALING_ROWS
+    rows = report.get("total_rows_checked", 0)
+    if rows != SCALING_ROWS:
+        # a partition failure was absorbed into the error channel — this run
+        # validated less work and MUST NOT contribute a timing (the
+        # keep-the-minimum selection would otherwise prefer partial runs)
+        print(
+            json.dumps({"error": "partial run", "rows": rows, "expected": SCALING_ROWS}),
+            file=sys.stderr,
+        )
+        sys.exit(3)
     print(json.dumps({"num_cpus": num_cpus, "sec": dt, "input_rows": rows}))
     import ray
 

@@ -64,10 +64,10 @@ def build_report(
     global_violations: list[dict],
     config_hash: str,
 ) -> dict:
-    from fdpg_query_data_validation_ray.pipelines.validate import _scan_union
-    import os
 
-    from concurrent.futures import ThreadPoolExecutor
+    from fdpg_query_data_validation_ray.pipelines.validate import (
+        scan_partition_artifacts,
+    )
 
     pids = manifest.completed_partitions()
     verdicts = {}
@@ -81,20 +81,14 @@ def build_report(
             "lineage": v["lineage"],
         }
 
-    def scan(pid: str) -> list[dict]:
-        d = os.path.join(manifest.partition_dir(pid), "combined")
-        if not os.path.isdir(d):
-            return []
-        return _scan_union(
-            d, "violation",
-            ["rule_id", "severity", "location", "diagnostics", "row_key"],
-        ).to_pylist()
-
     per_row: list[dict] = []
-    if pids:
-        with ThreadPoolExecutor(max_workers=min(8, len(pids))) as pool:
-            for rows in pool.map(scan, pids):
-                per_row.extend(rows)
+    for rows in scan_partition_artifacts(
+        manifest,
+        "violation",
+        ["rule_id", "severity", "location", "diagnostics", "row_key"],
+        transform=lambda t: t.to_pylist(),
+    ):
+        per_row.extend(rows)
     all_rows = per_row + list(global_violations)
     issues = dedup_issues(all_rows)
 

@@ -393,9 +393,10 @@ def run_validation(
                     # run continues, extraction/main.py:90-93,140-141): the
                     # partition commits a FAILED verdict carrying an
                     # error-channel issue; other partitions keep running and
-                    # the merged report shows the failure as data. The verdict
-                    # is complete, so a resume does NOT silently retry —
-                    # delete the partition dir to force re-processing.
+                    # the merged report shows the failure as data. Failed
+                    # verdicts are NOT treated as complete by resume — a
+                    # re-run retries the partition and overwrites the failure
+                    # on success (transient infra errors heal themselves).
                     _commit_failed_partition(
                         manifest, pid, partitions[pid], cfg_hash, out_dir, exc
                     )
@@ -441,7 +442,6 @@ def _commit_failed_partition(
     os.makedirs(os.path.join(tmp_dir, "combined"), exist_ok=True)
     err_row = pa.table(
         {
-            "record_type": ["violation"],
             "rule_id": ["error:partition_failed"],
             "severity": ["error"],
             "location": [""],
@@ -453,12 +453,13 @@ def _commit_failed_partition(
     import pyarrow.parquet as pq
 
     pq.write_table(
-        _pad_to_union(err_row.drop_columns(["record_type"]), "violation"),
+        _pad_to_union(err_row, "violation"),
         os.path.join(tmp_dir, "combined", "error.parquet"),
     )
     verdict = {
         "partition_id": pid,
         "passed": False,
+        "failed": True,  # resumable: is_complete() stays False, re-runs retry
         "rows_checked": 0,
         "violation_count": 1,
         "warning_count": 0,
@@ -485,6 +486,34 @@ def snapshot_from_run(out_dir: str) -> str:
     return path
 
 
+def scan_partition_artifacts(
+    manifest: RunManifest,
+    record_type: str,
+    columns: list[str],
+    transform=None,
+) -> list:
+    """Pruned scan of every committed partition's combined/ artifact for one
+    record type, run in a capped driver thread pool (parquet decode releases
+    the GIL). `transform` runs per table INSIDE the worker thread so callers
+    can reduce each partition's rows before anything accumulates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    dirs = [
+        os.path.join(manifest.partition_dir(pid), "combined")
+        for pid in manifest.completed_partitions()
+    ]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return []
+
+    def one(d: str):
+        t = _scan_union(d, record_type, columns)
+        return transform(t) if transform else t
+
+    with ThreadPoolExecutor(max_workers=min(8, len(dirs))) as pool:
+        return list(pool.map(one, dirs))
+
+
 def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) -> list[dict]:
     """Cross-partition uniqueness from the persisted per-row (row_key, khash)
     records — the input is never re-scanned (the check pass already hashed
@@ -498,21 +527,10 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
 
     from fdpg_query_data_validation_ray.rules import DIAGNOSTICS
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    dirs = [
-        os.path.join(manifest.partition_dir(pid), "combined")
-        for pid in manifest.completed_partitions()
-    ]
-    dirs = [d for d in dirs if os.path.isdir(d)]
-    if not dirs:
-        return []
-    # pass A: hashes only (8 B/row at the driver — the documented envelope);
-    # per-partition scans run in threads (parquet decode releases the GIL)
-    with ThreadPoolExecutor(max_workers=min(8, len(dirs))) as pool:
-        hash_chunks = list(
-            pool.map(lambda d: _scan_union(d, "keyhash", ["khash"])["khash"].to_numpy(), dirs)
-        )
+    # pass A: hashes only (8 B/row at the driver — the documented envelope)
+    hash_chunks = scan_partition_artifacts(
+        manifest, "keyhash", ["khash"], transform=lambda t: t["khash"].to_numpy()
+    )
     hash_chunks = [c for c in hash_chunks if len(c)]
     if not hash_chunks:
         return []
@@ -522,8 +540,7 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
         return []
 
     # pass B: re-scan per partition, keep ONLY candidate rows' key strings
-    def pick(d: str):
-        t = _scan_union(d, "keyhash", ["row_key", "khash"])
+    def pick(t: pa.Table):
         if not t.num_rows:
             return None
         kh = t["khash"].to_numpy()
@@ -532,8 +549,13 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
         part = t.filter(pa.array(cand[ix] == kh))
         return part if part.num_rows else None
 
-    with ThreadPoolExecutor(max_workers=min(8, len(dirs))) as pool:
-        picked_parts = [p for p in pool.map(pick, dirs) if p is not None]
+    picked_parts = [
+        p
+        for p in scan_partition_artifacts(
+            manifest, "keyhash", ["row_key", "khash"], transform=pick
+        )
+        if p is not None
+    ]
     if not picked_parts:
         return []
     picked = pa.concat_tables(picked_parts).combine_chunks()

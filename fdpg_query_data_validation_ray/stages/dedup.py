@@ -125,6 +125,10 @@ def exact_duplicate_groups(ds, text_column: str, id_column: str):
     )
 
 
+_NULL_TEXT_MD5 = "__null_text__"  # sentinel: null texts form ONE dedup group
+                                  # (matches ROW_NUMBER over a NULL partition)
+
+
 def exact_dedup(ds, text_column: str, id_column: str, num_partitions: int = 16):
     """Keep exactly one row per distinct text (the min id). Returns the
     deduplicated Dataset (all original columns).
@@ -133,13 +137,26 @@ def exact_dedup(ds, text_column: str, id_column: str, num_partitions: int = 16):
     32-byte hashes + ids shuffle) → native hash join back against the hashed
     rows on (md5, id). No per-group Python (a groupby(md5).map_groups would
     pay per-group overhead on a mostly-unique hash column — the LSH
-    singleton-bucket problem all over again)."""
+    singleton-bucket problem all over again).
+
+    Null-text rows keep one representative too: the null md5 is replaced by a
+    sentinel BEFORE the join (join keys never match on null, so without it
+    every null-text row would silently vanish). Exact full-row duplicates
+    (same id AND same text) are deduped per batch on both sides of the join —
+    and the hash join co-locates equal (md5, id) keys into one output
+    partition, so the post-join per-batch dedup removes cross-input copies
+    as well."""
     from ray.data.aggregate import Min
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        return batch.append_column("__md5", md5_column(batch.column(text_column)))
+        md5 = pc.fill_null(md5_column(batch.column(text_column)), _NULL_TEXT_MD5)
+        t = batch.append_column("__md5", md5)
+        # same-batch exact full-row duplicates collapse here
+        return _first_per_key(t, ["__md5", id_column])
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    # two downstream consumers (keepers + join probe): materialize so the
+    # per-row md5 pass doesn't re-execute (same reasoning as the LSH sieve)
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow").materialize()
 
     def keep_partial(batch: pa.Table) -> pa.Table:
         t = batch.select(["__md5", id_column])
@@ -157,7 +174,23 @@ def exact_dedup(ds, text_column: str, id_column: str, num_partitions: int = 16):
         on=("__md5", id_column),
         right_on=("__md5", "__keep_id"),
     )
-    return joined.drop_columns(["__md5"])
+    deduped = joined.map_batches(
+        lambda t: _first_per_key(t, ["__md5", id_column]), batch_format="pyarrow"
+    )
+    return deduped.drop_columns(["__md5"])
+
+
+def _first_per_key(t: pa.Table, key_columns: list[str]) -> pa.Table:
+    """Vectorized 'first row per key' within one table (stable: lowest index)."""
+    if t.num_rows == 0:
+        return t
+    import pandas as pd  # noqa: F811 — local alias for clarity
+
+    df_keys = t.select(key_columns).to_pandas()
+    keep = ~df_keys.duplicated(keep="first")
+    if keep.all():
+        return t
+    return t.filter(pa.array(keep.to_numpy()))
 
 
 # -- MinHash + LSH ----------------------------------------------------------

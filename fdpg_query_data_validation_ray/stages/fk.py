@@ -152,7 +152,17 @@ def dangling_keys_hash(
         ftype = _schema_type(fact_ds, columns[0])
         dtype_ = _schema_type(dim_ds, dim_columns[0])
         if pa.types.is_integer(ftype) and pa.types.is_integer(dtype_):
-            key_type = pa.int64()
+            f_u64 = ftype == pa.uint64()
+            d_u64 = dtype_ == pa.uint64()
+            if f_u64 and d_u64:
+                key_type = pa.uint64()
+            elif f_u64 or d_u64:
+                # uint64 values above 2^63 don't fit int64 (cast raises) and a
+                # signed side can hold negatives that don't fit uint64 —
+                # string is the only lossless common type
+                key_type = pa.string()
+            else:
+                key_type = pa.int64()
         else:
             key_type = pa.string()
     else:

@@ -55,12 +55,24 @@ class RunManifest:
     def partition_dir(self, partition_id: str) -> str:
         return os.path.join(self.part_root, partition_id)
 
-    def is_complete(self, partition_id: str) -> bool:
+    def _verdict_or_none(self, partition_id: str) -> dict | None:
         v = os.path.join(self.partition_dir(partition_id), "verdict.json")
         try:
-            return json.load(open(v)).get("complete", False)
+            return json.load(open(v))
         except (OSError, json.JSONDecodeError):
-            return False
+            return None
+
+    def is_complete(self, partition_id: str) -> bool:
+        """True only for partitions that finished SUCCESSFULLY — a failed
+        verdict (error-channel commit) is resumable: the next run retries the
+        partition and overwrites the failure on success."""
+        v = self._verdict_or_none(partition_id)
+        return bool(v) and v.get("complete", False) and not v.get("failed", False)
+
+    def has_verdict(self, partition_id: str) -> bool:
+        """True for any committed verdict, failed or not (report scope)."""
+        v = self._verdict_or_none(partition_id)
+        return bool(v) and v.get("complete", False)
 
     def load_verdict(self, partition_id: str) -> dict:
         return json.load(open(os.path.join(self.partition_dir(partition_id), "verdict.json")))
@@ -76,9 +88,12 @@ class RunManifest:
         os.replace(tmp_dir, final)
 
     def completed_partitions(self) -> list[str]:
+        """Partitions with a committed verdict, INCLUDING failed ones — the
+        report must show failures as data; only resume skipping (is_complete)
+        excludes them."""
         if not os.path.isdir(self.part_root):
             return []
-        return sorted(p for p in os.listdir(self.part_root) if self.is_complete(p))
+        return sorted(p for p in os.listdir(self.part_root) if self.has_verdict(p))
 
     @staticmethod
     def _atomic_json(path: str, obj: dict) -> None:

@@ -47,6 +47,18 @@ def test_unreadable_partition_becomes_error_channel(ray_session, tmp_path):
     # the three healthy partitions processed their rows
     assert report["total_rows_checked"] == 1500
 
+    # transient-failure recovery: restore the file and resume — ONLY the
+    # failed partition reruns, the verdict heals, the report turns green
+    import pyarrow.parquet as pq
+
+    n = t.num_rows
+    bounds = [i * n // 4 for i in range(5)]
+    pq.write_table(t.slice(bounds[1], bounds[2] - bounds[1]), files[1])
+    report2 = run_validation(files, str(tmp_path / "out"), plan, num_partitions=4)
+    assert report2["passed"]
+    assert report2["total_rows_checked"] == 2000
+    assert not [g for g in report2["error"] if g["rule_id"] == "error:partition_failed"]
+
 
 def test_snapshot_then_drift_round_trip(ray_session, tmp_path):
     # run 1: clean corpus → snapshot
