@@ -129,11 +129,42 @@ def empty_violations() -> pa.Table:
     return VIOLATION_SCHEMA.empty_table()
 
 
+def _dtype_violations(table: pa.Table, suite: Suite) -> list[pa.Table]:
+    """Schema-level dtype rules: one violation per batch on type mismatch
+    (parquet columns are uniformly typed, so a mismatch is file/schema drift —
+    a batch-level fact, not a per-row one; dedup counting aggregates these to
+    one issue whose count is the number of offending batches)."""
+    out = []
+    for rule in suite.table_rules:
+        if rule.kind != "dtype":
+            continue
+        declared = rule.params.get("arrow_type", "")
+        if rule.column not in table.column_names:
+            actual = "<missing>"
+        else:
+            actual = str(table.column(rule.column).type)
+        if actual != declared:
+            out.append(
+                pa.table(
+                    {
+                        "rule_id": [rule.rule_id],
+                        "severity": [rule.severity],
+                        "location": [rule.column],
+                        "diagnostics": [rule.diagnostics],
+                        "row_key": [""],
+                        "actual": [actual],
+                    },
+                    schema=VIOLATION_SCHEMA,
+                )
+            )
+    return out
+
+
 def check_batch(table: pa.Table, suite: Suite) -> pa.Table:
     """Apply all row-level rules of `suite` to one Arrow batch; return the
     violation table (possibly empty). Fully vectorized; error-channel on
-    per-rule failure."""
-    out: list[pa.Table] = []
+    per-rule failure. Schema-level dtype rules are evaluated per batch."""
+    out: list[pa.Table] = _dtype_violations(table, suite)
     row_keys = row_key_array(table, suite.key_columns)
     for rule in suite.row_rules:
         try:

@@ -140,3 +140,32 @@ def test_rule_validation_errors():
         Rule("nope", "c")
     with pytest.raises(ValueError):
         Rule("not_null", "c", severity="mild")
+
+
+def test_dtype_rule_enforced():
+    import pyarrow as pa
+
+    import fdpg_query_data_validation_ray as qdv
+    from fdpg_query_data_validation_ray.stages.row_checks import check_batch
+
+    suite = qdv.Suite(
+        "s",
+        [qdv.dtype("content", "large_string"), qdv.dtype("repo", "string")],
+        key_columns=["repo"],
+    )
+    ok = pa.table(
+        {"repo": pa.array(["r"], pa.string()),
+         "content": pa.array(["x"], pa.large_string())}
+    )
+    assert check_batch(ok, suite).num_rows == 0
+    bad = pa.table(
+        {"repo": pa.array(["r"], pa.string()),
+         "content": pa.array(["x"], pa.string())}  # string, not large_string
+    )
+    v = check_batch(bad, suite).to_pandas()
+    assert list(v["rule_id"]) == ["dtype(content)"]
+    assert v.iloc[0]["actual"] == "string"
+
+    missing = pa.table({"repo": pa.array(["r"], pa.string())})
+    v2 = check_batch(missing, suite).to_pandas()
+    assert v2.iloc[0]["actual"] == "<missing>"
