@@ -201,6 +201,28 @@ def _cents(col, scale=100.0):
     )
 
 
+def q_events_props_k(sf_dir: str):
+    """JSON field extraction (§2.8): parse props.k per event, aggregate per
+    event_type — vectorized regex fast path + json.loads fallback."""
+    from ray.data.aggregate import Count, Sum
+
+    from fdpg_query_data_validation_ray.functions.jsonfield import extract_int_field
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"].combine_chunks(),
+                "k": extract_int_field(t["props"], "k"),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby(
+        "event_type"
+    ).aggregate(Count(alias_name="n_events"), Sum("k", alias_name="sum_k"))
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate, integer-exact (fixed-point sums)."""
     from ray.data.aggregate import Count, Sum
@@ -714,6 +736,7 @@ QUERIES = {
     "lang_distribution": q_lang_distribution,
     "content_length_hist": q_content_length_hist,
     "events_hourly": q_events_hourly,
+    "events_props_k": q_events_props_k,
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_building_orders,
     "top_users_by_events": q_top_users_by_events,

@@ -169,3 +169,16 @@ def test_dtype_rule_enforced():
     missing = pa.table({"repo": pa.array(["r"], pa.string())})
     v2 = check_batch(missing, suite).to_pandas()
     assert v2.iloc[0]["actual"] == "<missing>"
+
+
+def test_json_extract_int_field_with_fallback():
+    import pyarrow as pa
+
+    from fdpg_query_data_validation_ray.functions.jsonfield import extract_int_field
+
+    col = pa.array(
+        ['{"k": 42}', '{"k":-7}', None, '{"other": 1}',
+         '{ "k" : 5 , "x": 2}', '{"nested": {"k": 9}, "k": 3}', "not json"]
+    )
+    out = extract_int_field(col, "k").to_pylist()
+    assert out == [42, -7, None, None, 5, 3, None]
