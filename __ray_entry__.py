@@ -111,6 +111,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
+        "events_hourly_moving": """
+            WITH h AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+                FROM events GROUP BY 1, 2)
+            SELECT event_type, hour,
+                   CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS moving_sum_cents
+            FROM h
+        """,
         "events_props_k": """
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)

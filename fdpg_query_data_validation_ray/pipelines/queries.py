@@ -201,6 +201,25 @@ def _cents(col, scale=100.0):
     )
 
 
+def q_events_hourly_moving(sf_dir: str):
+    """Windowed aggregate (custom operator per SURVEY §2: Ray Data has no
+    window function): tumbling hourly sums → per-key sorted 3-bucket moving
+    sum via groupby(event_type).map_groups — the window state never leaves its
+    partition, only the SMALL hourly aggregate shuffles, integer-exact."""
+    import pandas as pd
+
+    hourly = q_events_hourly(sf_dir)
+
+    def moving(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("hour", kind="mergesort")
+        g = g.assign(
+            moving_sum_cents=g["sum_value_cents"].rolling(3, min_periods=1).sum().astype("int64")
+        )
+        return g[["event_type", "hour", "moving_sum_cents"]]
+
+    return hourly.groupby("event_type").map_groups(moving, batch_format="pandas")
+
+
 def q_events_props_k(sf_dir: str):
     """JSON field extraction (§2.8): parse props.k per event, aggregate per
     event_type — vectorized regex fast path + json.loads fallback."""
@@ -736,6 +755,7 @@ QUERIES = {
     "lang_distribution": q_lang_distribution,
     "content_length_hist": q_content_length_hist,
     "events_hourly": q_events_hourly,
+    "events_hourly_moving": q_events_hourly_moving,
     "events_props_k": q_events_props_k,
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_building_orders,
