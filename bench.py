@@ -143,7 +143,7 @@ def run_suite(names: list[str], sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "2000000"))
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "3000000"))
 SCALING_DIR = "/tmp/qdv_scaling_corpus"
 SCALING_FILES = 32
 SCALING_PARTITIONS = 8
