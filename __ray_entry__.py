@@ -222,6 +222,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM s)
             WHERE rn <= 5
         """,
+        "top_words": """
+            SELECT word, COUNT(*) AS n_occurrences FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+                FROM documents WHERE text IS NOT NULL)
+            WHERE word <> ''
+            GROUP BY word ORDER BY n_occurrences DESC, word LIMIT 50
+        """,
         "token_count_docs": """
             SELECT doc_id,
                    CASE WHEN text IS NULL OR trim(text) = '' THEN 0

@@ -585,6 +585,33 @@ def q_cosine_near_dup(sf_dir: str):
     return cosine_near_duplicates(ds, threshold=0.9, n_planes=8, dim=64)
 
 
+def q_top_words(sf_dir: str):
+    """Corpus vocabulary: explode text → words (vectorized pandas split +
+    explode), pre-aggregate INSIDE each batch (a raw word explosion would
+    shuffle ~every token; the per-batch group_by collapses it to distinct
+    words per batch), global sum, then distributed top-k."""
+    from ray.data.aggregate import Sum
+
+    from fdpg_query_data_validation_ray.stages.topk import top_k
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode_count(df):
+        import pandas as pd
+
+        words = (
+            df["text"].dropna().str.lower().str.split().explode()
+        )
+        words = words[words != ""]
+        vc = words.value_counts()
+        return pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
+
+    counts = ds.map_batches(explode_count, batch_format="pandas").groupby(
+        "word"
+    ).aggregate(Sum("n", alias_name="n_occurrences"))
+    return top_k(counts, 50, ["n_occurrences", "word"], descending=[True, False])
+
+
 def q_token_count_docs(sf_dir: str):
     from fdpg_query_data_validation_ray.stages.text import TokenCountStage
 
@@ -775,6 +802,7 @@ QUERIES = {
     "parts_by_brand_size": q_parts_by_brand_size,
     "knn_cosine": q_knn_cosine,
     "cosine_near_dup": q_cosine_near_dup,
+    "top_words": q_top_words,
     "token_count_docs": q_token_count_docs,
     "lang_id_docs": q_lang_id_docs,
     "quality_docs": q_quality_docs,
