@@ -277,12 +277,21 @@ def run_scaling(sf_dir: str, reps: int = 2) -> dict:
                 capture_output=True,
                 text=True,
                 env=env,
-                check=True,
             )
+            if out.returncode == 3:
+                # child flagged a partial run — skip this timing, keep going
+                print(f"scaling child (cpus={n}) partial run skipped: "
+                      f"{out.stderr.strip().splitlines()[-1:]}", file=sys.stderr)
+                continue
+            if out.returncode != 0:
+                print(out.stderr, file=sys.stderr)
+                raise RuntimeError(f"scaling child (cpus={n}) failed: rc={out.returncode}")
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
             if n not in results or r["sec"] < results[n]["sec"]:
                 results[n] = r
+    if 8 not in results or 32 not in results:
+        raise RuntimeError("scaling: no complete run for one of the configs")
     tput8 = results[8]["input_rows"] / results[8]["sec"]
     tput32 = results[32]["input_rows"] / results[32]["sec"]
     eff = (tput32 / tput8) / 4.0

@@ -6,8 +6,9 @@ extract one scalar field from a JSON-string column.
 
 pyarrow has no JSON kernel, so the hot path is a vectorized regex
 (`pc.extract_regex`) matching the common flat encoding; rows the regex cannot
-handle (nested/escaped/reordered) fall back to real `json.loads` — correctness
-of a JSON parser, throughput of a C regex for the typical shape.
+handle (nested/escaped/reordered/overflowing) fall back to real `json.loads`
+on ONLY those rows — correctness of a JSON parser, throughput of a C regex
+for the typical shape.
 """
 
 from __future__ import annotations
@@ -15,15 +16,22 @@ from __future__ import annotations
 import json
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+_I64_MIN = -(2**63)
+_I64_MAX = 2**63 - 1
+
 
 def extract_int_field(col: pa.ChunkedArray | pa.Array, field: str) -> pa.Array:
-    """int64 value of `field` from each JSON string (null on null/missing)."""
+    """int64 value of `field` from each JSON string (null on null / missing /
+    out-of-int64-range)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    pattern = rf'"{re.escape(field)}"\s*:\s*(?P<v>-?\d+)\s*[,}}]'
+    # ≤18 digits always fits int64, so the fast-path cast can never overflow;
+    # longer runs simply don't match and take the bounds-checked fallback
+    pattern = rf'"{re.escape(field)}"\s*:\s*(?P<v>-?\d{{1,18}})\s*[,}}]'
     extracted = pc.extract_regex(col, pattern)  # struct<v: string> or null
     vals = pc.struct_field(extracted, "v")
     out = pc.cast(vals, pa.int64())
@@ -35,19 +43,24 @@ def extract_int_field(col: pa.ChunkedArray | pa.Array, field: str) -> pa.Array:
         pc.equal(pc.count_substring(col, "["), 0),
     )
     out = pc.if_else(pc.fill_null(flat, False), out, pa.nulls(len(col), pa.int64()))
-    # fallback: rows with a JSON string but no trusted regex value get a parse
+    # fallback: ONLY the rows without a trusted fast-path value get a parse —
+    # the rest of the batch stays columnar
     need = pc.and_(pc.is_valid(col), pc.is_null(out))
-    if pc.any(need).as_py():
-        mask = need.to_numpy(zero_copy_only=False)
-        py = col.to_pylist()
-        fixed = out.to_pylist()
-        for i, m in enumerate(mask):
-            if not m:
-                continue
+    idx = np.flatnonzero(need.to_numpy(zero_copy_only=False))
+    if len(idx):
+        subset = col.take(pa.array(idx)).to_pylist()
+        # fill_null keeps int64 (to_numpy on a nullable int column degrades
+        # to float64 — same dtype trap as hash64)
+        patched = out.fill_null(0).to_numpy(zero_copy_only=False).copy()
+        valid = out.is_valid().to_numpy(zero_copy_only=False).copy()
+        for pos, s in zip(idx, subset):
             try:
-                v = json.loads(py[i]).get(field)
-                fixed[i] = int(v) if v is not None else None
+                v = json.loads(s).get(field)
+                iv = int(v)
+                if _I64_MIN <= iv <= _I64_MAX:
+                    patched[pos] = iv
+                    valid[pos] = True
             except (ValueError, TypeError, AttributeError):
-                fixed[i] = None
-        out = pa.array(fixed, pa.int64())
+                pass
+        out = pa.array(patched, pa.int64(), mask=~valid)
     return out

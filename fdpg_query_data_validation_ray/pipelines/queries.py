@@ -212,9 +212,13 @@ def q_events_hourly_moving(sf_dir: str):
 
     def moving(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("hour", kind="mergesort")
-        g = g.assign(
-            moving_sum_cents=g["sum_value_cents"].rolling(3, min_periods=1).sum().astype("int64")
-        )
+        # integer-exact windowed sum via int64 cumsum (pandas rolling().sum()
+        # goes through float64 and loses exactness above 2^53)
+        v = g["sum_value_cents"].to_numpy(dtype=np.int64)
+        c = np.cumsum(v)
+        out = c.copy()
+        out[3:] -= c[:-3]
+        g = g.assign(moving_sum_cents=out)
         return g[["event_type", "hour", "moving_sum_cents"]]
 
     return hourly.groupby("event_type").map_groups(moving, batch_format="pandas")
@@ -599,8 +603,10 @@ def q_top_words(sf_dir: str):
     def explode_count(df):
         import pandas as pd
 
+        # split on the exact ASCII class RE2's \s matches, so tokenization
+        # agrees with the DuckDB regexp oracle even on Unicode whitespace
         words = (
-            df["text"].dropna().str.lower().str.split().explode()
+            df["text"].dropna().str.lower().str.split(r"[ \t\n\f\r]+", regex=True).explode()
         )
         words = words[words != ""]
         vc = words.value_counts()

@@ -280,6 +280,17 @@ def _run_one_partition(
     )
     combined.write_parquet(os.path.join(tmp_dir, "combined"))
 
+    # schema-level dtype rules: one check per input FILE (footer schema read,
+    # no data IO) — deterministic under any batch size / parallelism
+    sv = _schema_violations_for_files(files, plan)
+    if sv.num_rows:
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            _pad_to_union(sv, "violation"),
+            os.path.join(tmp_dir, "combined", "schema_violations.parquet"),
+        )
+
     # small, column-pruned reads of the partition artifact
     sev = _scan_union(
         os.path.join(tmp_dir, "combined"), "violation", ["severity"]
@@ -424,6 +435,45 @@ def run_validation(
     RunManifest._atomic_json(os.path.join(out_dir, "report.json"), report)
     write_markdown_report(report, os.path.join(out_dir, "report.md"))
     return report
+
+
+def _plan_suites(plan: ValidationPlan) -> list[Suite]:
+    suites: list[Suite] = []
+    if plan.suite is not None:
+        suites.append(plan.suite)
+    if plan.registry is not None:
+        suites.extend(plan.registry.routes.values())
+        if plan.registry.default is not None:
+            suites.append(plan.registry.default)
+        for sub in plan.registry.sub_routes.values():
+            suites.extend(sub.values())
+    return suites
+
+
+def _schema_violations_for_files(files: list[str], plan: ValidationPlan) -> pa.Table:
+    """dtype rules from EVERY suite in the plan (deduped by rule identity)
+    evaluated against each file's parquet footer schema."""
+    import pyarrow.parquet as pq
+
+    from fdpg_query_data_validation_ray.stages.row_checks import schema_violations
+
+    rules = {}
+    for s in _plan_suites(plan):
+        for r in s.table_rules:
+            if r.kind == "dtype":
+                rules[(r.rule_id, r.column, r.params.get("arrow_type"), r.severity)] = r
+    if not rules:
+        return VIOLATION_SCHEMA.empty_table()
+    synth = Suite("schema", list(rules.values()), key_columns=())
+    parts = []
+    for f in sorted(files):
+        try:
+            schema = pq.read_schema(f)
+        except Exception:
+            continue  # unreadable files surface via the error channel instead
+        parts.append(schema_violations(schema, synth, source=os.path.basename(f)))
+    parts = [p for p in parts if p.num_rows]
+    return pa.concat_tables(parts) if parts else VIOLATION_SCHEMA.empty_table()
 
 
 def _commit_failed_partition(

@@ -142,11 +142,15 @@ def exact_dedup(ds, text_column: str, id_column: str, num_partitions: int = 16):
     Null-text rows keep one representative too: the null md5 is replaced by a
     sentinel BEFORE the join (join keys never match on null, so without it
     every null-text row would silently vanish). Exact full-row duplicates
-    (same id AND same text) are deduped per batch on both sides of the join —
-    and the hash join co-locates equal (md5, id) keys into one output
-    partition, so the post-join per-batch dedup removes cross-input copies
-    as well."""
+    (same id AND same text, e.g. double-ingested files) are removed exactly
+    via a (md5, id) candidate sieve before the join: per-batch dedup bounds
+    them first, then the rare cross-batch copies are detected with the same
+    8 B/row hash sieve the uniqueness check uses and collapsed locally —
+    the join input is globally unique on its key."""
+    import ray
     from ray.data.aggregate import Min
+
+    from fdpg_query_data_validation_ray.stages.unique import key_hash
 
     def add_hash(batch: pa.Table) -> pa.Table:
         md5 = pc.fill_null(md5_column(batch.column(text_column)), _NULL_TEXT_MD5)
@@ -157,6 +161,62 @@ def exact_dedup(ds, text_column: str, id_column: str, num_partitions: int = 16):
     # two downstream consumers (keepers + join probe): materialize so the
     # per-row md5 pass doesn't re-execute (same reasoning as the LSH sieve)
     hashed = ds.map_batches(add_hash, batch_format="pyarrow").materialize()
+
+    # cross-batch full-row duplicate sieve on (md5, id)
+    dup_chunks = [
+        b
+        for b in hashed.map_batches(
+            lambda t: pa.table(
+                {"h": pa.array(key_hash(t, ["__md5", id_column]).view(np.int64))}
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    all_h = (
+        np.concatenate([b["h"].to_numpy() for b in dup_chunks])
+        if dup_chunks
+        else np.array([], dtype=np.int64)
+    )
+    uniq, counts = np.unique(all_h, return_counts=True)
+    cand = uniq[counts > 1]
+    if len(cand):
+        cand_ref = ray.put(cand)
+
+        def drop_cross_copies(batch: pa.Table) -> pa.Table:
+            c = ray.get(cand_ref)
+            kh = key_hash(batch, ["__md5", id_column]).view(np.int64)
+            ix = np.searchsorted(c, kh)
+            ix[ix == len(c)] = 0
+            hit = c[ix] == kh
+            clean = batch.filter(pa.array(~hit))
+            return clean
+
+        def keep_cross_copies(batch: pa.Table) -> pa.Table:
+            c = ray.get(cand_ref)
+            kh = key_hash(batch, ["__md5", id_column]).view(np.int64)
+            ix = np.searchsorted(c, kh)
+            ix[ix == len(c)] = 0
+            return batch.filter(pa.array(c[ix] == kh))
+
+        import ray.data as rd
+
+        dups = hashed.map_batches(keep_cross_copies, batch_format="pyarrow")
+        dup_tables = [
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in dups.iter_batches(batch_format="pyarrow")
+        ]
+        dup_tables = [t for t in dup_tables if t.num_rows]
+        clean = hashed.map_batches(drop_cross_copies, batch_format="pyarrow")
+        if dup_tables:
+            resolved = _first_per_key(
+                pa.concat_tables(dup_tables).combine_chunks().sort_by(
+                    [("__md5", "ascending"), (id_column, "ascending")]
+                ),
+                ["__md5", id_column],
+            )
+            hashed = clean.union(rd.from_arrow(resolved)).materialize()
+        else:
+            hashed = clean.materialize()
 
     def keep_partial(batch: pa.Table) -> pa.Table:
         t = batch.select(["__md5", id_column])
@@ -174,10 +234,7 @@ def exact_dedup(ds, text_column: str, id_column: str, num_partitions: int = 16):
         on=("__md5", id_column),
         right_on=("__md5", "__keep_id"),
     )
-    deduped = joined.map_batches(
-        lambda t: _first_per_key(t, ["__md5", id_column]), batch_format="pyarrow"
-    )
-    return deduped.drop_columns(["__md5"])
+    return joined.drop_columns(["__md5"])
 
 
 def _first_per_key(t: pa.Table, key_columns: list[str]) -> pa.Table:

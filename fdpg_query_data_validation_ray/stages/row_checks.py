@@ -129,42 +129,45 @@ def empty_violations() -> pa.Table:
     return VIOLATION_SCHEMA.empty_table()
 
 
-def _dtype_violations(table: pa.Table, suite: Suite) -> list[pa.Table]:
-    """Schema-level dtype rules: one violation per batch on type mismatch
-    (parquet columns are uniformly typed, so a mismatch is file/schema drift —
-    a batch-level fact, not a per-row one; dedup counting aggregates these to
-    one issue whose count is the number of offending batches)."""
+def schema_violations(schema: pa.Schema, suite: Suite, source: str = "") -> pa.Table:
+    """Schema-level dtype rules evaluated against ONE schema (a parquet
+    file's footer schema — dtype mismatch is file-level schema drift). One
+    violation per (file, rule) with the file name as row_key: the count is a
+    function of the INPUT FILES alone, never of batch size or parallelism
+    (the determinism invariant below would break if dtype were emitted per
+    batch)."""
     out = []
     for rule in suite.table_rules:
         if rule.kind != "dtype":
             continue
         declared = rule.params.get("arrow_type", "")
-        if rule.column not in table.column_names:
+        if rule.column not in schema.names:
             actual = "<missing>"
         else:
-            actual = str(table.column(rule.column).type)
+            actual = str(schema.field(rule.column).type)
         if actual != declared:
             out.append(
-                pa.table(
-                    {
-                        "rule_id": [rule.rule_id],
-                        "severity": [rule.severity],
-                        "location": [rule.column],
-                        "diagnostics": [rule.diagnostics],
-                        "row_key": [""],
-                        "actual": [actual],
-                    },
-                    schema=VIOLATION_SCHEMA,
-                )
+                {
+                    "rule_id": rule.rule_id,
+                    "severity": rule.severity,
+                    "location": rule.column,
+                    "diagnostics": rule.diagnostics,
+                    "row_key": source,
+                    "actual": actual,
+                }
             )
-    return out
+    if not out:
+        return VIOLATION_SCHEMA.empty_table()
+    return pa.Table.from_pylist(out, schema=VIOLATION_SCHEMA)
 
 
 def check_batch(table: pa.Table, suite: Suite) -> pa.Table:
     """Apply all row-level rules of `suite` to one Arrow batch; return the
     violation table (possibly empty). Fully vectorized; error-channel on
-    per-rule failure. Schema-level dtype rules are evaluated per batch."""
-    out: list[pa.Table] = _dtype_violations(table, suite)
+    per-rule failure. Schema-level dtype rules are NOT evaluated here — they
+    are per input file (`schema_violations`), keeping violation multisets
+    independent of the batch split."""
+    out: list[pa.Table] = []
     row_keys = row_key_array(table, suite.key_columns)
     for rule in suite.row_rules:
         try:

@@ -107,3 +107,18 @@ def test_ngram_jaccard(ray_session):
     got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     assert (100, 101) in got and (102, 103) in got
     assert pairs.set_index(["id_a", "id_b"])["jaccard"][(100, 101)] == 1.0
+
+
+def test_exact_dedup_cross_batch_full_row_duplicates(ray_session):
+    """Regression: the SAME (id, text) row in two different input blocks must
+    yield exactly one output row (pre-join sieve), and null texts keep one
+    representative."""
+    import ray.data as rd
+    from fdpg_query_data_validation_ray.stages.dedup import exact_dedup
+
+    t1 = pa.table({"doc_id": [1, 2, 7], "text": ["a", "b", "dup"]})
+    t2 = pa.table({"doc_id": [7, 3, 4], "text": ["dup", None, None]})
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    out = exact_dedup(ds, "text", "doc_id").to_pandas().sort_values("doc_id")
+    # a, b, dup (once, id 7), one null representative (min id 3)
+    assert list(out["doc_id"]) == [1, 2, 3, 7]

@@ -142,33 +142,61 @@ def test_rule_validation_errors():
         Rule("not_null", "c", severity="mild")
 
 
-def test_dtype_rule_enforced():
+def test_dtype_rule_enforced_per_schema():
     import pyarrow as pa
 
     import fdpg_query_data_validation_ray as qdv
-    from fdpg_query_data_validation_ray.stages.row_checks import check_batch
+    from fdpg_query_data_validation_ray.stages.row_checks import schema_violations
 
     suite = qdv.Suite(
         "s",
         [qdv.dtype("content", "large_string"), qdv.dtype("repo", "string")],
         key_columns=["repo"],
     )
-    ok = pa.table(
-        {"repo": pa.array(["r"], pa.string()),
-         "content": pa.array(["x"], pa.large_string())}
-    )
-    assert check_batch(ok, suite).num_rows == 0
-    bad = pa.table(
-        {"repo": pa.array(["r"], pa.string()),
-         "content": pa.array(["x"], pa.string())}  # string, not large_string
-    )
-    v = check_batch(bad, suite).to_pandas()
+    ok = pa.schema([("repo", pa.string()), ("content", pa.large_string())])
+    assert schema_violations(ok, suite, "f.parquet").num_rows == 0
+    bad = pa.schema([("repo", pa.string()), ("content", pa.string())])
+    v = schema_violations(bad, suite, "f.parquet").to_pandas()
     assert list(v["rule_id"]) == ["dtype(content)"]
     assert v.iloc[0]["actual"] == "string"
+    assert v.iloc[0]["row_key"] == "f.parquet"
 
-    missing = pa.table({"repo": pa.array(["r"], pa.string())})
-    v2 = check_batch(missing, suite).to_pandas()
+    missing = pa.schema([("repo", pa.string())])
+    v2 = schema_violations(missing, suite, "g.parquet").to_pandas()
     assert v2.iloc[0]["actual"] == "<missing>"
+
+
+def test_dtype_violations_deterministic_in_pipeline(ray_session, tmp_path):
+    """dtype issue counts depend only on the input FILES, not batch size."""
+    import pyarrow as pa
+
+    import fdpg_query_data_validation_ray as qdv
+    from fdpg_query_data_validation_ray.pipelines.validate import (
+        ValidationPlan,
+        run_validation,
+    )
+    from fdpg_query_data_validation_ray.sources.corpus import (
+        generate_corpus,
+        write_corpus_partitioned,
+    )
+
+    t = generate_corpus(1200, seed=2)
+    # content is large_string; declare it as string so every file violates
+    files = write_corpus_partitioned(t, str(tmp_path / "in"), 3)
+    suite = qdv.Suite(
+        "s",
+        [qdv.not_null("content"), qdv.dtype("content", "string")],
+        key_columns=["repo", "path", "commit"],
+    )
+    counts = []
+    for i, bs in enumerate((128, 999)):
+        plan = ValidationPlan(suite=suite, stats_columns=["lang"])
+        rep = run_validation(
+            files, str(tmp_path / f"out{i}"), plan, num_partitions=3, batch_size=bs
+        )
+        g = [x for x in rep["validation"] if x["rule_id"] == "dtype(content)"]
+        counts.append(g[0]["count"] if g else 0)
+    assert counts[0] == counts[1] == 3  # one per input file, any batch size
 
 
 def test_json_extract_int_field_with_fallback():
