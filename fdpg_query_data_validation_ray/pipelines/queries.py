@@ -731,6 +731,7 @@ def q_corpus_validate(sf_dir: str):
     """Flagship: derive the (repo,path,commit,lang,content) corpus from the
     documents table, run the checkpointed validation pipeline, return the
     dedup-counted issue table."""
+    import glob
     import tempfile
 
     from fdpg_query_data_validation_ray.pipelines.validate import (
@@ -738,13 +739,16 @@ def q_corpus_validate(sf_dir: str):
         run_validation,
     )
     from fdpg_query_data_validation_ray.sources.corpus import (
-        corpus_from_documents,
-        write_corpus_partitioned,
+        corpus_dataset_from_documents,
     )
 
-    corpus = corpus_from_documents(sf_dir)
+    # STREAMED derivation: documents → corpus shape → partitioned parquet,
+    # never materialized at the driver
     work = tempfile.mkdtemp(prefix="qdv_corpus_")
-    files = write_corpus_partitioned(corpus, f"{work}/input", 4)
+    corpus_dataset_from_documents(sf_dir).repartition(4).write_parquet(
+        f"{work}/input"
+    )
+    files = sorted(glob.glob(f"{work}/input/*.parquet"))
     suite = qdv.Suite(
         "code",
         [

@@ -177,14 +177,11 @@ def write_corpus_partitioned(
     return paths
 
 
-def corpus_from_documents(sf_dir: str) -> pa.Table:
-    """Deterministically map the driver's documents table into the corpus shape."""
-    import pyarrow.parquet as pq
+def _documents_to_corpus_batch(docs: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
     from fdpg_query_data_validation_ray.functions.hashing import md5_column
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet")
     doc_id = pc.cast(docs.column("doc_id"), pa.string())
     # binary_join_element_wise: last arg is the separator; scalars broadcast
     return pa.table(
@@ -197,3 +194,22 @@ def corpus_from_documents(sf_dir: str) -> pa.Table:
         },
         schema=CORPUS_SCHEMA,
     )
+
+
+def corpus_from_documents(sf_dir: str) -> pa.Table:
+    """Deterministically map the driver's documents table into the corpus
+    shape (driver-side table — small inputs / tests)."""
+    import pyarrow.parquet as pq
+
+    return _documents_to_corpus_batch(pq.read_table(f"{sf_dir}/documents.parquet"))
+
+
+def corpus_dataset_from_documents(sf_dir: str):
+    """Streaming variant: documents.parquet → corpus-shaped `ray.data.Dataset`
+    (per-batch derivation, nothing materialized at the driver)."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "lang", "text"],
+    ).map_batches(_documents_to_corpus_batch, batch_format="pyarrow")
