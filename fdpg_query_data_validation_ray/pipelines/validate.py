@@ -672,22 +672,16 @@ def _merge_all_partials(manifest: RunManifest) -> dict[str, ColumnPartial]:
 
 def read_violations(out_dir: str) -> pa.Table:
     """All per-row violations of a run (partition artifacts, pruned scan)."""
-    tables = []
-    manifest = RunManifest(out_dir)
-    for pid in manifest.completed_partitions():
-        d = os.path.join(manifest.partition_dir(pid), "combined")
-        if os.path.isdir(d):
-            tables.append(_scan_union(d, "violation", list(VIOLATION_SCHEMA.names)))
+    tables = scan_partition_artifacts(
+        RunManifest(out_dir), "violation", list(VIOLATION_SCHEMA.names)
+    )
     if not tables:
         return VIOLATION_SCHEMA.empty_table()
     return pa.concat_tables(tables)
 
 
 def read_digests(out_dir: str) -> pa.Table:
-    tables = []
-    manifest = RunManifest(out_dir)
-    for pid in manifest.completed_partitions():
-        d = os.path.join(manifest.partition_dir(pid), "combined")
-        if os.path.isdir(d):
-            tables.append(_scan_union(d, "digest", ["row_key", "content_sha256"]))
+    tables = scan_partition_artifacts(
+        RunManifest(out_dir), "digest", ["row_key", "content_sha256"]
+    )
     return pa.concat_tables(tables) if tables else pa.table({"row_key": [], "content_sha256": []})
