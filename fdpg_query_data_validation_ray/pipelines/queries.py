@@ -128,19 +128,40 @@ def q_col_stats_lineitem(sf_dir: str):
 
 
 def q_distinct_exact(sf_dir: str):
+    """Exact distinct counts for several columns in ONE read pass: per batch,
+    each column's local distinct values become (col_name, value) rows; a
+    single groupby over the pair dedups globally; a tiny count per col_name
+    finishes. Data rows never reach the driver."""
     from ray.data.aggregate import Count
 
     cols = ["lang", "source"]
-    out = []
-    for c in cols:
-        ds = _read(sf_dir, "documents", [c])
-        # per-batch distinct partial → global groupby (shuffle on the tiny
-        # distinct set) → row count = exact distinct, data rows never collected
-        distinct = ds.map_batches(
-            lambda t, c=c: t.group_by([c]).aggregate([]), batch_format="pyarrow"
-        ).groupby(c).aggregate(Count(alias_name="_n"))
-        out.append(distinct.count())
-    return pa.table({"col_name": cols, "n_distinct": pa.array(out, pa.int64())})
+    ds = _read(sf_dir, "documents", cols)
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            vals = pc.unique(pc.cast(t.column(c), pa.string()))
+            parts.append(
+                pa.table(
+                    {
+                        "col_name": pa.array([c] * len(vals)),
+                        "value": vals,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    pairs = ds.map_batches(local_distinct, batch_format="pyarrow").groupby(
+        ["col_name", "value"]
+    ).aggregate(Count(alias_name="_n"))
+    counts = pairs.groupby("col_name").aggregate(Count(alias_name="n_distinct"))
+    out = counts.to_pandas().sort_values("col_name").reset_index(drop=True)
+    return pa.table(
+        {
+            "col_name": out["col_name"].tolist(),
+            "n_distinct": pa.array(out["n_distinct"].tolist(), pa.int64()),
+        }
+    )
 
 
 def q_lang_distribution(sf_dir: str):
@@ -289,40 +310,56 @@ def q_pricing_summary(sf_dir: str):
 
 
 def q_top_building_orders(sf_dir: str):
-    """Join pipeline: small dims broadcast, fact streamed (TPC-H Q3 shape).
-    customer(BUILDING) → orderkeys (collected small) → broadcast is_in filter
-    on lineitem → revenue groupby → deterministic top-10."""
-    import pyarrow.parquet as pq
+    """Join pipeline (TPC-H Q3 shape), fully distributed: orders ⋈
+    customer(BUILDING) native hash join → lineitem revenue partial-aggregated
+    per batch BEFORE its join (shrinks the probe side to one row per orderkey
+    per batch) → semi-join via native join → final groupby → pruned top-10.
+    No driver-side key collection at any step."""
     from ray.data.aggregate import Sum
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    building = pc.filter(
-        cust["c_custkey"], pc.equal(cust["c_mktsegment"], "BUILDING")
-    )
-    cust_set = set(building.to_pylist())
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    okeys = orders.map_batches(
-        lambda t: t.filter(
-            pc.is_in(t["o_custkey"], value_set=pa.array(sorted(cust_set), pa.int64()))
-        ).select(["o_orderkey"]),
+    from fdpg_query_data_validation_ray.stages.topk import top_k
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
         batch_format="pyarrow",
     )
-    okey_arr = pa.array(sorted(x["o_orderkey"] for x in okeys.take_all()), pa.int64())
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    building_orders = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    ).select_columns(["o_orderkey"])
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def revenue(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t["l_orderkey"], value_set=okey_arr))
+    def revenue_partial(t: pa.Table) -> pa.Table:
         rev = pc.multiply(
             _cents(t["l_extendedprice"]),
             pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
         )
-        return pa.table({"o_orderkey": t["l_orderkey"].combine_chunks(), "revenue_e4": rev})
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"].combine_chunks(), "rev": rev}
+        ).group_by(["l_orderkey"]).aggregate([("rev", "sum")])
 
-    agg = li.map_batches(revenue, batch_format="pyarrow").groupby(
-        "o_orderkey"
-    ).aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
-    return agg.sort(["revenue_e4", "o_orderkey"], descending=[True, False]).limit(10)
+    li_partial = li.map_batches(revenue_partial, batch_format="pyarrow")
+    joined = li_partial.join(
+        building_orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = joined.map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["l_orderkey"].combine_chunks(), "revenue_e4": t["rev_sum"]}
+        ),
+        batch_format="pyarrow",
+    ).groupby("o_orderkey").aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    return top_k(agg, 10, ["revenue_e4", "o_orderkey"], descending=[True, False])
 
 
 def q_top_users_by_events(sf_dir: str):

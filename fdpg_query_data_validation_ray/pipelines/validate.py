@@ -245,6 +245,13 @@ def _scan_union(dir_path: str, record_type: str, columns: list[str]) -> pa.Table
     import pyarrow.dataset as pads
 
     dset = pads.dataset(dir_path, format="parquet")
+    if "record_type" not in dset.schema.names:
+        # an EMPTY partition (zero input rows) writes no union rows — its
+        # artifact dir has no files or a schemaless placeholder; every record
+        # type is trivially absent
+        return pa.table(
+            {c: pa.array([], UNION_SCHEMA.field(c).type) for c in columns}
+        )
     return dset.to_table(
         columns=columns, filter=pads.field("record_type") == record_type
     )

@@ -109,3 +109,28 @@ def test_snapshot_then_drift_round_trip(ray_session, tmp_path):
         if g["rule_id"].startswith("drift")
     ]
     assert len(drifted) == 1 and drifted[0]["location"] == "lang"
+
+
+def test_empty_input_partition(ray_session, tmp_path):
+    """A zero-row input file produces a passing verdict with 0 rows, no crash."""
+    import pyarrow.parquet as pq
+
+    t = generate_corpus(400, seed=9)
+    files = write_corpus_partitioned(t, str(tmp_path / "in"), 2)
+    empty = t.slice(0, 0)
+    extra = str(tmp_path / "in" / "part-00002.parquet")
+    pq.write_table(empty, extra)
+    plan = ValidationPlan(
+        suite=_suite(),
+        unique_keys=["repo", "path", "commit"],
+        stats_columns=["lang"],
+        content_column="content",
+    )
+    report = run_validation(
+        files + [extra], str(tmp_path / "out"), plan, num_partitions=3
+    )
+    assert report["passed"]
+    assert report["total_rows_checked"] == 400
+    assert len(report["verdicts"]) == 3
+    zero = [v for v in report["verdicts"].values() if v["rows_checked"] == 0]
+    assert len(zero) == 1 and zero[0]["passed"]
