@@ -140,7 +140,9 @@ def q_distinct_exact(sf_dir: str):
     def local_distinct(t: pa.Table) -> pa.Table:
         parts = []
         for c in cols:
-            vals = pc.unique(pc.cast(t.column(c), pa.string()))
+            # drop_null: COUNT(DISTINCT) excludes NULLs, and a null groupby
+            # key would crash the sort-based shuffle anyway
+            vals = pc.drop_null(pc.unique(pc.cast(t.column(c), pa.string())))
             parts.append(
                 pa.table(
                     {
@@ -155,11 +157,18 @@ def q_distinct_exact(sf_dir: str):
         ["col_name", "value"]
     ).aggregate(Count(alias_name="_n"))
     counts = pairs.groupby("col_name").aggregate(Count(alias_name="n_distinct"))
-    out = counts.to_pandas().sort_values("col_name").reset_index(drop=True)
+    # build from the declared column list: an empty/partial aggregate result
+    # (zero-row input loses its schema through to_pandas) still yields one
+    # n_distinct=0 row per column, matching COUNT(DISTINCT) on empty input
+    found: dict = {}
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if "col_name" in t.column_names:
+            found.update(zip(t["col_name"].to_pylist(), t["n_distinct"].to_pylist()))
     return pa.table(
         {
-            "col_name": out["col_name"].tolist(),
-            "n_distinct": pa.array(out["n_distinct"].tolist(), pa.int64()),
+            "col_name": cols,
+            "n_distinct": pa.array([int(found.get(c, 0)) for c in cols], pa.int64()),
         }
     )
 
@@ -806,16 +815,21 @@ def q_corpus_validate(sf_dir: str):
         categorical=["lang"],
         content_column="content",
     )
-    report = run_validation(files, f"{work}/out", plan, num_partitions=4)
-    rows = report["validation"] + report["general"] + report["error"]
-    return pa.table(
-        {
-            "rule_id": [r["rule_id"] for r in rows],
-            "severity": [r["severity"] for r in rows],
-            "location": [r["location"] for r in rows],
-            "n_issues": pa.array([r["count"] for r in rows], pa.int64()),
-        }
-    )
+    try:
+        report = run_validation(files, f"{work}/out", plan, num_partitions=4)
+        rows = report["validation"] + report["general"] + report["error"]
+        return pa.table(
+            {
+                "rule_id": [r["rule_id"] for r in rows],
+                "severity": [r["severity"] for r in rows],
+                "location": [r["location"] for r in rows],
+                "n_issues": pa.array([r["count"] for r in rows], pa.int64()),
+            }
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
 
 
 QUERIES = {

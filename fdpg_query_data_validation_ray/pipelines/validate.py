@@ -242,16 +242,28 @@ def _plan_partitions(files: list[str], num_partitions: int) -> dict[str, list[st
 
 
 def _scan_union(dir_path: str, record_type: str, columns: list[str]) -> pa.Table:
-    import pyarrow.dataset as pads
+    import glob
 
-    dset = pads.dataset(dir_path, format="parquet")
-    if "record_type" not in dset.schema.names:
-        # an EMPTY partition (zero input rows) writes no union rows — its
-        # artifact dir has no files or a schemaless placeholder; every record
-        # type is trivially absent
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    # select only files that actually carry union records: an EMPTY partition
+    # (zero input rows) may leave no files or a schemaless placeholder, and a
+    # placeholder must not mask sibling files (e.g. schema_violations.parquet)
+    # by polluting the dataset-level inferred schema
+    files = sorted(glob.glob(os.path.join(dir_path, "*.parquet")))
+    good = []
+    for f in files:
+        try:
+            if "record_type" in pq.read_schema(f).names:
+                good.append(f)
+        except Exception:
+            continue
+    if not good:
         return pa.table(
             {c: pa.array([], UNION_SCHEMA.field(c).type) for c in columns}
         )
+    dset = pads.dataset(good, format="parquet")
     return dset.to_table(
         columns=columns, filter=pads.field("record_type") == record_type
     )
