@@ -146,8 +146,11 @@ def q_distinct_exact(sf_dir: str):
             parts.append(
                 pa.table(
                     {
-                        "col_name": pa.array([c] * len(vals)),
-                        "value": vals,
+                        # explicit type: an all-null batch leaves vals empty
+                        # and an untyped empty array would infer type null,
+                        # breaking concat_tables schema unification
+                        "col_name": pa.array([c] * len(vals), pa.string()),
+                        "value": pc.cast(vals, pa.string()),
                     }
                 )
             )
@@ -791,31 +794,31 @@ def q_corpus_validate(sf_dir: str):
     # STREAMED derivation: documents → corpus shape → partitioned parquet,
     # never materialized at the driver
     work = tempfile.mkdtemp(prefix="qdv_corpus_")
-    corpus_dataset_from_documents(sf_dir).repartition(4).write_parquet(
-        f"{work}/input"
-    )
-    files = sorted(glob.glob(f"{work}/input/*.parquet"))
-    suite = qdv.Suite(
-        "code",
-        [
-            qdv.not_null("content"),
-            qdv.regex("commit", "[0-9a-f]{32}"),
-            qdv.length_range("content", 40, None),
-        ],
-        key_columns=["repo", "path", "commit"],
-    )
-    registry = qdv.SuiteRegistry(
-        routing_column="lang",
-        routes={l: suite for l in ("en", "de", "fr", "es")},  # zh unrouted → warnings
-    )
-    plan = ValidationPlan(
-        registry=registry,
-        unique_keys=["repo", "path", "commit"],
-        stats_columns=["repo", "lang", "content"],
-        categorical=["lang"],
-        content_column="content",
-    )
     try:
+        corpus_dataset_from_documents(sf_dir).repartition(4).write_parquet(
+            f"{work}/input"
+        )
+        files = sorted(glob.glob(f"{work}/input/*.parquet"))
+        suite = qdv.Suite(
+            "code",
+            [
+                qdv.not_null("content"),
+                qdv.regex("commit", "[0-9a-f]{32}"),
+                qdv.length_range("content", 40, None),
+            ],
+            key_columns=["repo", "path", "commit"],
+        )
+        registry = qdv.SuiteRegistry(
+            routing_column="lang",
+            routes={l: suite for l in ("en", "de", "fr", "es")},  # zh unrouted → warnings
+        )
+        plan = ValidationPlan(
+            registry=registry,
+            unique_keys=["repo", "path", "commit"],
+            stats_columns=["repo", "lang", "content"],
+            categorical=["lang"],
+            content_column="content",
+        )
         report = run_validation(files, f"{work}/out", plan, num_partitions=4)
         rows = report["validation"] + report["general"] + report["error"]
         return pa.table(

@@ -251,14 +251,15 @@ def _scan_union(dir_path: str, record_type: str, columns: list[str]) -> pa.Table
     # (zero input rows) may leave no files or a schemaless placeholder, and a
     # placeholder must not mask sibling files (e.g. schema_violations.parquet)
     # by polluting the dataset-level inferred schema
-    files = sorted(glob.glob(os.path.join(dir_path, "*.parquet")))
+    files = sorted(glob.glob(os.path.join(glob.escape(dir_path), "*.parquet")))
     good = []
     for f in files:
-        try:
-            if "record_type" in pq.read_schema(f).names:
-                good.append(f)
-        except Exception:
-            continue
+        # a footer READ failure raises: a corrupt artifact must fail loudly
+        # (error channel / failed run), never silently shrink the violation
+        # set; only genuinely record_type-less files (empty-write
+        # placeholders) are skipped
+        if "record_type" in pq.read_schema(f).names:
+            good.append(f)
     if not good:
         return pa.table(
             {c: pa.array([], UNION_SCHEMA.field(c).type) for c in columns}
