@@ -35,8 +35,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered per table name). Keys missing
     here (dedup_minhash/simhash/ngram, cosine_near_dup, knn_cosine_ivf,
     drift_docs, lang_id, quality, fingerprint, stats_sketches,
-    corpus_validate) are non-SQL-expressible (sketch/LSH/IVF/heuristic/
-    stateful pipelines) → rows-only check."""
+    multimodal_decode, corpus_validate) are non-SQL-expressible
+    (sketch/LSH/IVF/heuristic/stateful pipelines) → rows-only check."""
     row_checks_union = """
         SELECT 'not_null(text)' AS rule_id, 'error' AS severity, 'text' AS location,
                'minimum required = 1, but only found 0' AS diagnostics,
