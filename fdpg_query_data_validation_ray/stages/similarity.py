@@ -165,6 +165,43 @@ class IVFTopK:
         return pa.table(out)
 
 
+def train_centroids(
+    ds,
+    n_centroids: int,
+    dim: int,
+    vec_column: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 11,
+) -> np.ndarray:
+    """Spherical k-means centroids from a deterministic sample (`ds.limit`,
+    one small pass): Lloyd iterations at the driver over ≤ sample_size
+    vectors. Data-adapted centroids concentrate probes where vectors actually
+    live — higher recall per probe than data-independent random directions."""
+    sample = ds.limit(sample_size).take_all()
+    m = _normalize(
+        np.array([r[vec_column] for r in sample], dtype=np.float32).reshape(-1, dim)
+    )
+    rng = np.random.default_rng(seed)
+    if len(m) == 0:
+        return _normalize(rng.standard_normal((n_centroids, dim)).astype(np.float32))
+    init_ix = rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)
+    cents = m[init_ix].copy()
+    if len(cents) < n_centroids:
+        extra = _normalize(
+            rng.standard_normal((n_centroids - len(cents), dim)).astype(np.float32)
+        )
+        cents = np.vstack([cents, extra])
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.sum(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
 def knn_cosine_ivf(
     ds,
     queries: tuple[list, np.ndarray],
@@ -177,13 +214,23 @@ def knn_cosine_ivf(
     exclude_self: bool = True,
     seed: int = 11,
     concurrency=(1, 4),
+    train: bool = True,
 ):
     """Approximate top-k cosine neighbors via IVF bucketing (the scale path
-    next to the brute-force baseline `knn_cosine`). Same output shape."""
+    next to the brute-force baseline `knn_cosine`). Same output shape.
+    train=True fits spherical-k-means centroids on a sample (better recall
+    per probe); train=False uses seeded data-independent directions."""
     import ray
 
-    rng = np.random.default_rng(seed)
-    centroids = _normalize(rng.standard_normal((n_centroids, dim)).astype(np.float32))
+    if train:
+        centroids = train_centroids(
+            ds, n_centroids, dim, vec_column=vec_column, seed=seed
+        )
+    else:
+        rng = np.random.default_rng(seed)
+        centroids = _normalize(
+            rng.standard_normal((n_centroids, dim)).astype(np.float32)
+        )
     qids, qm = queries
     qmn = _normalize(np.asarray(qm, dtype=np.float32))
     probe = np.argsort(-(qmn @ centroids.T), axis=1)[:, :n_probes]

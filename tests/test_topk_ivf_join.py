@@ -126,3 +126,39 @@ def test_drift_docs_query_runs(ray_session):
     assert list(out["col_name"]) == ["lang", "n_chars"]
     # odd/even doc halves come from the same distribution → no drift
     assert not out["drifted"].any()
+
+
+def test_knn_ivf_trained_centroids_recall(ray_session):
+    """Trained (spherical k-means) centroids recover most brute-force
+    neighbors at a small probe count on clustered data."""
+    from fdpg_query_data_validation_ray.stages.similarity import (
+        knn_cosine,
+        knn_cosine_ivf,
+    )
+
+    rng = np.random.default_rng(21)
+    d, per = 16, 80
+    centers = rng.standard_normal((6, d)).astype(np.float32) * 3
+    m = np.vstack(
+        [c + rng.standard_normal((per, d)).astype(np.float32) for c in centers]
+    )
+    t = pa.table({"vec_id": list(range(len(m))), "embedding": [r.tolist() for r in m]})
+    qids = [0, 100, 250]
+    qm = m[qids]
+    bf = knn_cosine(_rd().from_arrow(t).repartition(4), (qids, qm), k=5).to_pandas()
+    ivf = knn_cosine_ivf(
+        _rd().from_arrow(t).repartition(4),
+        (qids, qm),
+        k=5,
+        dim=d,
+        n_centroids=12,
+        n_probes=3,
+        train=True,
+    ).to_pandas()
+    hits = total = 0
+    for q in qids:
+        exp = set(bf[bf.query_id == q]["vec_id"])
+        got = set(ivf[ivf.query_id == q]["vec_id"])
+        hits += len(exp & got)
+        total += len(exp)
+    assert hits / total >= 0.6  # clustered data, trained buckets: high recall
