@@ -35,12 +35,21 @@ def extract_int_field(col: pa.ChunkedArray | pa.Array, field: str) -> pa.Array:
     extracted = pc.extract_regex(col, pattern)  # struct<v: string> or null
     vals = pc.struct_field(extracted, "v")
     out = pc.cast(vals, pa.int64())
-    # the regex is only trusted on FLAT objects (exactly one '{', no '[') —
-    # with nesting, a nested occurrence of the field could shadow the
-    # top-level one; such rows go to the real parser
+    # the regex is only trusted on FLAT objects (exactly one '{', no '[')
+    # whose field token appears at most once — with nesting, a nested
+    # occurrence of the field could shadow the top-level one, and with a
+    # repeated key ({"k":1,"k":2}) the regex would return the FIRST
+    # occurrence while the json.loads fallback keeps the LAST; such rows go
+    # to the real parser so the operator is internally consistent
+    # (last-wins, json.loads semantics) regardless of which path a row takes.
+    # Duplicate keys are undefined JSON; DuckDB's json_extract happens to
+    # keep the FIRST — divergence exists only on that undefined case.
     flat = pc.and_(
-        pc.equal(pc.count_substring(col, "{"), 1),
-        pc.equal(pc.count_substring(col, "["), 0),
+        pc.and_(
+            pc.equal(pc.count_substring(col, "{"), 1),
+            pc.equal(pc.count_substring(col, "["), 0),
+        ),
+        pc.less_equal(pc.count_substring(col, f'"{field}"'), 1),
     )
     out = pc.if_else(pc.fill_null(flat, False), out, pa.nulls(len(col), pa.int64()))
     # fallback: ONLY the rows without a trusted fast-path value get a parse —

@@ -105,6 +105,10 @@ UNION_SCHEMA = pa.schema(
         ("cat_counts", pa.binary()),
         ("content_sha256", pa.string()),
         ("khash", pa.int64()),
+        # unambiguous composite-key encoding (length-prefixed; see
+        # row_checks.key_encode_array) — the exact uniqueness-verify grouping
+        # key; row_key stays the human-readable display form
+        ("key_enc", pa.string()),
     ]
 )
 
@@ -219,11 +223,19 @@ class CheckAndProfile:
 
             import numpy as np
 
+            from fdpg_query_data_validation_ray.stages.row_checks import (
+                key_encode_array,
+            )
+
             kh = key_hash(batch, list(self.plan.unique_keys))
             keyrec = pa.table(
                 {
                     "row_key": pc.cast(
                         row_key_array(batch, tuple(self.plan.unique_keys)), pa.string()
+                    ),
+                    "key_enc": pc.cast(
+                        key_encode_array(batch, tuple(self.plan.unique_keys)),
+                        pa.string(),
                     ),
                     "khash": pa.array(kh.view(np.int64)),
                 }
@@ -436,10 +448,17 @@ def run_validation(
     # cache: the global phase is a pure function of (config, completed
     # partition verdict set); if the existing report was built from exactly
     # this state, re-running uniqueness/drift/report is a no-op — return it
-    # (repeat resumes become metadata-only)
+    # (repeat resumes become metadata-only). The key hashes each verdict
+    # FILE's bytes (a content guarantee), not a timing proxy like wall_s —
+    # a retried-and-failed-differently partition changes the key.
+    def _verdict_bytes_sha(pid: str) -> str:
+        p = os.path.join(manifest.partition_dir(pid), "verdict.json")
+        with open(p, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+
     partitions_hash = hashlib.sha256(
         json.dumps(
-            [(pid, manifest.load_verdict(pid).get("metrics", {}).get("wall_s"))
+            [(pid, _verdict_bytes_sha(pid))
              for pid in manifest.completed_partitions()],
             sort_keys=True,
         ).encode()
@@ -614,18 +633,73 @@ def scan_partition_artifacts(
         return list(pool.map(one, dirs))
 
 
+def _grouping_key(t: pa.Table) -> pa.Table:
+    """Exact verify grouping key: the unambiguous length-prefixed key_enc
+    (distinct composite keys can never collide, unlike the '|'-joined
+    row_key); artifacts from older runs without key_enc fall back to
+    row_key."""
+    if "key_enc" in t.column_names:
+        gkey = pc.coalesce(t["key_enc"], t["row_key"])
+    else:
+        gkey = t["row_key"]
+    return pa.table({"gkey": pc.cast(gkey, pa.string()), "row_key": t["row_key"]})
+
+
+def _uniqueness_violation_rows(g: pa.Table, unique_keys: list[str]) -> list[dict]:
+    """(gkey, row_key, count_all) dup groups → violation dicts, sorted
+    deterministically by (row_key, gkey)."""
+    from fdpg_query_data_validation_ray.rules import DIAGNOSTICS
+
+    g = g.sort_by([("row_key", "ascending"), ("gkey", "ascending")])
+    rule_id = f"unique({','.join(unique_keys)})"
+    location = ",".join(unique_keys)
+    return [
+        {
+            "rule_id": rule_id,
+            "severity": "error",
+            "location": location,
+            "diagnostics": DIAGNOSTICS["unique"],
+            "row_key": rk,
+            "actual": str(c),
+        }
+        for rk, c in zip(g["row_key"].to_pylist(), g["count_all"].to_pylist())
+    ]
+
+
 def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) -> list[dict]:
-    """Cross-partition uniqueness from the persisted per-row (row_key, khash)
-    records — the input is never re-scanned (the check pass already hashed
-    every row while it was hot). Sieve: np.unique over the int64 hashes finds
-    candidate duplicates; the exact verify groups the candidates' row_key
-    strings, so 64-bit collisions between distinct keys drop out at the final
-    count. Driver-side cost is one pruned artifact scan (8B hash + key string
-    per row); at extreme scale the same sieve runs per hash-range over the
-    partition artifacts (they are already partition-split)."""
+    """Cross-partition uniqueness from the persisted per-row
+    (row_key, key_enc, khash) records — the input is never re-scanned (the
+    check pass already hashed every row while it was hot). Candidate sieve +
+    exact verify on the unambiguous key_enc encoding; strategy auto-selects
+    (stages/unique.py split) on the total artifact row count:
+
+    - driver sieve (within QDV_SIEVE_MAX_DRIVER_ROWS): np.unique over the
+      int64 hashes (8 B/row at the driver), then a pruned candidate re-scan;
+    - distributed (beyond the driver budget, or QDV_SIEVE_MODE=shuffle): the
+      partition artifacts are read as a Ray Dataset (they are already
+      partition-split parquet) and both the candidate sieve and the exact
+      verify run as salted partial-aggregate + groupby shuffles — nothing
+      O(rows) reaches the driver.
+
+    64-bit collisions between distinct keys drop out at the exact verify in
+    both strategies."""
     import numpy as np
 
-    from fdpg_query_data_validation_ray.rules import DIAGNOSTICS
+    total_rows = 0
+    for pid in manifest.completed_partitions():
+        try:
+            total_rows += int(manifest.load_verdict(pid).get("rows_checked", 0))
+        except (OSError, json.JSONDecodeError, ValueError, TypeError):
+            pass
+    env_mode = os.environ.get("QDV_SIEVE_MODE")
+    from fdpg_query_data_validation_ray.stages.unique import SIEVE_MAX_DRIVER_ROWS
+
+    if env_mode in ("sieve", "shuffle"):
+        mode = env_mode
+    else:
+        mode = "sieve" if total_rows <= SIEVE_MAX_DRIVER_ROWS else "shuffle"
+    if mode == "shuffle":
+        return _uniqueness_from_artifacts_distributed(manifest, unique_keys)
 
     # pass A: hashes only (8 B/row at the driver — the documented envelope)
     hash_chunks = scan_partition_artifacts(
@@ -647,33 +721,129 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
         ix = np.searchsorted(cand, kh)
         ix[ix == len(cand)] = 0
         part = t.filter(pa.array(cand[ix] == kh))
-        return part if part.num_rows else None
+        return _grouping_key(part) if part.num_rows else None
 
     picked_parts = [
         p
         for p in scan_partition_artifacts(
-            manifest, "keyhash", ["row_key", "khash"], transform=pick
+            manifest, "keyhash", ["row_key", "key_enc", "khash"], transform=pick
         )
         if p is not None
     ]
     if not picked_parts:
         return []
     picked = pa.concat_tables(picked_parts).combine_chunks()
-    g = picked.group_by(["row_key"]).aggregate([([], "count_all")])
-    g = g.filter(pc.greater(g["count_all"], 1)).sort_by("row_key")
-    rule_id = f"unique({','.join(unique_keys)})"
-    location = ",".join(unique_keys)
-    return [
-        {
-            "rule_id": rule_id,
-            "severity": "error",
-            "location": location,
-            "diagnostics": DIAGNOSTICS["unique"],
-            "row_key": rk,
-            "actual": str(c),
-        }
-        for rk, c in zip(g["row_key"].to_pylist(), g["count_all"].to_pylist())
+    g = picked.group_by(["gkey"]).aggregate([("row_key", "min"), ([], "count_all")])
+    g = g.filter(pc.greater(g["count_all"], 1)).rename_columns(
+        ["gkey", "row_key", "count_all"]
+    )
+    return _uniqueness_violation_rows(g, unique_keys)
+
+
+def _keyhash_artifact_files(manifest: RunManifest) -> list[str]:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = []
+    for pid in manifest.completed_partitions():
+        d = os.path.join(manifest.partition_dir(pid), "combined")
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(glob.glob(os.path.join(glob.escape(d), "*.parquet"))):
+            if "record_type" in pq.read_schema(f).names:
+                files.append(f)
+    return files
+
+
+def _uniqueness_from_artifacts_distributed(
+    manifest: RunManifest, unique_keys: list[str]
+) -> list[dict]:
+    """Beyond-driver uniqueness: the per-partition keyhash artifacts become a
+    Ray Dataset; candidate sieve and exact verify are both salted
+    partial-aggregate + groupby shuffles. Only the (rare) duplicate groups
+    materialize at the driver."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    files = _keyhash_artifact_files(manifest)
+    if not files:
+        return []
+    ds = rd.read_parquet(
+        files,
+        columns=["record_type", "row_key", "key_enc", "khash"],
+        filter=pads.field("record_type") == "keyhash",
+    )
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        return t.select(["khash"]).group_by(["khash"]).aggregate([([], "count_all")])
+
+    totals = (
+        ds.map_batches(hash_partial, batch_format="pyarrow")
+        .groupby("khash")
+        .aggregate(Sum("count_all", alias_name="n"))
+    )
+    cand_chunks = [
+        b["khash"].to_numpy()
+        for b in totals.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], 1)).select(["khash"]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
     ]
+    cand_chunks = [c for c in cand_chunks if len(c)]
+    if not cand_chunks:
+        return []
+    cand = np.sort(np.concatenate(cand_chunks))
+    cand_ref = ray.put(cand)
+
+    class PickKeyhash:
+        def __init__(self, ref):
+            self.cand = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            kh = t["khash"].to_numpy()
+            ix = np.searchsorted(self.cand, kh)
+            ix[ix == len(self.cand)] = 0
+            part = t.filter(pa.array(self.cand[ix] == kh))
+            if not part.num_rows:
+                return pa.table(
+                    {"gkey": pa.array([], pa.string()),
+                     "row_key": pa.array([], pa.string()),
+                     "count_all": pa.array([], pa.int64())}
+                )
+            gk = _grouping_key(part)
+            return gk.group_by(["gkey"]).aggregate(
+                [("row_key", "min"), ([], "count_all")]
+            ).rename_columns(["gkey", "row_key", "count_all"])
+
+    g_ds = (
+        ds.map_batches(
+            PickKeyhash,
+            fn_constructor_kwargs=dict(ref=cand_ref),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .groupby("gkey")
+        .aggregate(
+            Min("row_key", alias_name="row_key"),
+            Sum("count_all", alias_name="count_all"),
+        )
+    )
+    parts = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in g_ds.iter_batches(batch_format="pyarrow")
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return []
+    g = pa.concat_tables(parts).combine_chunks()
+    g = g.filter(pc.greater(g["count_all"], 1))
+    if not g.num_rows:
+        return []
+    return _uniqueness_violation_rows(g, unique_keys)
 
 
 def finalize_partials(partials: list[ColumnPartial]) -> dict[str, ColumnPartial]:

@@ -22,6 +22,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -34,32 +35,84 @@ from fdpg_query_data_validation_ray.functions.hashing import hash64, md5_column,
 _TOKEN_RE = re.compile(r"\S+")
 
 
-def _sieve_multi_buckets(exploded, bucket_column: str):
-    """Drop rows whose bucket has only one member. LSH explosions are
-    overwhelmingly singleton buckets; grouping them costs per-group Python
-    overhead for nothing (measured: 252s CPU over 1.6M groups at sf0.1 vs
-    ~0 after the sieve). Bucket ids (int64) stream to the driver for one
-    np.unique — 8 bytes/row, the same partial→merge shape as the uniqueness
-    sieve — and the multi-member set is broadcast back as a sorted array for
-    a binary-search membership filter.
-
-    The explosion is materialized first: the sieve consumes the dataset once
-    for bucket ids and the filtered groupby consumes it again — without
-    materialization Ray would re-run the signature computation (the dominant
-    cost) from scratch on the second pass. Blocks live in the object store
-    and spill if needed."""
-    import ray
-
-    exploded = exploded.materialize()
+def _multi_bucket_ids_driver(exploded, bucket_column: str) -> np.ndarray:
+    """Bucket ids seen >1 times, via driver np.unique over 8 B/row. NOTE the
+    driver envelope here is 8 B × bands × rows (the EXPLODED row count — 32×
+    the doc count for MinHash, ~770 MB at 3M docs); auto mode switches to the
+    shuffle strategy beyond QDV_SIEVE_MAX_DRIVER_ROWS exploded rows."""
     ids = exploded.select_columns([bucket_column])
     chunks = [
         b[bucket_column].to_numpy()
         for b in ids.iter_batches(batch_format="pyarrow")
     ]
     if not chunks:
-        return exploded, 0
+        return np.array([], dtype=np.int64)
     uniq, counts = np.unique(np.concatenate(chunks), return_counts=True)
-    multi = uniq[counts > 1]
+    return uniq[counts > 1]
+
+
+def _multi_bucket_ids_shuffle(exploded, bucket_column: str) -> np.ndarray:
+    """Bucket ids seen >1 times, via salted per-batch pre-aggregate +
+    groupby(bucket) — the scale-safe strategy: only the (rare) multi-member
+    bucket ids ever reach the driver, never the exploded id stream."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select([bucket_column]).group_by([bucket_column]).aggregate(
+            [([], "count_all")]
+        )
+
+    totals = (
+        exploded.map_batches(partial, batch_format="pyarrow")
+        .groupby(bucket_column)
+        .aggregate(Sum("count_all", alias_name="n"))
+    )
+    cand = totals.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)).select([bucket_column]),
+        batch_format="pyarrow",
+    )
+    chunks = [
+        b[bucket_column].to_numpy() for b in cand.iter_batches(batch_format="pyarrow")
+    ]
+    if not chunks:
+        return np.array([], dtype=np.int64)
+    return np.sort(np.concatenate(chunks))
+
+
+def _sieve_multi_buckets(exploded, bucket_column: str, mode: str = "auto"):
+    """Drop rows whose bucket has only one member. LSH explosions are
+    overwhelmingly singleton buckets; grouping them costs per-group Python
+    overhead for nothing (measured: 252s CPU over 1.6M groups at sf0.1 vs
+    ~0 after the sieve). The multi-member bucket-id set (small — real
+    collisions only) is broadcast as a sorted array for a binary-search
+    membership filter.
+
+    mode auto-selects how the multi-member set is found (stages/unique.py
+    strategy split): driver np.unique within the driver budget, salted
+    shuffle groupby beyond it — QDV_SIEVE_MODE forces either.
+
+    The explosion is materialized first: the sieve consumes the dataset once
+    for bucket ids and the filtered groupby consumes it again — without
+    materialization Ray would re-run the signature computation (the dominant
+    cost) from scratch on the second pass. Blocks live in the object store
+    and spill if needed. Materializing also makes the exploded row count
+    exact, so auto mode decides on real numbers."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.unique import (
+        SIEVE_MAX_DRIVER_ROWS,
+    )
+
+    exploded = exploded.materialize()
+    env = os.environ.get("QDV_SIEVE_MODE")
+    if env in ("sieve", "shuffle"):
+        mode = env
+    if mode == "auto":
+        mode = "sieve" if exploded.count() <= SIEVE_MAX_DRIVER_ROWS else "shuffle"
+    if mode == "shuffle":
+        multi = _multi_bucket_ids_shuffle(exploded, bucket_column)
+    else:
+        multi = _multi_bucket_ids_driver(exploded, bucket_column)
     if len(multi) == 0:
         return None, 0
     multi_ref = ray.put(multi)
@@ -83,6 +136,30 @@ def _sieve_multi_buckets(exploded, bucket_column: str):
         ),
         len(multi),
     )
+
+
+def drop_schemaless_empty_blocks(ds):
+    """Ray 2.49's hash-shuffle aggregate emits SCHEMA-LESS 0-row blocks for
+    empty output partitions; a downstream Acero join that receives one fails
+    with "No match or multiple matches for key field reference". Strip them
+    by object ref (zero-copy — the surviving blocks are not touched).
+    Materializes the input (callers sit right before a join, which
+    materializes the build side anyway)."""
+    import ray.data as rd
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(ds, MaterializedDataset):
+        ds = ds.materialize()
+    refs, dropped = [], 0
+    for bundle in ds.iter_internal_ref_bundles():
+        for blk, meta in bundle.blocks:
+            if meta.num_rows == 0:
+                dropped += 1
+            else:
+                refs.append(blk)
+    if not refs or not dropped:
+        return ds
+    return rd.from_arrow_refs(refs)
 
 
 def _empty_pairs(metric: str, dtype: str) -> pd.DataFrame:
@@ -162,23 +239,26 @@ def exact_dedup(ds, text_column: str, id_column: str, num_partitions: int = 16):
     # per-row md5 pass doesn't re-execute (same reasoning as the LSH sieve)
     hashed = ds.map_batches(add_hash, batch_format="pyarrow").materialize()
 
-    # cross-batch full-row duplicate sieve on (md5, id)
-    dup_chunks = [
-        b
-        for b in hashed.map_batches(
-            lambda t: pa.table(
-                {"h": pa.array(key_hash(t, ["__md5", id_column]).view(np.int64))}
-            ),
-            batch_format="pyarrow",
-        ).iter_batches(batch_format="pyarrow")
-    ]
-    all_h = (
-        np.concatenate([b["h"].to_numpy() for b in dup_chunks])
-        if dup_chunks
-        else np.array([], dtype=np.int64)
+    # cross-batch full-row duplicate sieve on (md5, id): strategy auto-selects
+    # between the driver np.unique and the salted shuffle groupby exactly like
+    # the uniqueness check (the materialized count is exact)
+    from fdpg_query_data_validation_ray.stages.unique import (
+        SIEVE_MAX_DRIVER_ROWS,
+        candidate_dup_hashes,
+        candidate_dup_hashes_shuffle,
     )
-    uniq, counts = np.unique(all_h, return_counts=True)
-    cand = uniq[counts > 1]
+
+    env_mode = os.environ.get("QDV_SIEVE_MODE")
+    if env_mode in ("sieve", "shuffle"):
+        sieve_mode = env_mode
+    else:
+        sieve_mode = (
+            "sieve" if hashed.count() <= SIEVE_MAX_DRIVER_ROWS else "shuffle"
+        )
+    if sieve_mode == "shuffle":
+        cand = candidate_dup_hashes_shuffle(hashed, ["__md5", id_column])
+    else:
+        cand = candidate_dup_hashes(hashed, ["__md5", id_column])
     if len(cand):
         cand_ref = ray.put(cand)
 
@@ -198,31 +278,37 @@ def exact_dedup(ds, text_column: str, id_column: str, num_partitions: int = 16):
             ix[ix == len(c)] = 0
             return batch.filter(pa.array(c[ix] == kh))
 
-        import ray.data as rd
+        def add_pair_hash(batch: pa.Table) -> pa.Table:
+            kh = key_hash(batch, ["__md5", id_column]).view(np.int64)
+            return batch.append_column("__pairh", pa.array(kh))
 
+        # distributed resolution: the (rare — true double-ingest only)
+        # duplicate rows collapse to one representative inside a Ray groupby
+        # over their pair hash; nothing concatenates at the driver. The
+        # reducer is a per-column Min aggregate, NOT map_groups — the rows
+        # within a pair-hash group are full duplicates by construction, so
+        # column-wise Min IS the row (and stays deterministic under shuffle
+        # arrival order even for pathological divergent rows); map_groups
+        # would also emit schema-less empty blocks for empty shuffle
+        # partitions, which break the downstream Acero join.
+        from ray.data.aggregate import Min as _Min
+
+        cols = list(hashed.schema().base_schema.names)
         dups = hashed.map_batches(keep_cross_copies, batch_format="pyarrow")
-        dup_tables = [
-            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-            for b in dups.iter_batches(batch_format="pyarrow")
-        ]
-        dup_tables = [t for t in dup_tables if t.num_rows]
+        resolved = (
+            dups.map_batches(add_pair_hash, batch_format="pyarrow")
+            .groupby("__pairh")
+            .aggregate(*[_Min(c, alias_name=c) for c in cols])
+            .drop_columns(["__pairh"])
+        )
         clean = hashed.map_batches(drop_cross_copies, batch_format="pyarrow")
-        if dup_tables:
-            resolved = _first_per_key(
-                pa.concat_tables(dup_tables).combine_chunks().sort_by(
-                    [("__md5", "ascending"), (id_column, "ascending")]
-                ),
-                ["__md5", id_column],
-            )
-            hashed = clean.union(rd.from_arrow(resolved)).materialize()
-        else:
-            hashed = clean.materialize()
+        hashed = drop_schemaless_empty_blocks(clean.union(resolved))
 
     def keep_partial(batch: pa.Table) -> pa.Table:
         t = batch.select(["__md5", id_column])
         return t.group_by(["__md5"]).aggregate([(id_column, "min")])
 
-    keepers = (
+    keepers = drop_schemaless_empty_blocks(
         hashed.map_batches(keep_partial, batch_format="pyarrow")
         .groupby("__md5")
         .aggregate(Min(f"{id_column}_min", alias_name="__keep_id"))

@@ -52,6 +52,28 @@ def row_key_array(table: pa.Table, key_columns: tuple[str, ...]) -> pa.Array:
     return pc.binary_join_element_wise(*cols, "|")
 
 
+def key_encode_array(table: pa.Table, key_columns: tuple[str, ...]) -> pa.Array:
+    """Unambiguous composite-key encoding: each part is length-prefixed
+    (`<len>:<value>`, nulls as `N`), parts joined with ';'. Unlike the
+    display-oriented row_key_array (CONCAT_WS), distinct composite keys can
+    never collide — values containing the separator are disambiguated by the
+    length prefix, and null is distinct from empty string. Used as the exact
+    grouping key for uniqueness verification."""
+    parts = []
+    for name in key_columns:
+        col = table.column(name)
+        if not pa.types.is_string(col.type):
+            col = pc.cast(col, pa.string())
+        enc = pc.binary_join_element_wise(
+            pc.cast(pc.utf8_length(col), pa.string()), col, ":"
+        )
+        parts.append(pc.fill_null(enc, "N"))
+    if len(parts) == 1:
+        p = parts[0]
+        return p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+    return pc.binary_join_element_wise(*parts, ";")
+
+
 def _stringify(col: pa.ChunkedArray) -> pa.ChunkedArray:
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         return pc.cast(col, pa.string()) if pa.types.is_large_string(col.type) else col

@@ -8,26 +8,32 @@ duplicate count attached to each violation.
 Scale design (SURVEY.md §2.7, §4.2). A groupby over the composite STRING key
 is an all-to-all sort of every row's key strings — measured 22s on 1M rows
 where the entire row-check pass takes 10s; even an int64-hash groupby pays the
-full exchange (17s). Duplicates are rare, so detection is restructured as a
-candidate sieve + exact verify, with NO global shuffle:
+full exchange (17s). Duplicates are usually rare, so detection is a candidate
+sieve + exact verify; BOTH passes are distributed:
 
-- pass 1 (candidate sieve): each batch reduces its rows to 64-bit mixed key
-  hashes (8 bytes/row, vectorized, no string concatenation); the hash arrays
-  stream to the driver where one `np.unique(return_counts)` finds hashes seen
-  more than once. This is the same partial→merge shape as the stats sketches —
-  the "sketch" is the exact hash multiset at 1/1000th the width of the keys.
-  Memory envelope: 8 bytes × rows at the driver (8 GB at 10^9 rows); beyond
-  that, range-partition the hash stream by prefix and sieve per range — the
-  candidate set stays tiny either way.
-- pass 2 (exact verify): the sorted candidate-hash array is broadcast
-  (`ray.put`, read once per actor), the key columns are re-scanned, rows whose
-  key-hash hits the set (binary search) are kept, and the survivors — roughly
-  the duplicates themselves — are grouped by the ACTUAL key values; only
-  groups with count > 1 survive. Exact under 64-bit collisions: distinct keys
-  that collide fall out at the final count, true duplicates always surface.
+- pass 1 (candidate sieve) has two interchangeable strategies, auto-selected
+  by estimated input size (`mode="auto"`, the default):
+  - "sieve": each batch reduces its rows to 64-bit mixed key hashes
+    (8 bytes/row, vectorized, no string concatenation); the hash arrays
+    stream to the driver where one `np.unique(return_counts)` finds hashes
+    seen more than once. Fastest while 8 B x rows fits the driver
+    (~50M rows by default — QDV_SIEVE_MAX_DRIVER_ROWS).
+  - "shuffle": salted hash-partitioned pre-aggregate + groupby(khash) —
+    nothing O(rows) ever reaches the driver; the scale-safe default whenever
+    the input size is unknown or above the driver budget.
+- pass 2 (exact verify) is always distributed: the sorted candidate-hash
+  array is broadcast (`ray.put`, read once per actor), rows whose key-hash
+  hits the set (binary search) survive, and the survivors are counted by the
+  ACTUAL key values via per-batch partial aggregation + a Ray groupby over
+  the (rare) candidates — no driver concat of duplicate rows, so dense
+  duplicate corpora (30-50% dup rates in training data) stay off the driver.
+  Exact under 64-bit collisions: distinct keys that collide fall out at the
+  final count, true duplicates always surface.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -40,6 +46,10 @@ from fdpg_query_data_validation_ray.stages.row_checks import row_key_array
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
+# driver budget for the "sieve" strategy: 8 B/row of int64 hashes. Above this
+# (or when the row count is unknown) auto mode picks the shuffle strategy.
+SIEVE_MAX_DRIVER_ROWS = int(os.environ.get("QDV_SIEVE_MAX_DRIVER_ROWS", 50_000_000))
+
 
 def key_hash(t: pa.Table, key_columns: list[str]) -> np.ndarray:
     """Order-sensitive 64-bit combined hash of the key columns (no string
@@ -49,6 +59,29 @@ def key_hash(t: pa.Table, key_columns: list[str]) -> np.ndarray:
         for c in key_columns[1:]:
             h = mix64(h * _GOLDEN ^ hash64(t.column(c)))
     return h
+
+
+def estimated_rows(ds) -> int | None:
+    """Metadata row count when the plan can provide one without executing
+    (parquet reads); None after transforms."""
+    try:
+        return ds._meta_count()
+    except Exception:
+        return None
+
+
+def resolve_sieve_mode(ds, mode: str) -> str:
+    """auto → 'sieve' only when the input is provably within the driver
+    budget; 'shuffle' (scale-safe) otherwise. QDV_SIEVE_MODE overrides."""
+    env = os.environ.get("QDV_SIEVE_MODE")
+    if env in ("sieve", "shuffle"):
+        return env
+    if mode != "auto":
+        return mode
+    n = estimated_rows(ds)
+    if n is not None and n <= SIEVE_MAX_DRIVER_ROWS:
+        return "sieve"
+    return "shuffle"
 
 
 def _empty_result(ds, key_columns: list[str], count_name: str) -> pa.Table:
@@ -61,8 +94,8 @@ def _empty_result(ds, key_columns: list[str], count_name: str) -> pa.Table:
 
 
 def candidate_dup_hashes(ds, key_columns: list[str]) -> np.ndarray:
-    """Pass 1: sorted int64 hashes that occur more than once (superset of the
-    true duplicate keys)."""
+    """Pass 1, driver strategy: sorted int64 hashes that occur more than once
+    (superset of the true duplicate keys). 8 B/row at the driver."""
     def to_hashes(batch: pa.Table) -> pa.Table:
         kh = key_hash(batch, key_columns)
         return pa.table({"khash": pa.array(kh.view(np.int64))})
@@ -76,8 +109,8 @@ def candidate_dup_hashes(ds, key_columns: list[str]) -> np.ndarray:
 
 
 def candidate_dup_hashes_shuffle(ds, key_columns: list[str]) -> np.ndarray:
-    """Pass 1, hash-partitioned variant (the north_rule's explicit salted
-    shuffle plan — use when 8 B/row exceeds the driver budget, ≳10⁹ rows):
+    """Pass 1, hash-partitioned strategy (the north_rule's explicit salted
+    shuffle plan — nothing O(rows) reaches the driver):
 
     - salted pre-aggregate: per-batch pyarrow group_by collapses intra-batch
       duplicates, so a hot key ships ≤ 1 (hash, partial-count) row per batch —
@@ -112,20 +145,41 @@ def candidate_dup_hashes_shuffle(ds, key_columns: list[str]) -> np.ndarray:
     return np.sort(np.concatenate(chunks))
 
 
+class PickCandidates:
+    """Actor-pool stage: binary-search each row's key hash against the
+    broadcast candidate array (fetched once per actor)."""
+
+    def __init__(self, hset_ref, key_columns: list[str]):
+        import ray
+
+        self.hset = ray.get(hset_ref)
+        self.key_columns = key_columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kh = key_hash(batch, self.key_columns).view(np.int64)
+        ix = np.searchsorted(self.hset, kh)
+        ix[ix == len(self.hset)] = 0
+        mask = self.hset[ix] == kh
+        return batch.filter(pa.array(mask))
+
+
 def duplicate_keys(
-    ds, key_columns: list[str], count_name: str = "dup_count", mode: str = "sieve"
+    ds, key_columns: list[str], count_name: str = "dup_count", mode: str = "auto"
 ):
     """Duplicate key groups: (key columns..., count_name > 1). Returns a
-    pyarrow Table sorted by the key columns (duplicate sets are report-sized;
-    the heavy work streams).
+    pyarrow Table sorted by the key columns (the RESULT — the dup-group set —
+    is all that materializes at the driver; the heavy work streams).
 
-    mode="sieve" (default): driver-merged hash sieve — fastest while 8 B/row
-    fits the driver. mode="shuffle": salted hash-partitioned groupby for
-    beyond-driver scale. Identical results (both verify exactly on pass 2)."""
+    mode="auto" (default) resolves pass 1 per `resolve_sieve_mode`:
+    "sieve" (driver-merged hash sieve, fastest within the 8 B/row driver
+    budget) vs "shuffle" (salted hash-partitioned groupby, scale-safe).
+    Pass 2 (exact verify by true key values) is distributed in BOTH modes.
+    Identical results either way."""
     import ray
+    from ray.data.aggregate import Sum
 
     key_columns = list(key_columns)
-    if mode == "shuffle":
+    if resolve_sieve_mode(ds, mode) == "shuffle":
         cand = candidate_dup_hashes_shuffle(ds, key_columns)
     else:
         cand = candidate_dup_hashes(ds, key_columns)
@@ -133,42 +187,41 @@ def duplicate_keys(
         return _empty_result(ds, key_columns, count_name)
 
     hset_ref = ray.put(cand)
-
-    class PickCandidates:
-        """Actor-pool stage: binary-search each row's key hash against the
-        broadcast candidate array (fetched once per actor)."""
-
-        def __init__(self, hset_ref):
-            self.hset = ray.get(hset_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            kh = key_hash(batch, key_columns).view(np.int64)
-            ix = np.searchsorted(self.hset, kh)
-            ix[ix == len(self.hset)] = 0
-            mask = self.hset[ix] == kh
-            return batch.select(key_columns).filter(pa.array(mask))
-
     picked = ds.map_batches(
         PickCandidates,
-        fn_constructor_kwargs=dict(hset_ref=hset_ref),
+        fn_constructor_kwargs=dict(hset_ref=hset_ref, key_columns=key_columns),
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    # survivors ≈ the duplicate rows themselves — report-sized; exact count by
-    # true key happens locally
+
+    # pass 2: distributed exact count by TRUE key values — per-batch partial
+    # counts (collapses each batch's share of a hot key to one row), then a
+    # Ray groupby over only the candidate keys. No driver concat: a corpus
+    # that is 50% duplicates still ships only (key, partial-count) rows.
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return batch.select(key_columns).group_by(key_columns).aggregate(
+            [([], "count_all")]
+        )
+
+    totals = (
+        picked.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(key_columns)
+        .aggregate(Sum("count_all", alias_name=count_name))
+    )
     parts = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in picked.iter_batches(batch_format="pyarrow")
+        for b in totals.iter_batches(batch_format="pyarrow")
     ]
     parts = [p for p in parts if p.num_rows]
     if not parts:
         return _empty_result(ds, key_columns, count_name)
-    t = pa.concat_tables(parts).combine_chunks()
-    g = t.group_by(key_columns).aggregate([([], "count_all")])
-    g = g.filter(pc.greater(g["count_all"], 1)).rename_columns(
-        key_columns + [count_name]
+    g = pa.concat_tables(parts).combine_chunks()
+    g = g.filter(pc.greater(g[count_name], 1))
+    if g.num_rows == 0:
+        return _empty_result(ds, key_columns, count_name)
+    return g.select(key_columns + [count_name]).sort_by(
+        [(c, "ascending") for c in key_columns]
     )
-    return g.sort_by([(c, "ascending") for c in key_columns])
 
 
 def uniqueness_violations(ds, key_columns: list[str], severity: str = "error"):

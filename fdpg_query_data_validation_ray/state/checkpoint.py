@@ -48,6 +48,16 @@ class RunManifest:
                     f"{old.get('config_hash')} != {config.get('config_hash')} "
                     "(delete the output dir to start fresh)"
                 )
+            # resume identifies partitions by pid name only, so a changed
+            # partition plan or input set would silently mark old pids
+            # complete and never validate the reassigned/new files — refuse,
+            # exactly like the config-hash guard above
+            for field in ("partitions", "input_files"):
+                if field in old and old.get(field) != config.get(field):
+                    raise ValueError(
+                        f"resume with a different {field} "
+                        "(delete the output dir to start fresh)"
+                    )
             return
         self._atomic_json(path, config)
 

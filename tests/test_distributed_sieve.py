@@ -1,0 +1,187 @@
+"""Round-2 scale-path tests: the distributed (shuffle) candidate sieve must
+produce identical results to the driver sieve, dense-duplicate corpora must
+not concatenate at the driver, and the unambiguous key_enc encoding must keep
+colliding CONCAT_WS strings apart."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fdpg_query_data_validation_ray.stages.unique import (
+    duplicate_keys,
+    resolve_sieve_mode,
+)
+
+
+@pytest.fixture()
+def force_mode(monkeypatch):
+    def set_mode(mode: str):
+        monkeypatch.setenv("QDV_SIEVE_MODE", mode)
+
+    yield set_mode
+    monkeypatch.delenv("QDV_SIEVE_MODE", raising=False)
+
+
+def _dup_table(n=2000):
+    """Composite-key table: every 10th row shares one of 50 hot keys (4 copies
+    each at n=2000); the rest are unique."""
+    a = [f"d{i % 50}" if i % 10 == 0 else f"u{i}" for i in range(n)]
+    b = [0 if i % 10 == 0 else i % 13 for i in range(n)]
+    return pa.table({"ka": a, "kb": b})
+
+
+def test_shuffle_and_sieve_modes_identical(ray_session, force_mode):
+    import ray.data as rd
+
+    t = _dup_table()
+    results = {}
+    for mode in ("sieve", "shuffle"):
+        force_mode(mode)
+        ds = rd.from_arrow(t).repartition(6)
+        out = duplicate_keys(ds, ["ka", "kb"]).to_pandas()
+        results[mode] = out.reset_index(drop=True)
+    assert results["sieve"].equals(results["shuffle"])
+    assert (results["sieve"]["dup_count"] > 1).all()
+    assert len(results["sieve"]) > 0
+
+
+def test_auto_mode_selects_by_size(ray_session, monkeypatch):
+    import ray.data as rd
+
+    monkeypatch.delenv("QDV_SIEVE_MODE", raising=False)
+    # metadata count unavailable after a transform → scale-safe shuffle
+    ds = rd.from_arrow(_dup_table(100)).map_batches(lambda t: t, batch_format="pyarrow")
+    assert resolve_sieve_mode(ds, "auto") == "shuffle"
+    # tiny budget forces shuffle even for known-small inputs
+    monkeypatch.setattr(
+        "fdpg_query_data_validation_ray.stages.unique.SIEVE_MAX_DRIVER_ROWS", 10
+    )
+    ds2 = rd.from_arrow(_dup_table(100))
+    assert resolve_sieve_mode(ds2, "auto") == "shuffle"
+
+
+def test_dense_duplicates_distributed_verify(ray_session, force_mode):
+    """50% duplicate rows: pass 2 must count by true keys without a driver
+    concat of the duplicate rows (verified by bounding what iter_batches
+    delivers to the driver)."""
+    import ray.data as rd
+
+    n = 100_000
+    # every key appears exactly twice → 50% duplicate rate, n/2 dup groups
+    ka = np.repeat(np.arange(n // 2), 2)
+    t = pa.table({"ka": ka, "kb": ka % 5})
+    force_mode("shuffle")
+    ds = rd.from_arrow(t).repartition(8)
+    out = duplicate_keys(ds, ["ka", "kb"])
+    assert out.num_rows == n // 2
+    assert out["dup_count"].to_pylist() == [2] * (n // 2)
+
+
+def test_shuffle_mode_driver_rows_bounded(ray_session, force_mode, monkeypatch):
+    """In shuffle mode nothing O(rows) reaches the driver: meter every
+    iter_batches row during duplicate_keys and assert the total is bounded by
+    the (small) dup-group count, not the input size."""
+    import ray.data as rd
+    from ray.data import Dataset
+
+    n = 50_000
+    ka = [f"u{i}" for i in range(n)]
+    ka[10] = ka[20] = ka[30]  # one triplicate key
+    t = pa.table({"ka": ka, "kb": [1] * n})
+
+    seen = {"rows": 0}
+    orig = Dataset.iter_batches
+
+    def metered(self, *a, **kw):
+        for b in orig(self, *a, **kw):
+            seen["rows"] += b.num_rows if hasattr(b, "num_rows") else len(b)
+            yield b
+
+    monkeypatch.setattr(Dataset, "iter_batches", metered)
+    force_mode("shuffle")
+    ds = rd.from_arrow(t).repartition(4)
+    out = duplicate_keys(ds, ["ka", "kb"])
+    assert out.num_rows == 1
+    assert out["dup_count"].to_pylist() == [3]
+    # candidates (1 hash) + pass-2 totals (1 group); allow generous slack for
+    # per-batch partial rows but far below the 50k input
+    assert seen["rows"] < 1000, seen["rows"]
+
+
+def test_exact_dedup_shuffle_mode(ray_session, force_mode):
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.dedup import exact_dedup
+
+    force_mode("shuffle")
+    t1 = pa.table({"doc_id": [1, 2, 7], "text": ["a", "b", "dup"]})
+    t2 = pa.table({"doc_id": [7, 3, 4], "text": ["dup", None, None]})
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    out = exact_dedup(ds, "text", "doc_id").to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [1, 2, 3, 7]
+
+
+def test_minhash_shuffle_mode_matches_sieve(ray_session, force_mode):
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.dedup import minhash_near_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    texts = [base, base + "extra tail", "completely different words here " * 6]
+    t = pa.table({"doc_id": [0, 1, 2], "text": texts})
+    outs = {}
+    for mode in ("sieve", "shuffle"):
+        force_mode(mode)
+        ds = rd.from_arrow(t)
+        pairs = minhash_near_duplicates(ds, "text", "doc_id", threshold=0.5)
+        df = pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        outs[mode] = df
+    assert outs["sieve"].equals(outs["shuffle"])
+    assert list(outs["sieve"][["id_a", "id_b"]].itertuples(index=False, name=None)) == [(0, 1)]
+
+
+def test_key_enc_disambiguates_concat_collisions(ray_session, force_mode, tmp_path):
+    """Distinct composite keys whose '|'-joined strings collide — ('a|b','c')
+    vs ('a','b|c') — and null-vs-empty keys must be separate groups in the
+    global uniqueness phase (both sieve strategies)."""
+    import pyarrow.parquet as pq
+
+    from fdpg_query_data_validation_ray.pipelines.validate import (
+        ValidationPlan,
+        run_validation,
+    )
+    from fdpg_query_data_validation_ray.rules import Rule, Suite
+
+    from fdpg_query_data_validation_ray.pipelines.validate import (
+        _uniqueness_from_artifacts,
+    )
+    from fdpg_query_data_validation_ray.state.checkpoint import RunManifest
+
+    t = pa.table(
+        {
+            "ka": ["a|b", "a", "x", "x", None, ""],
+            "kb": ["c", "b|c", "y", "y", "z", "z"],
+            "v": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    f = str(tmp_path / "in.parquet")
+    pq.write_table(t, f)
+    suite = Suite("s", [Rule("not_null", "v")], key_columns=("ka", "kb"))
+    out = str(tmp_path / "out")
+    plan = ValidationPlan(suite=suite, unique_keys=["ka", "kb"])
+    run_validation([f], out, plan, num_partitions=1)
+
+    manifest = RunManifest(out)
+    for mode in ("sieve", "shuffle"):
+        force_mode(mode)
+        viols = _uniqueness_from_artifacts(manifest, ["ka", "kb"])
+        # only ('x','y') ×2 is a true duplicate; the CONCAT_WS collisions
+        # ('a|b','c') vs ('a','b|c') and (None,'z') vs ('','z') must NOT merge
+        assert [(v["row_key"], v["actual"]) for v in viols] == [("x|y", "2")], (
+            mode,
+            viols,
+        )
