@@ -31,12 +31,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
 
+def _stopword_sql_lists() -> tuple[str, str, str, str, str]:
+    """SQL IN-lists generated from the engine's STOPWORDS so the lang-id /
+    quality oracles can never drift from the implementation."""
+    from fdpg_query_data_validation_ray.stages.text import STOPWORDS
+
+    def lst(words) -> str:
+        return ",".join(f"'{w}'" for w in sorted(words))
+
+    return (
+        lst(STOPWORDS["en"]),
+        lst(STOPWORDS["de"]),
+        lst(STOPWORDS["fr"]),
+        lst(STOPWORDS["es"]),
+        lst(set().union(*STOPWORDS.values())),
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered per table name). Keys missing
-    here (dedup_minhash/simhash/ngram, cosine_near_dup, knn_cosine_ivf,
-    drift_docs, lang_id, quality, fingerprint, stats_sketches,
-    multimodal_decode, corpus_validate) are non-SQL-expressible
-    (sketch/LSH/IVF/heuristic/stateful pipelines) → rows-only check."""
+    here (dedup_minhash/simhash, cosine_near_dup, knn_cosine_ivf, drift_docs,
+    stats_sketches, multimodal_decode, corpus_validate) are
+    non-SQL-expressible (sketch/LSH/IVF/stateful pipelines) → rows-only
+    check; each has a property or cross-check test instead. lang_id, quality,
+    fingerprint and ngram-jaccard ARE oracle-checked: the heuristics are
+    re-expressed in pure SQL (stopword IN-lists, md5_number_lower gram
+    hashing, list_intersect jaccard) with integer/fixed-point outputs."""
+    en_sw, de_sw, fr_sw, es_sw, all_sw = _stopword_sql_lists()
     row_checks_union = """
         SELECT 'not_null(text)' AS rule_id, 'error' AS severity, 'text' AS location,
                'minimum required = 1, but only found 0' AS diagnostics,
@@ -234,5 +255,121 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents
+        """,
+        "lang_id_docs": f"""
+            WITH base AS (
+              SELECT doc_id, lang, coalesce(text,'') AS t,
+                     len(coalesce(text,'')) AS nc,
+                     len(regexp_extract_all(coalesce(text,''), '[一-鿿]')) AS cjk,
+                     regexp_extract_all(lower(coalesce(text,'')), '[a-zà-ÿ]+') AS ws
+              FROM documents),
+            words AS (SELECT doc_id, unnest(ws) AS w FROM base),
+            scores AS (
+              SELECT doc_id,
+                CAST(SUM(CASE WHEN w IN ({en_sw}) THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS s_en,
+                CAST(SUM(CASE WHEN w IN ({de_sw}) THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS s_de,
+                CAST(SUM(CASE WHEN w IN ({fr_sw}) THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS s_fr,
+                CAST(SUM(CASE WHEN w IN ({es_sw}) THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS s_es
+              FROM words GROUP BY doc_id)
+            SELECT b.doc_id, b.lang,
+              CASE
+                WHEN b.nc = 0 THEN 'und'
+                WHEN b.cjk > 0.05 * greatest(1, b.nc) THEN 'zh'
+                WHEN len(b.ws) = 0 THEN 'und'
+                WHEN greatest(s.s_en, s.s_de, s.s_fr, s.s_es) <= 0.01 THEN 'und'
+                WHEN s.s_en >= s.s_de AND s.s_en >= s.s_fr AND s.s_en >= s.s_es THEN 'en'
+                WHEN s.s_de >= s.s_fr AND s.s_de >= s.s_es THEN 'de'
+                WHEN s.s_fr >= s.s_es THEN 'fr'
+                ELSE 'es' END AS lang_pred
+            FROM base b LEFT JOIN scores s USING (doc_id)
+        """,
+        "quality_docs": f"""
+            WITH base AS (
+              SELECT doc_id, len(coalesce(text,'')) AS nc,
+                     len(regexp_extract_all(coalesce(text,''), '[^\\w\\s]')) AS npunct,
+                     regexp_extract_all(lower(coalesce(text,'')), '[a-zà-ÿ]+') AS ws
+              FROM documents),
+            words AS (SELECT doc_id, unnest(ws) AS w FROM base),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS nw, SUM(len(w)) AS len_sum,
+                     SUM(CASE WHEN w IN ({all_sw}) THEN 1 ELSE 0 END) AS nstop,
+                     COUNT(DISTINCT w) AS ndistinct
+              FROM words GROUP BY doc_id),
+            feat AS (
+              SELECT b.doc_id, b.nc AS n_chars_q,
+                     CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words,
+                     CAST(coalesce(a.nstop, 0) AS BIGINT) AS n_stop_words,
+                     b.npunct AS n_punct_chars,
+                     CAST(coalesce(a.ndistinct, 0) AS BIGINT) AS n_distinct_words,
+                     CASE WHEN a.nw IS NULL THEN 0.0
+                          ELSE CAST(a.len_sum AS DOUBLE)/a.nw END AS mwl,
+                     CASE WHEN b.nc = 0 THEN 0.0
+                          ELSE CAST(b.npunct AS DOUBLE)/b.nc END AS punct_r,
+                     CASE WHEN a.nw IS NULL THEN 0.0
+                          ELSE CAST(a.ndistinct AS DOUBLE)/a.nw END AS distinct_r
+              FROM base b LEFT JOIN agg a USING (doc_id)),
+            scored AS (
+              SELECT doc_id, n_chars_q, n_words, n_stop_words, n_punct_chars,
+                     n_distinct_words,
+                 (CASE WHEN n_chars_q BETWEEN 50 AND 100000 THEN 0 ELSE 1 END
+                + CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0 ELSE 1 END
+                + CASE WHEN punct_r > 0.3 THEN 1 ELSE 0 END
+                + CASE WHEN distinct_r < 0.2 THEN 1 ELSE 0 END) AS fails
+              FROM feat)
+            SELECT doc_id, n_chars_q, n_words, n_stop_words, n_punct_chars,
+                   n_distinct_words,
+                   CAST(10000 // POWER(2, fails) AS BIGINT) AS quality_score_e4
+            FROM scored
+        """,
+        "fingerprint_docs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\\S+') AS t
+              FROM documents),
+            basis AS (
+              SELECT doc_id,
+                CASE WHEN len(t) = 0 THEN ['']
+                     WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                     ELSE [array_to_string(t[x:x+4], ' ')
+                           for x in generate_series(1, len(t)-4)]
+                END AS grams
+              FROM toks),
+            h AS (
+              SELECT doc_id, g.i,
+                     CAST(md5_number_lower(g.gram) & 1152921504606846975 AS BIGINT) AS hv
+              FROM basis, LATERAL (SELECT unnest(grams) AS gram,
+                                          unnest(generate_series(1, len(grams))) AS i) g),
+            w AS (
+              SELECT doc_id, i, hv, COUNT(*) OVER (PARTITION BY doc_id) AS cnt,
+                     MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+              FROM h),
+            fp AS (
+              SELECT doc_id, CASE WHEN cnt <= 4 THEN hv ELSE wmin END AS f
+              FROM w WHERE cnt <= 4 OR i <= cnt - 3)
+            SELECT doc_id, MIN(f) AS fingerprint_min,
+                   CAST(COUNT(DISTINCT f) AS BIGINT) AS n_fingerprints
+            FROM fp GROUP BY doc_id
+        """,
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(coalesce(text,'')), '\\S+') AS t
+              FROM documents),
+            sets AS (
+              SELECT doc_id, lang,
+                CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE list_distinct([array_to_string(t[x:x+2], ' ')
+                                         for x in generate_series(1, len(t)-2)])
+                END AS g
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CASE WHEN len(a.g) = 0 AND len(b.g) = 0 THEN 1.0
+                     WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0
+                     ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.g, b.g))) END AS jaccard
+              FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
         """,
     }

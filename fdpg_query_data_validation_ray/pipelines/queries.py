@@ -672,7 +672,7 @@ def q_token_count_docs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        TokenCountStage, batch_format="pandas", concurrency=(1, 4)
+        TokenCountStage(), batch_format="pandas"
     ).map_batches(lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow")
 
 
@@ -681,7 +681,7 @@ def q_lang_id_docs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     return ds.map_batches(
-        LangIdStage, batch_format="pandas", concurrency=(1, 4)
+        LangIdStage(), batch_format="pandas"
     ).map_batches(lambda t: t.select(["doc_id", "lang", "lang_pred"]), batch_format="pyarrow")
 
 
@@ -689,12 +689,15 @@ def q_quality_docs(sf_dir: str):
     from fdpg_query_data_validation_ray.stages.text import QualityScoreStage
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # integer-exact feature counts + fixed-point score: SQL-expressible, so
+    # this query is oracle-checked (the float ratios stay available on the
+    # stage for pipeline use)
     return ds.map_batches(
-        QualityScoreStage, batch_format="pandas", concurrency=(1, 4)
+        QualityScoreStage(), batch_format="pandas"
     ).map_batches(
         lambda t: t.select(
-            ["doc_id", "mean_word_len", "stopword_ratio", "punct_ratio",
-             "distinct_word_ratio", "quality_score"]
+            ["doc_id", "n_chars_q", "n_words", "n_stop_words", "n_punct_chars",
+             "n_distinct_words", "quality_score_e4"]
         ),
         batch_format="pyarrow",
     )
@@ -705,7 +708,7 @@ def q_fingerprint_docs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        FingerprintStage, batch_format="pandas", concurrency=(1, 4)
+        FingerprintStage(), batch_format="pandas"
     ).map_batches(
         lambda t: t.select(["doc_id", "fingerprint_min", "n_fingerprints"]),
         batch_format="pyarrow",
