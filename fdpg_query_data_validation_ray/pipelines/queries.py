@@ -716,13 +716,16 @@ def q_fingerprint_docs(sf_dir: str):
 
 
 def q_multimodal_decode(sf_dir: str):
-    """Multimodal plumbing over a derived binary column: deterministic fake
-    image payloads (seeded by doc_id) → actor-pool decode → resize → decode,
+    """Multimodal pipeline over a derived binary column: deterministic
+    grayscale BMP payloads (a real, spec-conformant image format, seeded by
+    doc_id) → actor-pool resize (decode → subsample → re-encode) → decode,
     small batches for fat binary rows (stages/multimodal.py)."""
+    import numpy as np
+
     from fdpg_query_data_validation_ray.stages.multimodal import (
         DecodeStage,
         ResizeStage,
-        encode_fake_image,
+        encode_bmp_gray,
     )
 
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
@@ -730,10 +733,14 @@ def q_multimodal_decode(sf_dir: str):
     def attach_payload(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
         nchars = t["n_chars"].to_pylist()
-        payloads = [
-            encode_fake_image(8 + (n or 0) % 24, 8 + int(i) % 16, seed=int(i))
-            for i, n in zip(ids, nchars)
-        ]
+        payloads = []
+        for i, n in zip(ids, nchars):
+            w = 8 + (n or 0) % 24
+            h = 8 + int(i) % 16
+            rng = np.random.default_rng(int(i))
+            payloads.append(
+                encode_bmp_gray(rng.integers(0, 256, (h, w), dtype=np.uint8))
+            )
         return pa.table(
             {"doc_id": t["doc_id"].combine_chunks(), "payload": pa.array(payloads, pa.binary())}
         )
@@ -742,14 +749,14 @@ def q_multimodal_decode(sf_dir: str):
         ds.map_batches(attach_payload, batch_format="pyarrow", batch_size=256)
         .map_batches(
             ResizeStage,
-            fn_constructor_kwargs=dict(factor=2),
+            fn_constructor_kwargs=dict(factor=2, mode="real"),
             batch_format="pyarrow",
             batch_size=256,
             concurrency=(1, 4),
         )
         .map_batches(
             DecodeStage,
-            fn_constructor_kwargs=dict(mode="fake"),
+            fn_constructor_kwargs=dict(mode="real"),
             batch_format="pyarrow",
             batch_size=256,
             concurrency=(1, 4),

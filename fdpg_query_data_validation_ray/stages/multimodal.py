@@ -2,12 +2,14 @@
 
 Image/audio/video travel as `binary` columns with sidecar metadata columns;
 decode / feature-extract / resize / frame-sample are actor-pool map_batches
-stages. The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the codec boundary is stubbed: `DecodeStage` either raises a
-clearly-marked NotImplementedError (real mode) or applies a deterministic fake
-codec (test mode) that parses the 16-byte header written by
-`encode_fake_image`. Everything Ray-side — schema, batch sizing for fat
-binary rows, actor signatures, output layout — is real and tested.
+stages. Two codec paths:
+
+- mode="real": a dependency-free uncompressed-BMP codec (BITMAPINFOHEADER,
+  8-bit grayscale palette or 24-bit BI_RGB, bottom-up rows, 4-byte row
+  padding) implemented in struct + numpy — an actual on-disk image format,
+  exercised end-to-end in-sandbox without PIL/ffmpeg. Swap in a PIL/ffmpeg
+  body for JPEG/PNG/video in an environment that ships those libraries.
+- mode="fake": a trivial 16-byte-header codec for speed in plumbing tests.
 
 Scale note: binary payload rows are wide; callers should lower `batch_size`
 (64–256) and/or raise DataContext.target_max_block_size so blocks don't split
@@ -33,39 +35,108 @@ def encode_fake_image(width: int, height: int, seed: int) -> bytes:
     ).tobytes()
 
 
+# -- real codec: uncompressed BMP -------------------------------------------
+
+_BMP_FILE_HDR = struct.Struct("<2sIHHI")   # magic, file size, res, res, data offset
+_BMP_INFO_HDR = struct.Struct("<IiiHHIIiiII")  # BITMAPINFOHEADER
+
+
+def encode_bmp_gray(pixels: np.ndarray) -> bytes:
+    """(h × w) uint8 array → 8-bit grayscale BMP (256-entry gray palette,
+    bottom-up rows, rows padded to 4 bytes) — a real, spec-conformant image
+    file (openable by any viewer)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    stride = (w + 3) & ~3
+    palette = bytearray()
+    for i in range(256):
+        palette += bytes((i, i, i, 0))  # BGRA
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = px
+    data = rows[::-1].tobytes()  # bottom-up
+    offset = _BMP_FILE_HDR.size + _BMP_INFO_HDR.size + len(palette)
+    info = _BMP_INFO_HDR.pack(40, w, h, 1, 8, 0, len(data), 2835, 2835, 256, 0)
+    fhdr = _BMP_FILE_HDR.pack(b"BM", offset + len(data), 0, 0, offset)
+    return fhdr + info + bytes(palette) + data
+
+
+def decode_bmp(buf: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Uncompressed BMP (8-bit palette or 24-bit BI_RGB, bottom-up or
+    top-down) → (width, height, grayscale (h × w) float array). None for
+    anything that is not a decodable BMP. Pure struct + numpy."""
+    if buf is None or len(buf) < _BMP_FILE_HDR.size + _BMP_INFO_HDR.size:
+        return None
+    magic, _fsize, _r1, _r2, offset = _BMP_FILE_HDR.unpack_from(buf, 0)
+    if magic != b"BM":
+        return None
+    (hdr_size, w, h, planes, bpp, compression, _isize, _xp, _yp, n_colors,
+     _imp) = _BMP_INFO_HDR.unpack_from(buf, _BMP_FILE_HDR.size)
+    if hdr_size < 40 or planes != 1 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    if bpp == 8:
+        n_colors = n_colors or 256
+        pal_off = _BMP_FILE_HDR.size + hdr_size
+        pal = np.frombuffer(buf, np.uint8, n_colors * 4, pal_off).reshape(-1, 4)
+        # palette BGR → luminance (gray palettes collapse to the index value)
+        lum = pal[:, :3].mean(axis=1)
+        stride = (w + 3) & ~3
+        if offset + stride * h > len(buf):
+            return None
+        rows = np.frombuffer(buf, np.uint8, stride * h, offset).reshape(h, stride)
+        idx = rows[:, :w]
+        px = lum[idx]
+    elif bpp == 24:
+        stride = (w * 3 + 3) & ~3
+        if offset + stride * h > len(buf):
+            return None
+        rows = np.frombuffer(buf, np.uint8, stride * h, offset).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        px = bgr.mean(axis=2)
+    else:
+        return None
+    if not top_down:
+        px = px[::-1]
+    return w, h, px
+
+
 class DecodeStage:
     """binary → (width, height, mean_intensity) metadata columns.
 
-    mode="fake": parse the deterministic fake codec (tests/bench).
-    mode="real": STUB — raises NotImplementedError; swap in a PIL/ffmpeg body
-    in an environment that ships the codec libraries.
+    mode="real" (default): the uncompressed-BMP codec above — an actual image
+    format decoded with struct + numpy (no PIL/ffmpeg needed).
+    mode="fake": parse the trivial 16-byte-header codec (plumbing tests).
+    Undecodable payloads yield null metadata in both modes (bad rows must not
+    kill the stage — they surface as nulls for a downstream not_null rule).
     """
 
-    def __init__(self, binary_column: str = "payload", mode: str = "fake"):
+    def __init__(self, binary_column: str = "payload", mode: str = "real"):
         if mode not in ("fake", "real"):
             raise ValueError(mode)
         self.binary_column = binary_column
         self.mode = mode
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _decode_one(self, buf) -> tuple[int | None, int | None, float | None]:
         if self.mode == "real":
-            raise NotImplementedError(
-                "real image decode requires PIL/ffmpeg (not in this container); "
-                "use mode='fake' or provide a decoder"
-            )
+            out = decode_bmp(buf)
+            if out is None:
+                return None, None, None
+            w, h, px = out
+            return w, h, round(float(px.mean()), 4) if px.size else None
+        if buf is None or len(buf) < HEADER.size:
+            return None, None, None
+        magic, w, h = HEADER.unpack_from(buf)
+        if magic != MAGIC:
+            return None, None, None
+        px = np.frombuffer(buf, dtype=np.uint8, offset=HEADER.size)
+        return w, h, round(float(px.mean()), 4) if len(px) else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, means = [], [], []
         for buf in batch.column(self.binary_column).to_pylist():
-            if buf is None or len(buf) < HEADER.size:
-                widths.append(None), heights.append(None), means.append(None)
-                continue
-            magic, w, h = HEADER.unpack_from(buf)
-            if magic != MAGIC:
-                widths.append(None), heights.append(None), means.append(None)
-                continue
-            px = np.frombuffer(buf, dtype=np.uint8, offset=HEADER.size)
-            widths.append(w)
-            heights.append(h)
-            means.append(round(float(px.mean()), 4) if len(px) else None)
+            w, h, mi = self._decode_one(buf)
+            widths.append(w), heights.append(h), means.append(mi)
         return (
             batch.append_column("width", pa.array(widths, pa.int32()))
             .append_column("height", pa.array(heights, pa.int32()))
@@ -74,30 +145,40 @@ class DecodeStage:
 
 
 class ResizeStage:
-    """Fake resize: subsample pixel bytes to (w//f, h//f); demonstrates a
-    payload-rewriting stage (output is a new binary column, input dropped to
-    keep blocks lean)."""
+    """Subsample to (w//f, h//f); demonstrates a payload-rewriting stage
+    (output is a new binary column, input dropped to keep blocks lean).
 
-    def __init__(self, factor: int = 2, binary_column: str = "payload"):
+    mode="real" (default): decode BMP → stride-subsample → re-encode as 8-bit
+    grayscale BMP. mode="fake": the 16-byte-header codec."""
+
+    def __init__(self, factor: int = 2, binary_column: str = "payload",
+                 mode: str = "real"):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
         self.factor = factor
         self.binary_column = binary_column
+        self.mode = mode
+
+    def _resize_one(self, buf) -> bytes | None:
+        f = self.factor
+        if self.mode == "real":
+            out = decode_bmp(buf)
+            if out is None:
+                return None
+            _w, _h, px = out
+            small = px[::f, ::f]
+            return encode_bmp_gray(np.clip(np.round(small), 0, 255).astype(np.uint8))
+        if buf is None or len(buf) < HEADER.size:
+            return None
+        magic, w, h = HEADER.unpack_from(buf)
+        if magic != MAGIC:
+            return None
+        px = np.frombuffer(buf, dtype=np.uint8, offset=HEADER.size).reshape(h, w)
+        small = px[::f, ::f]
+        return HEADER.pack(MAGIC, small.shape[1], small.shape[0]) + small.tobytes()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        f = self.factor
-        for buf in batch.column(self.binary_column).to_pylist():
-            if buf is None or len(buf) < HEADER.size:
-                out.append(None)
-                continue
-            magic, w, h = HEADER.unpack_from(buf)
-            if magic != MAGIC:
-                out.append(None)
-                continue
-            px = np.frombuffer(buf, dtype=np.uint8, offset=HEADER.size).reshape(h, w)
-            small = px[::f, ::f]
-            out.append(
-                HEADER.pack(MAGIC, small.shape[1], small.shape[0]) + small.tobytes()
-            )
+        out = [self._resize_one(b) for b in batch.column(self.binary_column).to_pylist()]
         return batch.drop_columns([self.binary_column]).append_column(
             self.binary_column, pa.array(out, pa.binary())
         )

@@ -277,19 +277,43 @@ def lsh_bucket(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 
 class LSHBucketStage:
+    """Multi-table hyperplane LSH explode: each row emits one
+    (table, bucket, id, vec, patterns) row per table. The per-table sign
+    patterns (uint64 each) are computed ONCE here and carried alongside the
+    vector, so canonical-table pair suppression downstream compares exact
+    integers instead of re-deriving float sign bits (which BLAS could round
+    differently per matrix shape)."""
+
     def __init__(self, planes: np.ndarray, vec_column: str, id_column: str):
+        # planes: (n_tables, n_planes, dim)
         self.planes = planes
         self.vec_column = vec_column
         self.id_column = id_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        n_tables = self.planes.shape[0]
         m = _normalize(batch_matrix(batch.column(self.vec_column)))
-        bucket = lsh_bucket(m, self.planes)
+        ids = batch.column(self.id_column).to_pylist()
+        n = len(ids)
+        patterns = np.zeros((n, n_tables), dtype=np.uint64)
+        for t in range(n_tables):
+            patterns[:, t] = lsh_bucket(m, self.planes[t])
+        with np.errstate(over="ignore"):
+            buckets = mix64(
+                patterns
+                ^ (np.arange(1, n_tables + 1, dtype=np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15))[None, :]
+            )
+        vec_bytes = [row.tobytes() for row in m]
+        pat_bytes = [patterns[i].tobytes() for i in range(n)]
+        tables_col = np.repeat(np.arange(n_tables, dtype=np.int32), n)
         return pa.table(
             {
-                "bucket": pa.array(bucket.view(np.int64)),
-                self.id_column: batch.column(self.id_column).combine_chunks(),
-                "vec": pa.array([row.tobytes() for row in m], pa.binary()),
+                "table": pa.array(tables_col),
+                "bucket": pa.array(buckets.T.reshape(-1).view(np.int64)),
+                self.id_column: pa.array(ids * n_tables),
+                "vec": pa.array(vec_bytes * n_tables, pa.binary()),
+                "patterns": pa.array(pat_bytes * n_tables, pa.binary()),
             }
         )
 
@@ -299,21 +323,29 @@ def cosine_near_duplicates(
     threshold: float = 0.95,
     vec_column: str = "embedding",
     id_column: str = "vec_id",
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 8,
     seed: int = 7,
     dim: int | None = None,
     concurrency=(1, 4),
 ):
-    """Embedding near-duplicate pairs via hyperplane LSH buckets.
+    """Embedding near-duplicate pairs via OR-amplified multi-table hyperplane
+    LSH: n_tables independent tables of n_planes hyperplanes each; a pair is
+    a candidate when it collides in ANY table (per-plane collision prob
+    1 − θ/π, so P(candidate) = 1 − (1 − p^n_planes)^n_tables — e.g. ≈ 0.94
+    at cosine 0.9 with 8×8, vs ≈ 0.28 for the old single 12-plane table).
+    Within-bucket exact cosine verification keeps precision at 1.
 
-    Pairs with cosine ≥ threshold mostly share all n_planes signs (collision
-    prob per plane = 1 − θ/π); recall rises as n_planes falls. Returns
-    (id_a < id_b, cosine ≥ threshold) — within-bucket exact verification.
-    """
+    Canonical-table emission (the minhash_near_duplicates trick): a pair is
+    emitted only by the FIRST table in which it collides — earlier-table sign
+    patterns are carried as exact uint64s — so the pair set is unique with no
+    pair-dedup shuffle. Returns (id_a < id_b, cosine ≥ threshold)."""
     if dim is None:
         first = ds.take(1)[0]
         dim = len(first[vec_column])
-    planes = hyperplanes(dim, n_planes, seed)
+    planes = np.stack(
+        [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )
 
     exploded = ds.map_batches(
         LSHBucketStage,
@@ -325,17 +357,47 @@ def cosine_near_duplicates(
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        table_ix = int(group["table"].iloc[0])
         g = group.drop_duplicates(id_column).sort_values(id_column)
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
         m = np.stack([np.frombuffer(v, dtype=np.float32) for v in g["vec"]])
         ids = g[id_column].to_numpy()
-        sims = m @ m.T
         ia, ib = np.triu_indices(len(g), k=1)
-        s = sims[ia, ib]
+        if table_ix > 0:
+            pats = np.stack(
+                [np.frombuffer(p, dtype=np.uint64) for p in g["patterns"]]
+            )[:, :table_ix]
+            fresh = ~(pats[ia] == pats[ib]).any(axis=1)
+            ia, ib = ia[fresh], ib[fresh]
+        if len(ia) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        s = np.einsum("ij,ij->i", m[ia], m[ib])
         keep = s >= threshold
         return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": s[keep]}
+            {
+                "id_a": ids[ia[keep]].astype(np.int64),
+                "id_b": ids[ib[keep]].astype(np.int64),
+                "cosine": s[keep].astype(np.float64),
+            }
         )
 
-    return exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    from fdpg_query_data_validation_ray.stages.dedup import _sieve_multi_buckets
+
+    sieved, _n = _sieve_multi_buckets(exploded, "bucket")
+    if sieved is None:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        )
+    return sieved.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")

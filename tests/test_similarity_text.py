@@ -141,7 +141,7 @@ def test_multimodal_decode_and_resize(ray_session):
 
     resized = (
         ds.map_batches(
-            ResizeStage, fn_constructor_kwargs=dict(factor=2),
+            ResizeStage, fn_constructor_kwargs=dict(factor=2, mode="fake"),
             batch_format="pyarrow", batch_size=8, concurrency=2,
         )
         .map_batches(
@@ -154,7 +154,101 @@ def test_multimodal_decode_and_resize(ray_session):
     assert (ok2["width"] == 16).all() and (ok2["height"] == 8).all()
 
 
-def test_multimodal_real_mode_is_stubbed():
-    with pytest.raises(NotImplementedError, match="decode"):
-        DecodeStage(mode="real")(pa.table({"payload": [b"x"]}))
+def test_multimodal_real_bmp_codec(ray_session):
+    """mode='real' decodes an actual image format: spec-conformant 8-bit
+    grayscale BMPs round-trip through encode → resize → decode with exact
+    dimensions and pixel means; garbage payloads yield null metadata."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.multimodal import (
+        decode_bmp,
+        encode_bmp_gray,
+    )
+
+    # golden: a known 3x2 image round-trips exactly
+    px = np.array([[0, 128, 255], [10, 20, 30]], dtype=np.uint8)
+    buf = encode_bmp_gray(px)
+    w, h, back = decode_bmp(buf)
+    assert (w, h) == (3, 2)
+    np.testing.assert_array_equal(back.astype(np.uint8), px)
+    # header facts: BM magic, 8 bpp, BI_RGB
+    assert buf[:2] == b"BM"
+
+    rows = []
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        img = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+        rows.append({"img_id": i, "payload": encode_bmp_gray(img), "want": float(img.mean())})
+    rows.append({"img_id": 99, "payload": b"JFIF not a bmp", "want": None})
+    rows.append({"img_id": 100, "payload": None, "want": None})
+    ds = rd.from_items(rows)
+    out = (
+        ds.map_batches(
+            ResizeStage, fn_constructor_kwargs=dict(factor=2, mode="real"),
+            batch_format="pyarrow", batch_size=8, concurrency=2,
+        )
+        .map_batches(
+            DecodeStage, fn_constructor_kwargs=dict(mode="real"),
+            batch_format="pyarrow", batch_size=8, concurrency=2,
+        )
+        .to_pandas()
+    )
+    ok = out[out["img_id"] < 99]
+    assert (ok["width"] == 16).all() and (ok["height"] == 8).all()
+    # subsampled mean stays near the original mean
+    assert (ok["mean_intensity"] - ok["want"]).abs().max() < 20
+    bad = out[out["img_id"] >= 99]
+    assert bad["width"].isna().all() and bad["mean_intensity"].isna().all()
+
+
+def test_frame_sample_plan():
     assert frame_sample_plan(10, 3) == [0, 3, 6, 9]
+
+
+def test_cosine_lsh_multitable_recall_and_uniqueness(ray_session):
+    """OR-amplified multi-table LSH recall vs brute force at threshold 0.9
+    (VERDICT r1 item 5): the default 8 planes x 8 tables config must recover
+    >= 0.9 of the true pairs (expected candidate prob at cosine exactly 0.9 is
+    1-(1-0.8564^8)^8 ~ 0.935, higher above), with an exactly-unique pair set
+    (canonical-table emission) and precision 1 (exact in-bucket verify)."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.similarity import (
+        _normalize,
+        cosine_near_duplicates,
+    )
+
+    rng = np.random.default_rng(123)
+    n_base, d = 150, 32
+    base = _normalize(rng.standard_normal((n_base, d)).astype(np.float32))
+    vecs, true_pairs = [], set()
+    vid = 0
+    ids_of = []
+    for i in range(n_base):
+        vecs.append(base[i]); ids_of.append(vid); a = vid; vid += 1
+        # perturbed twin with high cosine (mix of easy and near-threshold)
+        # cosine(base, twin) ~ 1/sqrt(1 + eps^2 * d): eps 0.05..0.09 at d=32
+        # gives cosines ~0.96 down to ~0.89, straddling the 0.9 threshold
+        eps = 0.05 + 0.04 * (i % 4) / 3
+        twin = _normalize((base[i] + eps * rng.standard_normal(d).astype(np.float32))[None])[0]
+        c = float(twin @ base[i])
+        vecs.append(twin); b = vid; vid += 1
+        if c >= 0.9:
+            true_pairs.add((a, b))
+    m = np.stack(vecs)
+    # brute-force ground truth (all pairs, incl. accidental cross pairs)
+    sims = m @ m.T
+    ia, ib = np.triu_indices(len(m), k=1)
+    truth = {(int(a), int(b)) for a, b in zip(ia[sims[ia, ib] >= 0.9], ib[sims[ia, ib] >= 0.9])}
+    assert len(truth) >= 60  # enough signal
+
+    t = pa.table({"vec_id": list(range(len(m))), "embedding": [r.tolist() for r in m]})
+    pairs = cosine_near_duplicates(
+        rd.from_arrow(t).repartition(4), threshold=0.9, dim=d
+    ).to_pandas()
+    got = list(zip(pairs["id_a"], pairs["id_b"]))
+    assert len(got) == len(set(got))  # exactly unique, no pair-dedup needed
+    got_set = set(got)
+    assert got_set <= truth  # precision 1 (exact verify)
+    recall = len(got_set & truth) / len(truth)
+    assert recall >= 0.9, recall
