@@ -28,8 +28,10 @@ import subprocess
 import sys
 import time
 
-SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# GRAFT_SF_DIR / RAY_GRAFT_CPUS are the external bench driver's interface
+# (it sets them per round); QDV_* aliases take precedence for local use
+SF_DIR = os.environ.get("QDV_SF_DIR") or os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("QDV_CPUS") or os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # Headline pipelines: the flagship validation run plus one representative per
 # operator family (row checks, dedup-count agg, uniqueness shuffle, FK
@@ -143,7 +145,7 @@ def run_suite(names: list[str], sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "3000000"))
+SCALING_ROWS = int(os.environ.get("QDV_SCALING_ROWS") or os.environ.get("GRAFT_SCALING_ROWS", "3000000"))
 SCALING_DIR = "/tmp/qdv_scaling_corpus"
 SCALING_FILES = 32
 SCALING_PARTITIONS = 8

@@ -58,11 +58,39 @@ def dedup_issues(violation_rows) -> list[dict]:
     return out
 
 
+def distribution_by_system(
+    merged_partials: dict[str, ColumnPartial], code_systems: dict
+) -> dict:
+    """Nested per-code-system distribution (reference analyse_distribution's
+    path-template → code-system → count shape, extraction/main.py:270-293):
+    each configured column's value counts are split by which value set each
+    value belongs to, with an __unmatched__ bucket. Deterministic: all keys
+    sorted; a value in several systems is counted under each."""
+    from fdpg_query_data_validation_ray.pipelines.validate import ValidationPlan
+
+    out: dict = {}
+    for col, systems in sorted(code_systems.items()):
+        p = merged_partials.get(col)
+        counts = dict(p.cat_counts) if p is not None and p.cat_counts else {}
+        rep: dict = {}
+        matched: set = set()
+        for name, spec in sorted(systems.items()):
+            vs = set(ValidationPlan._resolve_system_values(spec))
+            sub = {v: c for v, c in sorted(counts.items()) if v in vs}
+            matched |= set(sub)
+            rep[name] = {"count": sum(sub.values()), "values": sub}
+        um = {v: c for v, c in sorted(counts.items()) if v not in matched}
+        rep["__unmatched__"] = {"count": sum(um.values()), "values": um}
+        out[col] = rep
+    return out
+
+
 def build_report(
     manifest: RunManifest,
     merged_partials: dict[str, ColumnPartial],
     global_violations: list[dict],
     config_hash: str,
+    code_systems: dict | None = None,
 ) -> dict:
 
     from fdpg_query_data_validation_ray.pipelines.validate import (
@@ -113,6 +141,9 @@ def build_report(
     return {
         "config_hash": config_hash,
         "distribution": dist,
+        "distribution_by_system": distribution_by_system(
+            merged_partials, code_systems or {}
+        ),
         "quantiles_approx": quantiles,
         "validation": validation,
         "general": general,

@@ -140,6 +140,11 @@ class ValidationPlan:
     stats_columns: list[str] | None = None
     categorical: list[str] = field(default_factory=list)
     content_column: str | None = None  # set → per-row sha256 digests emitted
+    # per-code-system distribution split (reference: analyse_distribution
+    # counts per search-path per code system, extraction/main.py:270-293):
+    # {column: {system_name: [values...] | "path/to/value_set_file"}} — the
+    # column must also be listed in `categorical` so its value counts exist
+    code_systems: dict = field(default_factory=dict)
 
     def key_columns(self) -> tuple[str, ...]:
         s = self.suite or self.registry.default
@@ -164,8 +169,37 @@ class ValidationPlan:
             "stats_columns": self.stats_columns,
             "categorical": self.categorical,
             "content_column": self.content_column,
+            # value-set FILES hash by content (not path): republishing a set
+            # changes the config hash → resume refuses stale checkpoints
+            "value_set_files": self._value_set_file_hashes(),
+            "code_systems": {
+                col: {name: list(self._resolve_system_values(spec))
+                      for name, spec in sorted(systems.items())}
+                for col, systems in sorted(self.code_systems.items())
+            },
         }
         return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
+
+    @staticmethod
+    def _resolve_system_values(spec) -> list[str]:
+        from fdpg_query_data_validation_ray.rules import load_value_set
+
+        if isinstance(spec, str):
+            return list(load_value_set(spec))
+        return [str(v) for v in spec]
+
+    def _value_set_file_hashes(self) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for s in _plan_suites(self):
+            for r in s.rules:
+                vf = r.params.get("values_file") if r.kind == "in_set" else None
+                if vf and vf not in out:
+                    try:
+                        with open(vf, "rb") as f:
+                            out[vf] = hashlib.sha256(f.read()).hexdigest()[:16]
+                    except OSError:
+                        out[vf] = "missing"
+        return out
 
 
 class CheckAndProfile:
@@ -497,7 +531,10 @@ def run_validation(
     from fdpg_query_data_validation_ray.pipelines.report import build_report
     from fdpg_query_data_validation_ray.pipelines.report_md import write_markdown_report
 
-    report = build_report(manifest, merged_partials, global_violations, cfg_hash)
+    report = build_report(
+        manifest, merged_partials, global_violations, cfg_hash,
+        code_systems=plan.code_systems,
+    )
     RunManifest._atomic_json(report_path, report)
     RunManifest._atomic_json(
         meta_path, {"config_hash": cfg_hash, "partitions_hash": partitions_hash}

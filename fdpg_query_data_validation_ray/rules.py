@@ -19,7 +19,9 @@ test_profiles.py:190).
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import Any
 
 from fdpg_query_data_validation_ray.schema import SEVERITIES
@@ -120,8 +122,55 @@ def regex(column: str, pattern: str, severity: str = "error") -> Rule:
     return Rule("regex", column, severity, {"pattern": pattern})
 
 
-def in_set(column: str, values: list, severity: str = "error") -> Rule:
-    return Rule("in_set", column, severity, {"values": list(values)})
+def in_set(
+    column: str,
+    values: list | None = None,
+    severity: str = "error",
+    values_file: str | None = None,
+) -> Rule:
+    """Membership in a value set: literal `values`, a `values_file`, or both
+    (union). The file analog of the reference's ValueSet expansions mounted
+    into the terminology service (docker-compose.yml:40-42,
+    value_sets/README.md): .json holds a JSON array, anything else is one
+    value per line. File CONTENT is hashed into the run's config_hash
+    (ValidationPlan.config_hash), so lineage changes when the set changes."""
+    if values is None and values_file is None:
+        raise ValueError("in_set needs values and/or values_file")
+    params: dict = {"values": list(values or [])}
+    if values_file is not None:
+        params["values_file"] = values_file
+    return Rule("in_set", column, severity, params)
+
+
+def load_value_set(path: str) -> tuple[str, ...]:
+    """Load (and memoize per path+mtime) a value-set file. Memoization keys
+    on mtime so long-lived actors pick up republished sets on restart while
+    never re-reading per batch."""
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    return _load_value_set_cached(path, mtime)
+
+
+@lru_cache(maxsize=128)
+def _load_value_set_cached(path: str, _mtime: int) -> tuple[str, ...]:
+    with open(path) as f:
+        if path.endswith(".json"):
+            vals = json.load(f)
+        else:
+            vals = [ln.strip() for ln in f if ln.strip()]
+    return tuple(str(v) for v in vals)
+
+
+def resolve_in_set_values(rule: Rule) -> list[str]:
+    """Literal values + file values for an in_set rule (file loaded once per
+    process via the memo)."""
+    vals = [str(v) for v in rule.params.get("values", [])]
+    vf = rule.params.get("values_file")
+    if vf:
+        vals = vals + list(load_value_set(vf))
+    return vals
 
 
 def length_range(

@@ -95,7 +95,9 @@ def rule_violation_mask(rule: Rule, table: pa.Table) -> pa.ChunkedArray:
         ok = pc.match_substring_regex(col, anchored)
         return pc.and_(valid, pc.invert(pc.fill_null(ok, True)))
     if rule.kind == "in_set":
-        vals = pa.array(rule.params["values"], type=pa.string())
+        from fdpg_query_data_validation_ray.rules import resolve_in_set_values
+
+        vals = pa.array(resolve_in_set_values(rule), type=pa.string())
         target = _stringify(col)
         ok = pc.is_in(target, value_set=vals)
         return pc.and_(valid, pc.invert(ok))
@@ -263,6 +265,13 @@ class RowChecker:
             for r in s.row_rules:
                 if r.kind == "regex":
                     re.compile(r.params["pattern"])
+                elif r.kind == "in_set" and r.params.get("values_file"):
+                    # load value-set files once per actor (memoized)
+                    from fdpg_query_data_validation_ray.rules import (
+                        resolve_in_set_values,
+                    )
+
+                    resolve_in_set_values(r)
 
     def __call__(self, table: pa.Table) -> pa.Table:
         if self.suite is not None:

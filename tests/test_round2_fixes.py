@@ -69,3 +69,75 @@ def test_global_phase_cache_key_uses_verdict_content(tmp_path):
     fail_b = {"complete": True, "failed": True, "metrics": {"failed": True},
               "lineage": {}, "passed": False, "error": "ValueError: y"}
     assert key_for(fail_a) != key_for(fail_b)
+
+
+def test_in_set_values_file_and_lineage(ray_session, tmp_path):
+    """Value-set file loader (reference: value_sets/ mounted into the
+    terminology service): in_set resolves file + literal union, and the run's
+    config_hash tracks the file CONTENT, not just the path."""
+    import pyarrow as pa
+
+    from fdpg_query_data_validation_ray.pipelines.validate import ValidationPlan
+    from fdpg_query_data_validation_ray.rules import Suite, in_set
+    from fdpg_query_data_validation_ray.stages.row_checks import RowChecker
+
+    vf = tmp_path / "langs.txt"
+    vf.write_text("en\nde\n")
+    suite = Suite(
+        "s", [in_set("lang", values=["fr"], values_file=str(vf))],
+        key_columns=("doc_id",),
+    )
+    checker = RowChecker(suite=suite)
+    t = pa.table({"doc_id": [1, 2, 3, 4], "lang": ["en", "de", "fr", "xx"]})
+    v = checker(t)
+    assert v.num_rows == 1 and v["actual"].to_pylist() == ["xx"]
+
+    h1 = ValidationPlan(suite=suite).config_hash()
+    vf.write_text("en\nde\nxx\n")  # republished set, same path
+    h2 = ValidationPlan(suite=suite).config_hash()
+    assert h1 != h2
+    # and the checker picks up the new content (mtime-keyed memo)
+    v2 = RowChecker(suite=suite)(t)
+    assert v2.num_rows == 0
+
+    # json array format
+    vj = tmp_path / "langs.json"
+    vj.write_text('["en", "de"]')
+    s2 = Suite("s2", [in_set("lang", values_file=str(vj))], key_columns=("doc_id",))
+    v3 = RowChecker(suite=s2)(t)
+    assert sorted(v3["actual"].to_pylist()) == ["fr", "xx"]
+
+
+def test_distribution_by_system_report(ray_session, tmp_path):
+    """Per-code-system distribution split (reference analyse_distribution's
+    nested path → system → count shape)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fdpg_query_data_validation_ray.pipelines.validate import (
+        ValidationPlan,
+        run_validation,
+    )
+    from fdpg_query_data_validation_ray.rules import Rule, Suite
+
+    t = pa.table(
+        {
+            "doc_id": list(range(8)),
+            "lang": ["en", "en", "de", "fr", "fr", "fr", "xx", "yy"],
+        }
+    )
+    f = str(tmp_path / "in.parquet")
+    pq.write_table(t, f)
+    vs = tmp_path / "romance.txt"
+    vs.write_text("fr\nes\n")
+    plan = ValidationPlan(
+        suite=Suite("s", [Rule("not_null", "lang")], key_columns=("doc_id",)),
+        stats_columns=["lang"],
+        categorical=["lang"],
+        code_systems={"lang": {"germanic": ["en", "de"], "romance": str(vs)}},
+    )
+    report = run_validation([f], str(tmp_path / "out"), plan, num_partitions=1)
+    d = report["distribution_by_system"]["lang"]
+    assert d["germanic"] == {"count": 3, "values": {"de": 1, "en": 2}}
+    assert d["romance"] == {"count": 3, "values": {"fr": 3}}
+    assert d["__unmatched__"] == {"count": 2, "values": {"xx": 1, "yy": 1}}
