@@ -134,7 +134,7 @@ def run_suite(names: list[str], sf_dir: str, num_cpus: int) -> dict:
         rows[name] = _consume(fn(sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
-    return {
+    out = {
         "metric": "headline pipeline wall time (validation + dedup + stats + agg suite)",
         "value": total,
         "unit": "sec",
@@ -143,6 +143,43 @@ def run_suite(names: list[str], sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "rows": rows,
     }
+    prev = _previous_bench_queries()
+    if prev:
+        fname, prev_q = prev
+        # per-query delta vs the latest recorded round. The sandbox's shared
+        # CPUs vary ~2.5× between windows (BASELINE.md protocol note), so
+        # read ratios as trends, not regressions — confirm any suspect with
+        # the interleaved-minimum protocol before acting.
+        out["prev_bench"] = fname
+        out["speedup_vs_prev"] = {
+            q: round(prev_q[q] / t, 2)
+            for q, t in timings.items()
+            if q in prev_q and t > 0
+        }
+    return out
+
+
+def _previous_bench_queries() -> tuple[str, dict] | None:
+    """Latest BENCH_r*.json's per-query timings (driver-recorded rounds)."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not cands:
+        return None
+    path = cands[-1]
+    try:
+        d = json.load(open(path))
+        q = (d.get("parsed") or {}).get("queries") or d.get("queries")
+        if isinstance(q, dict) and q:
+            return os.path.basename(path), q
+    except (OSError, json.JSONDecodeError):
+        pass
+    return None
 
 
 SCALING_ROWS = int(os.environ.get("QDV_SCALING_ROWS") or os.environ.get("GRAFT_SCALING_ROWS", "3000000"))

@@ -836,33 +836,26 @@ def _uniqueness_from_artifacts_distributed(
     cand = np.sort(np.concatenate(cand_chunks))
     cand_ref = ray.put(cand)
 
-    class PickKeyhash:
-        def __init__(self, ref):
-            self.cand = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            kh = t["khash"].to_numpy()
-            ix = np.searchsorted(self.cand, kh)
-            ix[ix == len(self.cand)] = 0
-            part = t.filter(pa.array(self.cand[ix] == kh))
-            if not part.num_rows:
-                return pa.table(
-                    {"gkey": pa.array([], pa.string()),
-                     "row_key": pa.array([], pa.string()),
-                     "count_all": pa.array([], pa.int64())}
-                )
-            gk = _grouping_key(part)
-            return gk.group_by(["gkey"]).aggregate(
-                [("row_key", "min"), ([], "count_all")]
-            ).rename_columns(["gkey", "row_key", "count_all"])
+    def pick_keyhash(t: pa.Table) -> pa.Table:
+        # task fn: ray.get of the broadcast array is a zero-copy local read
+        c = ray.get(cand_ref)
+        kh = t["khash"].to_numpy()
+        ix = np.searchsorted(c, kh)
+        ix[ix == len(c)] = 0
+        part = t.filter(pa.array(c[ix] == kh))
+        if not part.num_rows:
+            return pa.table(
+                {"gkey": pa.array([], pa.string()),
+                 "row_key": pa.array([], pa.string()),
+                 "count_all": pa.array([], pa.int64())}
+            )
+        gk = _grouping_key(part)
+        return gk.group_by(["gkey"]).aggregate(
+            [("row_key", "min"), ([], "count_all")]
+        ).rename_columns(["gkey", "row_key", "count_all"])
 
     g_ds = (
-        ds.map_batches(
-            PickKeyhash,
-            fn_constructor_kwargs=dict(ref=cand_ref),
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
+        ds.map_batches(pick_keyhash, batch_format="pyarrow")
         .groupby("gkey")
         .aggregate(
             Min("row_key", alias_name="row_key"),

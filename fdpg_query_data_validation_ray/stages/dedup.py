@@ -117,25 +117,16 @@ def _sieve_multi_buckets(exploded, bucket_column: str, mode: str = "auto"):
         return None, 0
     multi_ref = ray.put(multi)
 
-    class KeepMulti:
-        def __init__(self, ref):
-            self.multi = ray.get(ref)
+    def keep_multi(batch: pa.Table) -> pa.Table:
+        # task fn: ray.get of the broadcast array is a zero-copy local
+        # object-store read (no actor-pool startup latency)
+        m = ray.get(multi_ref)
+        kh = batch[bucket_column].to_numpy()
+        ix = np.searchsorted(m, kh)
+        ix[ix == len(m)] = 0
+        return batch.filter(pa.array(m[ix] == kh))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            kh = batch[bucket_column].to_numpy()
-            ix = np.searchsorted(self.multi, kh)
-            ix[ix == len(self.multi)] = 0
-            return batch.filter(pa.array(self.multi[ix] == kh))
-
-    return (
-        exploded.map_batches(
-            KeepMulti,
-            fn_constructor_kwargs=dict(ref=multi_ref),
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        ),
-        len(multi),
-    )
+    return exploded.map_batches(keep_multi, batch_format="pyarrow"), len(multi)
 
 
 def drop_schemaless_empty_blocks(ds):
@@ -495,14 +486,14 @@ def minhash_near_duplicates(
     expensive full-signature verify for a hot near-identical clique in all but
     one band (~bands× less quadratic work on skewed corpora).
     """
+    # task-based: the stage instance is a few ints/strings, so plain tasks
+    # avoid actor-pool startup latency (the old pool cost ~1.5s per query)
     exploded = ds.map_batches(
-        MinHashLSH,
-        fn_constructor_kwargs=dict(
+        MinHashLSH(
             text_column=text_column, id_column=id_column,
             shingle_n=shingle_n, bands=bands,
         ),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -613,10 +604,8 @@ def simhash_near_duplicates(
     is unique with no pair-dedup shuffle and hot cliques cost quadratic verify
     in one band instead of four."""
     exploded = ds.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs=dict(text_column=text_column, id_column=id_column),
+        SimHashStage(text_column=text_column, id_column=id_column),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:

@@ -347,13 +347,10 @@ def cosine_near_duplicates(
         [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     )
 
+    # task-based: planes are ~16KB, cheap to ship per task; avoids pool startup
     exploded = ds.map_batches(
-        LSHBucketStage,
-        fn_constructor_kwargs=dict(
-            planes=planes, vec_column=vec_column, id_column=id_column
-        ),
+        LSHBucketStage(planes=planes, vec_column=vec_column, id_column=id_column),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:

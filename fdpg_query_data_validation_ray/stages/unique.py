@@ -145,22 +145,22 @@ def candidate_dup_hashes_shuffle(ds, key_columns: list[str]) -> np.ndarray:
     return np.sort(np.concatenate(chunks))
 
 
-class PickCandidates:
-    """Actor-pool stage: binary-search each row's key hash against the
-    broadcast candidate array (fetched once per actor)."""
+def make_candidate_picker(hset_ref, key_columns: list[str]):
+    """Broadcast membership filter as a TASK fn: the candidate array is
+    `ray.put` once and `ray.get` per task — a zero-copy read from the local
+    object store, so plain tasks beat an actor pool (no pool startup latency,
+    same no-reshipping guarantee)."""
 
-    def __init__(self, hset_ref, key_columns: list[str]):
+    def pick(batch: pa.Table) -> pa.Table:
         import ray
 
-        self.hset = ray.get(hset_ref)
-        self.key_columns = key_columns
+        hset = ray.get(hset_ref)
+        kh = key_hash(batch, key_columns).view(np.int64)
+        ix = np.searchsorted(hset, kh)
+        ix[ix == len(hset)] = 0
+        return batch.filter(pa.array(hset[ix] == kh))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        kh = key_hash(batch, self.key_columns).view(np.int64)
-        ix = np.searchsorted(self.hset, kh)
-        ix[ix == len(self.hset)] = 0
-        mask = self.hset[ix] == kh
-        return batch.filter(pa.array(mask))
+    return pick
 
 
 def duplicate_keys(
@@ -188,40 +188,64 @@ def duplicate_keys(
 
     hset_ref = ray.put(cand)
     picked = ds.map_batches(
-        PickCandidates,
-        fn_constructor_kwargs=dict(hset_ref=hset_ref, key_columns=key_columns),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        make_candidate_picker(hset_ref, key_columns), batch_format="pyarrow"
     )
 
-    # pass 2: distributed exact count by TRUE key values — per-batch partial
-    # counts (collapses each batch's share of a hot key to one row), then a
-    # Ray groupby over only the candidate keys. No driver concat: a corpus
-    # that is 50% duplicates still ships only (key, partial-count) rows.
+    # pass 2: exact count by TRUE key values, never a driver concat of
+    # duplicate ROWS — per-batch pyarrow partial counts collapse each batch's
+    # share of a hot key to one (key, partial-count) row, then either:
+    # - candidate set small (the usual case): stream the partials to the
+    #   driver and merge INCREMENTALLY — the running buffer re-aggregates
+    #   whenever it exceeds ~4× the candidate count, so driver memory is
+    #   O(candidates) regardless of input rows or duplicate density;
+    # - candidate set large: a Ray groupby over the partials (pays the
+    #   shuffle constant only when the result itself is shuffle-sized).
     def count_partial(batch: pa.Table) -> pa.Table:
         return batch.select(key_columns).group_by(key_columns).aggregate(
             [([], "count_all")]
         )
 
-    totals = (
-        picked.map_batches(count_partial, batch_format="pyarrow")
-        .groupby(key_columns)
-        .aggregate(Sum("count_all", alias_name=count_name))
-    )
-    parts = [
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in totals.iter_batches(batch_format="pyarrow")
-    ]
-    parts = [p for p in parts if p.num_rows]
-    if not parts:
+    partials = picked.map_batches(count_partial, batch_format="pyarrow")
+    if len(cand) <= 5_000_000:
+        g = _merge_partials_driver(partials, key_columns, cap=max(4 * len(cand), 65_536))
+    else:
+        totals = partials.groupby(key_columns).aggregate(
+            Sum("count_all", alias_name="count_all")
+        )
+        parts = [
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in totals.iter_batches(batch_format="pyarrow")
+        ]
+        parts = [p for p in parts if p.num_rows]
+        g = pa.concat_tables(parts).combine_chunks() if parts else None
+    if g is None or g.num_rows == 0:
         return _empty_result(ds, key_columns, count_name)
-    g = pa.concat_tables(parts).combine_chunks()
-    g = g.filter(pc.greater(g[count_name], 1))
+    g = g.filter(pc.greater(g["count_all"], 1))
     if g.num_rows == 0:
         return _empty_result(ds, key_columns, count_name)
+    g = g.rename_columns(key_columns + [count_name])
     return g.select(key_columns + [count_name]).sort_by(
         [(c, "ascending") for c in key_columns]
     )
+
+
+def _merge_partials_driver(partials, key_columns: list[str], cap: int) -> pa.Table | None:
+    """Incrementally merge streamed (key, count_all) partial tables with
+    bounded driver memory: re-aggregate whenever the buffer exceeds `cap`
+    rows (the merged result can never exceed the candidate-key count)."""
+    def regroup(t: pa.Table) -> pa.Table:
+        out = t.group_by(key_columns).aggregate([("count_all", "sum")])
+        return out.rename_columns(key_columns + ["count_all"])
+
+    buf: pa.Table | None = None
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if not t.num_rows:
+            continue
+        buf = t if buf is None else pa.concat_tables([buf, t])
+        if buf.num_rows > cap:
+            buf = regroup(buf.combine_chunks())
+    return regroup(buf.combine_chunks()) if buf is not None else None
 
 
 def uniqueness_violations(ds, key_columns: list[str], severity: str = "error"):
