@@ -298,7 +298,7 @@ def _scaling_child(num_cpus: int, _unused: str) -> None:
     ray.shutdown()
 
 
-def run_scaling(sf_dir: str, reps: int = 2) -> dict:
+def run_scaling(sf_dir: str, reps: int = 3) -> dict:
     """Fresh ray session at 8 CPUs and 32 CPUs; efficiency = (T32/T8)/4.
 
     Runs alternate (8, 32, 8, 32, …) and each config keeps its MINIMUM wall

@@ -248,34 +248,27 @@ class CheckAndProfile:
                 }
             )
             parts.append(_pad_to_union(digest, "digest"))
-        if self.plan.unique_keys:
-            # per-row 64-bit key hash + joined key string, persisted into the
-            # partition artifact: the global uniqueness phase sieves THESE —
-            # the input is never re-scanned or re-hashed (it was all just in
-            # cache here), and resume gets uniqueness inputs for free
-            from fdpg_query_data_validation_ray.stages.unique import key_hash
-
-            import numpy as np
-
-            from fdpg_query_data_validation_ray.stages.row_checks import (
-                key_encode_array,
-            )
-
-            kh = key_hash(batch, list(self.plan.unique_keys))
-            keyrec = pa.table(
-                {
-                    "row_key": pc.cast(
-                        row_key_array(batch, tuple(self.plan.unique_keys)), pa.string()
-                    ),
-                    "key_enc": pc.cast(
-                        key_encode_array(batch, tuple(self.plan.unique_keys)),
-                        pa.string(),
-                    ),
-                    "khash": pa.array(kh.view(np.int64)),
-                }
-            )
-            parts.append(_pad_to_union(keyrec, "keyhash"))
         return pa.concat_tables(parts)
+
+
+def _keyrec_table(batch: pa.Table, unique_keys: list[str]) -> pa.Table:
+    """Per-row uniqueness record: display row_key, unambiguous key_enc, and
+    the 64-bit key hash."""
+    import numpy as np
+
+    from fdpg_query_data_validation_ray.stages.row_checks import key_encode_array
+    from fdpg_query_data_validation_ray.stages.unique import key_hash
+
+    kh = key_hash(batch, list(unique_keys))
+    return pa.table(
+        {
+            "row_key": pc.cast(row_key_array(batch, tuple(unique_keys)), pa.string()),
+            "key_enc": pc.cast(
+                key_encode_array(batch, tuple(unique_keys)), pa.string()
+            ),
+            "khash": pa.array(kh.view(np.int64)),
+        }
+    )
 
 
 def _plan_partitions(files: list[str], num_partitions: int) -> dict[str, list[str]]:
@@ -345,6 +338,23 @@ def _run_one_partition(
         concurrency=concurrency,
     )
     combined.write_parquet(os.path.join(tmp_dir, "combined"))
+
+    if plan.unique_keys:
+        # keyhash records live in their OWN compact parquet (3 columns, big
+        # row groups), NOT in the tagged union: the global uniqueness phase
+        # scans them twice, and the union's mixed row groups made that scan
+        # decode every digest row's strings too (~8x the bytes). Built from a
+        # column-pruned re-read of the input (only the key columns leave
+        # storage — far cheaper than fattening every union block).
+        uk = list(plan.unique_keys)
+        rd.read_parquet(files, columns=uk).map_batches(
+            lambda t: _keyrec_table(t, uk), batch_format="pyarrow"
+        ).write_parquet(
+            os.path.join(tmp_dir, "keyhash"),
+            # few fat files per partition: the global phase scans these twice,
+            # and per-file open/metadata cost dominated with block-sized files
+            min_rows_per_file=1_000_000,
+        )
 
     # schema-level dtype rules: one check per input FILE (footer schema read,
     # no data IO) — deterministic under any batch size / parallelism
@@ -540,6 +550,9 @@ def run_validation(
         meta_path, {"config_hash": cfg_hash, "partitions_hash": partitions_hash}
     )
     write_markdown_report(report, os.path.join(out_dir, "report.md"))
+    from fdpg_query_data_validation_ray.pipelines.report_pdf import write_pdf_report
+
+    write_pdf_report(report, os.path.join(out_dir, "report.pdf"))
     return report
 
 
@@ -738,9 +751,17 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
     if mode == "shuffle":
         return _uniqueness_from_artifacts_distributed(manifest, unique_keys)
 
-    # pass A: hashes only (8 B/row at the driver — the documented envelope)
-    hash_chunks = scan_partition_artifacts(
-        manifest, "keyhash", ["khash"], transform=lambda t: t["khash"].to_numpy()
+    # Both passes run as RAY TASKS over the artifact files (parquet decode
+    # parallelized across every core — a driver thread pool caps at ~8 GIL
+    # -sharing threads and was the flagship's Amdahl bottleneck: ~5-11 s of
+    # the 3M-row run was this serial phase); the driver only merges
+    # pre-collapsed partials with vectorized numpy.
+    # pass A: hashes only (8 B/row at the driver — the documented envelope);
+    # per-FILE thread-pool scan of the compact keyhash artifacts (parquet
+    # decode releases the GIL; file-level parallelism beats a Ray pipeline
+    # here — Dataset construction alone costs seconds over many files)
+    hash_chunks = _keyhash_scan_threaded(
+        manifest, ["khash"], lambda t: t["khash"].to_numpy()
     )
     hash_chunks = [c for c in hash_chunks if len(c)]
     if not hash_chunks:
@@ -750,7 +771,8 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
     if len(cand) == 0:
         return []
 
-    # pass B: re-scan per partition, keep ONLY candidate rows' key strings
+    # pass B: re-scan, keep ONLY candidate rows' key strings, per-file exact
+    # grouping partials → tiny driver merge
     def pick(t: pa.Table):
         if not t.num_rows:
             return None
@@ -758,39 +780,137 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
         ix = np.searchsorted(cand, kh)
         ix[ix == len(cand)] = 0
         part = t.filter(pa.array(cand[ix] == kh))
-        return _grouping_key(part) if part.num_rows else None
+        if not part.num_rows:
+            return None
+        gk = _grouping_key(part)
+        return gk.group_by(["gkey"]).aggregate(
+            [("row_key", "min"), ([], "count_all")]
+        ).rename_columns(["gkey", "row_key", "count_all"])
 
     picked_parts = [
         p
-        for p in scan_partition_artifacts(
-            manifest, "keyhash", ["row_key", "key_enc", "khash"], transform=pick
+        for p in _keyhash_scan_threaded(
+            manifest, ["row_key", "key_enc", "khash"], pick
         )
         if p is not None
     ]
     if not picked_parts:
         return []
     picked = pa.concat_tables(picked_parts).combine_chunks()
-    g = picked.group_by(["gkey"]).aggregate([("row_key", "min"), ([], "count_all")])
-    g = g.filter(pc.greater(g["count_all"], 1)).rename_columns(
+    g = picked.group_by(["gkey"]).aggregate(
+        [("row_key", "min"), ("count_all", "sum")]
+    )
+    g = g.filter(pc.greater(g["count_all_sum"], 1)).rename_columns(
         ["gkey", "row_key", "count_all"]
     )
     return _uniqueness_violation_rows(g, unique_keys)
 
 
-def _keyhash_artifact_files(manifest: RunManifest) -> list[str]:
+def _keyhash_scan_threaded(manifest: RunManifest, columns: list[str], transform):
+    """Thread-pool scan of keyhash records: one task per compact
+    `keyhash/*.parquet` file (this version's layout), one per legacy
+    partition's union dir (filtered; key_enc padded null when the old schema
+    predates it). `transform(table) -> Any` runs inside the worker thread."""
     import glob
+    from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
-    files = []
+    work: list[tuple[str, str]] = []
     for pid in manifest.completed_partitions():
-        d = os.path.join(manifest.partition_dir(pid), "combined")
+        pdir = manifest.partition_dir(pid)
+        kf = sorted(
+            glob.glob(os.path.join(glob.escape(os.path.join(pdir, "keyhash")), "*.parquet"))
+        )
+        if kf:
+            work.extend(("compact", f) for f in kf)
+        elif os.path.isdir(os.path.join(pdir, "combined")):
+            work.append(("legacy", os.path.join(pdir, "combined")))
+    if not work:
+        return []
+
+    def one(item):
+        kind, p = item
+        if kind == "compact":
+            t = pq.read_table(p, columns=columns)
+        else:
+            try:
+                t = _scan_union(p, "keyhash", columns)
+            except (KeyError, pa.lib.ArrowInvalid):
+                # round-1 artifact predating key_enc: read what exists, pad
+                avail = [c for c in columns if c != "key_enc"]
+                t = _scan_union(p, "keyhash", avail)
+                if "key_enc" in columns:
+                    t = t.append_column(
+                        "key_enc", pa.nulls(t.num_rows, pa.string())
+                    )
+                    t = t.select(columns)
+        return transform(t)
+
+    with ThreadPoolExecutor(max_workers=min(16, len(work))) as pool:
+        return list(pool.map(one, work))
+
+
+def _keyhash_dataset(manifest: RunManifest, columns: list[str]):
+    """Ray Dataset over every committed partition's keyhash records,
+    projected to `columns` (subset of row_key / key_enc / khash).
+
+    Partitions written by this version carry a compact 3-column
+    `keyhash/*.parquet` (fast: no union padding, no digest-row decode);
+    legacy partitions fall back to filtering the tagged union (key_enc
+    synthesized as null when the old schema predates it). Returns None when
+    no partition has keyhash records."""
+    import glob
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    compact_files, union_files = [], []
+    for pid in manifest.completed_partitions():
+        pdir = manifest.partition_dir(pid)
+        kd = os.path.join(pdir, "keyhash")
+        kf = sorted(glob.glob(os.path.join(glob.escape(kd), "*.parquet")))
+        if kf:
+            compact_files.extend(kf)
+            continue
+        d = os.path.join(pdir, "combined")
         if not os.path.isdir(d):
             continue
         for f in sorted(glob.glob(os.path.join(glob.escape(d), "*.parquet"))):
             if "record_type" in pq.read_schema(f).names:
-                files.append(f)
-    return files
+                union_files.append(f)
+    parts = []
+    if compact_files:
+        parts.append(rd.read_parquet(compact_files, columns=columns))
+    if union_files:
+        legacy_cols = [
+            c for c in columns if c in pq.read_schema(union_files[0]).names
+        ]
+
+        def project(t: pa.Table) -> pa.Table:
+            cols = {}
+            for c in columns:
+                cols[c] = (
+                    t[c]
+                    if c in t.column_names
+                    else pa.nulls(t.num_rows, UNION_SCHEMA.field(c).type)
+                )
+            return pa.table(cols)
+
+        parts.append(
+            rd.read_parquet(
+                union_files,
+                columns=["record_type"] + legacy_cols,
+                filter=pads.field("record_type") == "keyhash",
+            ).map_batches(project, batch_format="pyarrow")
+        )
+    if not parts:
+        return None
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
 
 
 def _uniqueness_from_artifacts_distributed(
@@ -801,19 +921,12 @@ def _uniqueness_from_artifacts_distributed(
     partial-aggregate + groupby shuffles. Only the (rare) duplicate groups
     materialize at the driver."""
     import numpy as np
-    import pyarrow.dataset as pads
     import ray
-    import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
-    files = _keyhash_artifact_files(manifest)
-    if not files:
+    ds = _keyhash_dataset(manifest, ["row_key", "key_enc", "khash"])
+    if ds is None:
         return []
-    ds = rd.read_parquet(
-        files,
-        columns=["record_type", "row_key", "key_enc", "khash"],
-        filter=pads.field("record_type") == "keyhash",
-    )
 
     def hash_partial(t: pa.Table) -> pa.Table:
         return t.select(["khash"]).group_by(["khash"]).aggregate([([], "count_all")])

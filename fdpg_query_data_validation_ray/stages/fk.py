@@ -118,15 +118,82 @@ def fk_violations_broadcast(
     )
 
 
+def _dangling_sieve(fact_ds, dim_ds, columns, dim_columns, _key):
+    """No-shuffle anti-join attempt: stream the dim side's per-batch-unique
+    keys to the driver with a hard budget; on success broadcast the EXACT key
+    set (values, not hashes — no collision caveat) and anti-filter the fact
+    side with vectorized `is_in`, finishing counts via the bounded
+    incremental partial merge. Returns None when the dim overflows the budget
+    (caller falls back to the single-shuffle tagged-groupby plan)."""
+    import ray
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.unique import (
+        SIEVE_MAX_DRIVER_ROWS,
+        _merge_partials_driver,
+    )
+
+    def dim_keys_batch(batch: pa.Table) -> pa.Table:
+        return pa.table({"fk_key": pc.unique(_key(batch, list(dim_columns)))})
+
+    chunks, total = [], 0
+    for b in dim_ds.map_batches(dim_keys_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        arr = t["fk_key"].combine_chunks()
+        chunks.append(arr)
+        total += len(arr)
+        if total > SIEVE_MAX_DRIVER_ROWS:
+            return None  # dim too big for the driver — shuffle plan instead
+    if chunks:
+        dim_arr = pc.unique(pa.concat_arrays(
+            [c if isinstance(c, pa.Array) else c.combine_chunks() for c in chunks]
+        ))
+    else:
+        dim_arr = pa.array([], pa.string())  # empty dim: every fact key dangles
+    ref = ray.put(dim_arr)
+
+    def anti_partial(batch: pa.Table) -> pa.Table:
+        dim = ray.get(ref)  # zero-copy local object-store read per task
+        keys = _key(batch, list(columns))
+        if len(dim):
+            keys = keys.filter(pc.invert(pc.is_in(keys, value_set=dim)))
+        t = pa.table({"fk_key": keys})
+        return t.group_by(["fk_key"]).aggregate([([], "count_all")])
+
+    partials = fact_ds.map_batches(anti_partial, batch_format="pyarrow")
+    g = _merge_partials_driver(partials, ["fk_key"], cap=1 << 20)
+    if g is None or g.num_rows == 0:
+        out = pa.table(
+            {"fk_key": pa.array([], pa.string()), "n_rows": pa.array([], pa.int64())}
+        )
+    else:
+        out = pa.table(
+            {"fk_key": pc.cast(g["fk_key"], pa.string()), "n_rows": g["count_all"]}
+        )
+    return rd.from_arrow(out)
+
+
 def dangling_keys_hash(
     fact_ds,
     columns: list[str],
     dim_ds,
     dim_columns: list[str] | None = None,
     num_buckets: int = 64,  # kept for API stability; single-shuffle plan below
+    mode: str = "auto",
 ):
-    """Hash-partitioned anti-join for large dimensions. Returns a Dataset with
-    one row per distinct dangling key: (fk_key, n_rows).
+    """Anti-join for referential integrity at dimension scale. Returns a
+    Dataset with one row per distinct dangling key: (fk_key, n_rows).
+
+    mode="auto" (default): first TRY the no-shuffle sieve — stream the dim
+    side's per-batch-deduplicated keys to the driver; if the exact dim key
+    set stays within the driver budget (QDV_SIEVE_MAX_DRIVER_ROWS), broadcast
+    it and anti-filter the fact side with a C-level `is_in`, finishing the
+    (rare) dangling keys' counts with the bounded incremental partial merge —
+    zero shuffles, exact (real key VALUES are compared, not hashes). If the
+    dim overflows the budget mid-stream, bail out (one wasted dim scan) to
+    the shuffle plan. QDV_SIEVE_MODE=shuffle / mode="shuffle" forces:
 
     ONE shuffle total: both sides are projected to their key columns and
     pre-deduplicated per batch (bounds skew exactly like the uniqueness
@@ -174,6 +241,14 @@ def dangling_keys_hash(
             # cardinality issues, not reference issues) — drop before counting
             return pc.drop_null(pc.cast(batch.column(cols[0]), key_type))
         return pc.drop_null(pc.cast(_joined_key(batch, cols), pa.string()))
+
+    env_mode = __import__("os").environ.get("QDV_SIEVE_MODE")
+    if env_mode in ("sieve", "shuffle"):
+        mode = env_mode
+    if mode != "shuffle":
+        sieved = _dangling_sieve(fact_ds, dim_ds, columns, dim_columns, _key)
+        if sieved is not None:
+            return sieved
 
     def fact_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"fk_key": _key(batch, list(columns))})

@@ -185,3 +185,34 @@ def test_key_enc_disambiguates_concat_collisions(ray_session, force_mode, tmp_pa
             mode,
             viols,
         )
+
+
+def test_fk_anti_join_sieve_and_shuffle_identical(ray_session, force_mode, monkeypatch):
+    """dangling_keys_hash: the no-shuffle dim-sieve path, the forced shuffle
+    path, and the overflow bail-out (tiny budget → fallback) must all agree."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.fk import dangling_keys_hash
+
+    fact = pa.table({"k": [1, 2, 2, 3, 9, 9, 9, None], "v": list(range(8))})
+    dim = pa.table({"k": [1, 2, 3, 4]})
+    results = {}
+    for mode in ("sieve", "shuffle"):
+        force_mode(mode)
+        out = dangling_keys_hash(
+            rd.from_arrow(fact).repartition(3), ["k"], rd.from_arrow(dim)
+        ).to_pandas().sort_values("fk_key").reset_index(drop=True)
+        results[mode] = out
+    assert results["sieve"].equals(results["shuffle"])
+    assert list(results["sieve"]["fk_key"]) == ["9"]
+    assert list(results["sieve"]["n_rows"]) == [3]
+
+    # overflow bail-out: dim bigger than the (patched) budget → shuffle plan
+    monkeypatch.delenv("QDV_SIEVE_MODE", raising=False)
+    monkeypatch.setattr(
+        "fdpg_query_data_validation_ray.stages.unique.SIEVE_MAX_DRIVER_ROWS", 2
+    )
+    out = dangling_keys_hash(
+        rd.from_arrow(fact).repartition(3), ["k"], rd.from_arrow(dim)
+    ).to_pandas()
+    assert list(out["fk_key"]) == ["9"] and list(out["n_rows"]) == [3]

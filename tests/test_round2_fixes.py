@@ -141,3 +141,48 @@ def test_distribution_by_system_report(ray_session, tmp_path):
     assert d["germanic"] == {"count": 3, "values": {"de": 1, "en": 2}}
     assert d["romance"] == {"count": 3, "values": {"fr": 3}}
     assert d["__unmatched__"] == {"count": 2, "values": {"xx": 1, "yy": 1}}
+
+
+def test_pdf_report_sink(tmp_path):
+    """The dependency-free PDF sink emits a structurally valid PDF 1.4:
+    correct xref byte offsets, one page per 72 lines, deterministic bytes,
+    content = the markdown report (escaped)."""
+    from fdpg_query_data_validation_ray.pipelines.report_pdf import (
+        render_pdf_bytes,
+        write_pdf_report,
+    )
+
+    report = {
+        "passed": False,
+        "total_rows_checked": 123,
+        "total_violations": 2,
+        "config_hash": "abc (1) \\ test",
+        "verdicts": {"p00000": {"passed": False, "rows_checked": 123,
+                                 "violation_count": 2, "warning_count": 0}},
+        "validation": [
+            {"severity": "error", "rule_id": "not_null(x)", "location": "x",
+             "diagnostics": "minimum required = 1, but only found 0",
+             "count": 2, "sample_row_keys": ["a|b"]}
+        ],
+        "general": [], "error": [], "distribution": {},
+        "quantiles_approx": {},
+    }
+    data = render_pdf_bytes(report)
+    assert data.startswith(b"%PDF-1.4")
+    assert data.rstrip().endswith(b"%%EOF")
+    # xref offsets must point exactly at their "N 0 obj" headers
+    xref_at = int(data.rstrip().rsplit(b"startxref", 1)[1].split(b"%%EOF")[0])
+    assert data[xref_at : xref_at + 4] == b"xref"
+    lines = data[xref_at:].split(b"\n")
+    n_obj = int(lines[1].split()[1])
+    for oid, entry in enumerate(lines[2 : 2 + n_obj]):
+        off, _gen, kind = entry.split()
+        if kind == b"n":
+            assert data[int(off) :].startswith(f"{oid} 0 obj".encode()), oid
+    assert b"/Type /Catalog" in data and b"/BaseFont /Courier" in data
+    # deterministic
+    assert render_pdf_bytes(report) == data
+    # escaping: parens and backslash in config hash must be escaped in stream
+    assert rb"abc \(1\) \\ test" in data
+    p = write_pdf_report(report, str(tmp_path / "r.pdf"))
+    assert open(p, "rb").read() == data
