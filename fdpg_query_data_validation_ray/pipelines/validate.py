@@ -252,8 +252,11 @@ class CheckAndProfile:
 
 
 def _keyrec_table(batch: pa.Table, unique_keys: list[str]) -> pa.Table:
-    """Per-row uniqueness record: display row_key, unambiguous key_enc, and
-    the 64-bit key hash."""
+    """Per-row uniqueness record: unambiguous key_enc + the 64-bit key hash.
+    The display row_key is NOT stored — it is derived from key_enc at report
+    time (decode_key_display) for only the rare duplicate groups; the keyhash
+    artifact is a non-scaling disk-write cost inside every partition, so each
+    byte per row matters."""
     import numpy as np
 
     from fdpg_query_data_validation_ray.stages.row_checks import key_encode_array
@@ -262,13 +265,51 @@ def _keyrec_table(batch: pa.Table, unique_keys: list[str]) -> pa.Table:
     kh = key_hash(batch, list(unique_keys))
     return pa.table(
         {
-            "row_key": pc.cast(row_key_array(batch, tuple(unique_keys)), pa.string()),
             "key_enc": pc.cast(
                 key_encode_array(batch, tuple(unique_keys)), pa.string()
             ),
             "khash": pa.array(kh.view(np.int64)),
         }
     )
+
+
+_ENC_LEN_RE = None
+
+
+def decode_key_display(enc: str) -> str:
+    """key_enc ('3:abc;N;2:xy') → the display row_key form ('abc||xy' —
+    CONCAT_WS semantics, nulls as empty). A string that does not parse as an
+    encoding (legacy artifacts group by raw row_key) is returned verbatim."""
+    import re as _re
+
+    global _ENC_LEN_RE
+    if _ENC_LEN_RE is None:
+        _ENC_LEN_RE = _re.compile(r"(\d+):")
+    parts = []
+    i, n = 0, len(enc)
+    while i < n:
+        if enc[i] == "N" and (i + 1 == n or enc[i + 1] == ";"):
+            parts.append("")
+            i += 2
+            continue
+        m = _ENC_LEN_RE.match(enc, i)
+        if not m:
+            return enc
+        ln = int(m.group(1))
+        start = m.end()
+        if start + ln > n:
+            return enc
+        parts.append(enc[start : start + ln])
+        i = start + ln
+        if i < n:
+            if enc[i] != ";":
+                return enc
+            i += 1
+            if i == n:  # trailing separator → dangling empty part: invalid
+                return enc
+    if not parts:
+        return enc
+    return "|".join(parts)
 
 
 def _plan_partitions(files: list[str], num_partitions: int) -> dict[str, list[str]]:
@@ -686,20 +727,27 @@ def scan_partition_artifacts(
 def _grouping_key(t: pa.Table) -> pa.Table:
     """Exact verify grouping key: the unambiguous length-prefixed key_enc
     (distinct composite keys can never collide, unlike the '|'-joined
-    row_key); artifacts from older runs without key_enc fall back to
-    row_key."""
-    if "key_enc" in t.column_names:
+    row_key); artifacts from older runs without key_enc fall back to raw
+    row_key grouping. Output: (gkey, khash)."""
+    if "key_enc" in t.column_names and "row_key" in t.column_names:
         gkey = pc.coalesce(t["key_enc"], t["row_key"])
+    elif "key_enc" in t.column_names:
+        gkey = t["key_enc"]
     else:
         gkey = t["row_key"]
-    return pa.table({"gkey": pc.cast(gkey, pa.string()), "row_key": t["row_key"]})
+    return pa.table({"gkey": pc.cast(gkey, pa.string()), "khash": t["khash"]})
 
 
 def _uniqueness_violation_rows(g: pa.Table, unique_keys: list[str]) -> list[dict]:
-    """(gkey, row_key, count_all) dup groups → violation dicts, sorted
-    deterministically by (row_key, gkey)."""
+    """(gkey, count_all) dup groups → violation dicts. The display row_key is
+    decoded from the key_enc grouping key (legacy raw row_keys pass through
+    verbatim); sorted deterministically by (row_key, gkey)."""
     from fdpg_query_data_validation_ray.rules import DIAGNOSTICS
 
+    g = g.append_column(
+        "row_key",
+        pa.array([decode_key_display(k) for k in g["gkey"].to_pylist()], pa.string()),
+    )
     g = g.sort_by([("row_key", "ascending"), ("gkey", "ascending")])
     rule_id = f"unique({','.join(unique_keys)})"
     location = ",".join(unique_keys)
@@ -783,25 +831,19 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
         if not part.num_rows:
             return None
         gk = _grouping_key(part)
-        return gk.group_by(["gkey"]).aggregate(
-            [("row_key", "min"), ([], "count_all")]
-        ).rename_columns(["gkey", "row_key", "count_all"])
+        return gk.group_by(["gkey"]).aggregate([([], "count_all")])
 
     picked_parts = [
         p
-        for p in _keyhash_scan_threaded(
-            manifest, ["row_key", "key_enc", "khash"], pick
-        )
+        for p in _keyhash_scan_threaded(manifest, ["key_enc", "khash"], pick)
         if p is not None
     ]
     if not picked_parts:
         return []
     picked = pa.concat_tables(picked_parts).combine_chunks()
-    g = picked.group_by(["gkey"]).aggregate(
-        [("row_key", "min"), ("count_all", "sum")]
-    )
+    g = picked.group_by(["gkey"]).aggregate([("count_all", "sum")])
     g = g.filter(pc.greater(g["count_all_sum"], 1)).rename_columns(
-        ["gkey", "row_key", "count_all"]
+        ["gkey", "count_all"]
     )
     return _uniqueness_violation_rows(g, unique_keys)
 
@@ -834,17 +876,19 @@ def _keyhash_scan_threaded(manifest: RunManifest, columns: list[str], transform)
         if kind == "compact":
             t = pq.read_table(p, columns=columns)
         else:
+            # legacy union artifacts: also read row_key so _grouping_key can
+            # fall back when key_enc is null/absent (round-1 schema)
+            want = (
+                ["khash"]
+                if columns == ["khash"]
+                else ["row_key", "key_enc", "khash"]
+            )
             try:
-                t = _scan_union(p, "keyhash", columns)
+                t = _scan_union(p, "keyhash", want)
             except (KeyError, pa.lib.ArrowInvalid):
-                # round-1 artifact predating key_enc: read what exists, pad
-                avail = [c for c in columns if c != "key_enc"]
-                t = _scan_union(p, "keyhash", avail)
-                if "key_enc" in columns:
-                    t = t.append_column(
-                        "key_enc", pa.nulls(t.num_rows, pa.string())
-                    )
-                    t = t.select(columns)
+                t = _scan_union(
+                    p, "keyhash", [c for c in want if c != "key_enc"]
+                )
         return transform(t)
 
     with ThreadPoolExecutor(max_workers=min(16, len(work))) as pool:
@@ -884,18 +928,26 @@ def _keyhash_dataset(manifest: RunManifest, columns: list[str]):
     if compact_files:
         parts.append(rd.read_parquet(compact_files, columns=columns))
     if union_files:
+        legacy_want = ["row_key", "key_enc", "khash"]
         legacy_cols = [
-            c for c in columns if c in pq.read_schema(union_files[0]).names
+            c for c in legacy_want if c in pq.read_schema(union_files[0]).names
         ]
 
         def project(t: pa.Table) -> pa.Table:
             cols = {}
             for c in columns:
-                cols[c] = (
-                    t[c]
-                    if c in t.column_names
-                    else pa.nulls(t.num_rows, UNION_SCHEMA.field(c).type)
-                )
+                if c == "key_enc":
+                    # bake the legacy fallback in: key_enc := coalesce(
+                    # key_enc, row_key) so downstream grouping is uniform
+                    enc = (
+                        t["key_enc"] if "key_enc" in t.column_names
+                        else pa.nulls(t.num_rows, pa.string())
+                    )
+                    cols[c] = pc.coalesce(enc, t["row_key"])
+                elif c in t.column_names:
+                    cols[c] = t[c]
+                else:
+                    cols[c] = pa.nulls(t.num_rows, UNION_SCHEMA.field(c).type)
             return pa.table(cols)
 
         parts.append(
@@ -922,9 +974,9 @@ def _uniqueness_from_artifacts_distributed(
     materialize at the driver."""
     import numpy as np
     import ray
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
-    ds = _keyhash_dataset(manifest, ["row_key", "key_enc", "khash"])
+    ds = _keyhash_dataset(manifest, ["key_enc", "khash"])
     if ds is None:
         return []
 
@@ -959,21 +1011,15 @@ def _uniqueness_from_artifacts_distributed(
         if not part.num_rows:
             return pa.table(
                 {"gkey": pa.array([], pa.string()),
-                 "row_key": pa.array([], pa.string()),
                  "count_all": pa.array([], pa.int64())}
             )
         gk = _grouping_key(part)
-        return gk.group_by(["gkey"]).aggregate(
-            [("row_key", "min"), ([], "count_all")]
-        ).rename_columns(["gkey", "row_key", "count_all"])
+        return gk.group_by(["gkey"]).aggregate([([], "count_all")])
 
     g_ds = (
         ds.map_batches(pick_keyhash, batch_format="pyarrow")
         .groupby("gkey")
-        .aggregate(
-            Min("row_key", alias_name="row_key"),
-            Sum("count_all", alias_name="count_all"),
-        )
+        .aggregate(Sum("count_all", alias_name="count_all"))
     )
     parts = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])

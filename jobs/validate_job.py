@@ -23,8 +23,13 @@ The config JSON holds the declarative plan (extension surface, SURVEY.md
       "categorical": ["lang"],
       "content_column": "content",
       "drift": [{"column": "lang", "kind": "categorical"}],
-      "snapshot_file": "snapshot.json"
+      "snapshot_file": "snapshot.json",
+      "code_systems": {"lang": {"germanic": ["en", "de"],
+                                "romance": "value_sets/romance.txt"}}
     }
+
+Rules inside "suite"/"registry" may use every DSL kind, including
+`in_set` with a `values_file` (content-hashed into the run lineage).
 
 Resume: re-submit with the same --out; finished partitions are skipped
 (per-partition verdict checkpoints, state/checkpoint.py). A changed config is
@@ -92,6 +97,9 @@ def build_plan(cfg: dict):
         stats_columns=cfg.get("stats_columns"),
         categorical=cfg.get("categorical", []),
         content_column=cfg.get("content_column"),
+        # {column: {system_name: [values...] | "value_set_file"}} — nested
+        # per-code-system distribution split in the report
+        code_systems=cfg.get("code_systems", {}),
     )
 
 

@@ -186,3 +186,19 @@ def test_pdf_report_sink(tmp_path):
     assert rb"abc \(1\) \\ test" in data
     p = write_pdf_report(report, str(tmp_path / "r.pdf"))
     assert open(p, "rb").read() == data
+
+
+def test_decode_key_display():
+    from fdpg_query_data_validation_ray.pipelines.validate import decode_key_display
+
+    assert decode_key_display("3:abc;2:xy") == "abc|xy"
+    assert decode_key_display("3:abc;N;2:xy") == "abc||xy"
+    assert decode_key_display("N") == ""
+    assert decode_key_display("1:N") == "N"
+    assert decode_key_display("0:;0:") == "|"
+    # value containing the separators round-trips
+    assert decode_key_display("5:a;b:c;1:d") == "a;b:c|d"
+    # legacy raw row_keys (not encodings) pass through verbatim
+    assert decode_key_display("repo|path|commit") == "repo|path|commit"
+    assert decode_key_display("") == ""
+    assert decode_key_display("3:ab") == "3:ab"  # truncated → verbatim
