@@ -395,6 +395,9 @@ def _run_one_partition(
             # few fat files per partition: the global phase scans these twice,
             # and per-file open/metadata cost dominated with block-sized files
             min_rows_per_file=1_000_000,
+            # the write is the pipeline's one disk-bound (non-CPU-scaling)
+            # cost; zstd cuts the key_enc bytes ~40% vs snappy at equal speed
+            arrow_parquet_args={"compression": "zstd"},
         )
 
     # schema-level dtype rules: one check per input FILE (footer schema read,
