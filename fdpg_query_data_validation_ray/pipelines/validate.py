@@ -397,7 +397,7 @@ def _run_one_partition(
             min_rows_per_file=1_000_000,
             # the write is the pipeline's one disk-bound (non-CPU-scaling)
             # cost; zstd cuts the key_enc bytes ~40% vs snappy at equal speed
-            arrow_parquet_args={"compression": "zstd"},
+            compression="zstd",
         )
 
     # schema-level dtype rules: one check per input FILE (footer schema read,
