@@ -378,10 +378,12 @@ def _run_one_partition(
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    combined.write_parquet(os.path.join(tmp_dir, "combined"))
 
-    if plan.unique_keys:
-        # keyhash records live in their OWN compact parquet (3 columns, big
+    def write_combined():
+        combined.write_parquet(os.path.join(tmp_dir, "combined"))
+
+    def write_keyhash():
+        # keyhash records live in their OWN compact parquet (2 columns, big
         # row groups), NOT in the tagged union: the global uniqueness phase
         # scans them twice, and the union's mixed row groups made that scan
         # decode every digest row's strings too (~8x the bytes). Built from a
@@ -399,6 +401,20 @@ def _run_one_partition(
             # cost; zstd cuts the key_enc bytes ~40% vs snappy at equal speed
             compression="zstd",
         )
+
+    if plan.unique_keys:
+        # the two pipelines are independent Ray datasets — overlap them so
+        # the keyhash pass fills the union write's scheduling bubbles instead
+        # of adding a full pipeline latency per partition
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=2) as _ex:
+            fc = _ex.submit(write_combined)
+            fk = _ex.submit(write_keyhash)
+            fc.result()
+            fk.result()
+    else:
+        write_combined()
 
     # schema-level dtype rules: one check per input FILE (footer schema read,
     # no data IO) — deterministic under any batch size / parallelism
