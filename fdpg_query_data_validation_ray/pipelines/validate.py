@@ -380,7 +380,12 @@ def _run_one_partition(
     )
 
     def write_combined():
-        combined.write_parquet(os.path.join(tmp_dir, "combined"))
+        # zstd: the union artifact (violations + partials + per-row digests)
+        # is the pipeline's largest disk write — a non-CPU-scaling cost on a
+        # single box; compression trades a little parallel CPU for it
+        combined.write_parquet(
+            os.path.join(tmp_dir, "combined"), compression="zstd"
+        )
 
     def write_keyhash():
         # keyhash records live in their OWN compact parquet (2 columns, big
