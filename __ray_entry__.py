@@ -350,6 +350,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT f) AS BIGINT) AS n_fingerprints
             FROM fp GROUP BY doc_id
         """,
+        "events_asof_purchase": """
+            SELECT c.event_id, c.user_id,
+                   CAST(p.event_id AS DOUBLE) AS purchase_id,
+                   CAST(date_diff('microsecond', p.ts, c.ts) AS DOUBLE) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type='click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "events_sessionize": """
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts, event_id,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+              FROM e),
+            per_sess AS (
+              SELECT user_id, sess, COUNT(*) AS n FROM s GROUP BY user_id, sess)
+            SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(MAX(n) AS BIGINT) AS longest_session
+            FROM per_sess GROUP BY user_id
+        """,
         "dedup_ngram_jaccard": """
             WITH toks AS (
               SELECT doc_id, lang,

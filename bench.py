@@ -51,6 +51,8 @@ HEADLINE = [
     "content_length_hist",
     "drift_docs",
     "events_hourly",
+    "events_asof_purchase",
+    "events_sessionize",
     "pricing_summary",
     "segment_order_totals",
     "top_building_orders",

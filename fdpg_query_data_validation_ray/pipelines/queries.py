@@ -845,8 +845,41 @@ def q_corpus_validate(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_events_asof_purchase(sf_dir: str):
+    """As-of join (custom temporal operator): for each click event, the same
+    user's latest purchase at-or-before its timestamp (DuckDB ASOF LEFT JOIN
+    oracle). right_id/gap are DOUBLE (NaN = no prior purchase) so nullable
+    semantics hash identically under any oracle fetch path."""
+    import pyarrow.compute as pc
+
+    from fdpg_query_data_validation_ray.stages.temporal import asof_join_events
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return asof_join_events(
+        ds,
+        by="user_id",
+        on="ts",
+        id_column="event_id",
+        left_filter=lambda t: pc.equal(t["event_type"], "click"),
+        right_filter=lambda t: pc.equal(t["event_type"], "purchase"),
+        out_right_id="purchase_id",
+        out_gap="gap_us",
+    )
+
+
+def q_events_sessionize(sf_dir: str):
+    """Sessionization windowed aggregate: per-user session stats under a
+    30-minute inactivity gap (window-function oracle)."""
+    from fdpg_query_data_validation_ray.stages.temporal import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return sessionize(ds, "user_id", "ts", "event_id", gap_seconds=1800)
+
+
 QUERIES = {
     "row_checks_documents": q_row_checks_documents,
+    "events_asof_purchase": q_events_asof_purchase,
+    "events_sessionize": q_events_sessionize,
     "issue_dedup_counts": q_issue_dedup_counts,
     "unique_docs_lang_nchars": q_unique_docs_lang_nchars,
     "fk_orders_customer": q_fk_orders_customer,
@@ -885,3 +918,4 @@ QUERIES = {
     "stats_sketches": q_stats_sketches,
     "corpus_validate": q_corpus_validate,
 }
+

@@ -1,0 +1,111 @@
+"""As-of join and sessionization operator tests (stages/temporal.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _events_table():
+    # user 1: purchases at t=100, t=200; clicks at 50 (no match), 150 (→100),
+    #         200 (tie → 200), 250 (→200)
+    # user 2: clicks only (never matches)
+    # user 3: purchase only (no left rows)
+    rows = [
+        (1, 1, 100, "purchase"),
+        (2, 1, 200, "purchase"),
+        (3, 1, 50, "click"),
+        (4, 1, 150, "click"),
+        (5, 1, 200, "click"),
+        (6, 1, 250, "click"),
+        (7, 2, 10, "click"),
+        (8, 3, 10, "purchase"),
+    ]
+    return pa.table(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "ts": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": [r[3] for r in rows],
+        }
+    )
+
+
+def test_asof_join_semantics(ray_session):
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import asof_join_events
+
+    ds = rd.from_arrow(_events_table()).repartition(3)
+    out = asof_join_events(
+        ds, by="user_id", on="ts", id_column="event_id",
+        left_filter=lambda t: pc.equal(t["event_type"], "click"),
+        right_filter=lambda t: pc.equal(t["event_type"], "purchase"),
+        out_right_id="purchase_id", out_gap="gap_us",
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    got = {
+        int(r.event_id): (None if pd.isna(r.purchase_id) else int(r.purchase_id),
+                          None if pd.isna(r.gap_us) else int(r.gap_us))
+        for r in out.itertuples()
+    }
+    assert got == {
+        3: (None, None),      # before any purchase
+        4: (1, 50),           # latest ≤ 150 is t=100
+        5: (2, 0),            # tie: ts >= ts matches the t=200 purchase
+        6: (2, 50),
+        7: (None, None),      # user 2 never purchases
+    }
+    assert set(out["event_id"]) == {3, 4, 5, 6, 7}  # user 3 has no left rows
+
+
+def test_asof_join_tie_breaks_by_last_id(ray_session):
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import asof_join_events
+
+    t = pa.table(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [1, 1, 1],
+            "ts": pa.array([100, 100, 150], pa.int64()),
+            "event_type": ["purchase", "purchase", "click"],
+        }
+    )
+    out = asof_join_events(
+        rd.from_arrow(t), by="user_id", on="ts", id_column="event_id",
+        left_filter=lambda x: pc.equal(x["event_type"], "click"),
+        right_filter=lambda x: pc.equal(x["event_type"], "purchase"),
+    ).to_pandas()
+    # two purchases at the same ts → the larger event_id wins (deterministic)
+    assert int(out["right_id"].iloc[0]) == 2
+
+
+def test_sessionize(ray_session):
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import sessionize
+
+    us = 1_000_000
+    rows = []
+    # user 1: events at 0s, 10s, 40min, 41min, 100min → sessions {2, 2, 1}
+    for i, sec in enumerate([0, 10, 2400, 2460, 6000]):
+        rows.append((i, 1, sec * us))
+    # user 2: single event
+    rows.append((10, 2, 0))
+    t = pa.table(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "ts": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    out = (
+        sessionize(rd.from_arrow(t).repartition(2), "user_id", "ts", "event_id",
+                   gap_seconds=1800)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert list(out["n_events"]) == [5, 1]
+    assert list(out["n_sessions"]) == [3, 1]
+    assert list(out["longest_session"]) == [2, 1]
