@@ -164,6 +164,25 @@ def _empty_pairs(metric: str, dtype: str) -> pd.DataFrame:
         }
     )
 
+
+def _empty_pairs_arrow(metric: str, ptype: pa.DataType) -> pa.Table:
+    return pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            metric: pa.array([], ptype),
+        }
+    )
+
+
+def _first_per_sorted_id(ids: np.ndarray) -> np.ndarray:
+    """Indices selecting the first occurrence of each id, ordered by id —
+    the vectorized equivalent of drop_duplicates(id).sort_values(id)."""
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+    keep = np.concatenate([[True], sorted_ids[1:] != sorted_ids[:-1]])
+    return order[keep]
+
 # -- exact ------------------------------------------------------------------
 
 
@@ -496,35 +515,40 @@ def minhash_near_duplicates(
         batch_format="pyarrow",
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        band = int(group["band"].iloc[0])
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return _empty_pairs("est_jaccard", "float64")
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint16) for s in g["sig"]])
-        ids = g["doc_id"].to_numpy()
-        ia, ib = np.triu_indices(len(g), k=1)
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        # pyarrow map_groups: ~2× less per-group overhead than pandas frames
+        # (measured 0.62 s vs 1.34 s over the sf0.1 post-sieve 6.7k groups)
+        ids_all = group["doc_id"].to_numpy()
+        sel = _first_per_sorted_id(ids_all)
+        if len(sel) < 2:
+            return _empty_pairs_arrow("est_jaccard", pa.float64())
+        band = int(group["band"][0].as_py())
+        sig_col = group["sig"].combine_chunks()
+        sigs = np.stack(
+            [np.frombuffer(sig_col[int(i)].as_py(), dtype=np.uint16) for i in sel]
+        )
+        ids = ids_all[sel]
+        ia, ib = np.triu_indices(len(sel), k=1)
         if band > 0:
             bh = _band_hashes(sigs, bands)[:, :band]
             fresh = ~(bh[ia] == bh[ib]).any(axis=1)
             ia, ib = ia[fresh], ib[fresh]
         est = (sigs[ia] == sigs[ib]).mean(axis=1) if len(ia) else np.empty(0)
         keep = est >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "est_jaccard": est[keep]}
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ia[keep]].astype(np.int64)),
+                "id_b": pa.array(ids[ib[keep]].astype(np.int64)),
+                "est_jaccard": pa.array(est[keep].astype(np.float64)),
+            }
         )
 
     sieved, n_multi = _sieve_multi_buckets(exploded, "bucket")
     if sieved is None:
         import ray.data as rd
 
-        return rd.from_arrow(
-            pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "est_jaccard": pa.array([], pa.float64())}
-            )
-        )
-    return sieved.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+        return rd.from_arrow(_empty_pairs_arrow("est_jaccard", pa.float64()))
+    return sieved.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -608,38 +632,38 @@ def simhash_near_duplicates(
         batch_format="pyarrow",
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        band = int(group["band"].iloc[0])
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return _empty_pairs("hamming", "int64")
-        sig = g["simhash"].to_numpy().view(np.uint64)
-        ids = g["doc_id"].to_numpy()
-        ia, ib = np.triu_indices(len(g), k=1)
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids_all = group["doc_id"].to_numpy()
+        sel = _first_per_sorted_id(ids_all)
+        if len(sel) < 2:
+            return _empty_pairs_arrow("hamming", pa.int64())
+        band = int(group["band"][0].as_py())
+        sig = group["simhash"].to_numpy()[sel].view(np.uint64)
+        ids = ids_all[sel]
+        ia, ib = np.triu_indices(len(sel), k=1)
         if band > 0:
             shifts = (np.arange(band) * 16).astype(np.uint64)
             bands_lo = (sig[:, None] >> shifts) & np.uint64(0xFFFF)  # docs × band
             fresh = ~(bands_lo[ia] == bands_lo[ib]).any(axis=1)
             ia, ib = ia[fresh], ib[fresh]
         if len(ia) == 0:
-            return _empty_pairs("hamming", "int64")
+            return _empty_pairs_arrow("hamming", pa.int64())
         dist = hamming64(sig[ia], sig[ib]).astype(np.int64)
         keep = dist <= max_hamming
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": dist[keep]}
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ia[keep]].astype(np.int64)),
+                "id_b": pa.array(ids[ib[keep]].astype(np.int64)),
+                "hamming": pa.array(dist[keep]),
+            }
         )
 
     sieved, n_multi = _sieve_multi_buckets(exploded, "bucket")
     if sieved is None:
         import ray.data as rd
 
-        return rd.from_arrow(
-            pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "hamming": pa.array([], pa.int64())}
-            )
-        )
-    return sieved.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+        return rd.from_arrow(_empty_pairs_arrow("hamming", pa.int64()))
+    return sieved.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
 
 
 # -- n-gram Jaccard (exact verifier) ----------------------------------------

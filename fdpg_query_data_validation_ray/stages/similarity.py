@@ -353,48 +353,46 @@ def cosine_near_duplicates(
         batch_format="pyarrow",
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        table_ix = int(group["table"].iloc[0])
-        g = group.drop_duplicates(id_column).sort_values(id_column)
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
-            )
-        m = np.stack([np.frombuffer(v, dtype=np.float32) for v in g["vec"]])
-        ids = g[id_column].to_numpy()
-        ia, ib = np.triu_indices(len(g), k=1)
+    from fdpg_query_data_validation_ray.stages.dedup import (
+        _empty_pairs_arrow,
+        _first_per_sorted_id,
+        _sieve_multi_buckets,
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids_all = group[id_column].to_numpy()
+        sel = _first_per_sorted_id(ids_all)
+        if len(sel) < 2:
+            return _empty_pairs_arrow("cosine", pa.float64())
+        table_ix = int(group["table"][0].as_py())
+        vec_col = group["vec"].combine_chunks()
+        m = np.stack(
+            [np.frombuffer(vec_col[int(i)].as_py(), dtype=np.float32) for i in sel]
+        )
+        ids = ids_all[sel]
+        ia, ib = np.triu_indices(len(sel), k=1)
         if table_ix > 0:
+            pat_col = group["patterns"].combine_chunks()
             pats = np.stack(
-                [np.frombuffer(p, dtype=np.uint64) for p in g["patterns"]]
+                [np.frombuffer(pat_col[int(i)].as_py(), dtype=np.uint64) for i in sel]
             )[:, :table_ix]
             fresh = ~(pats[ia] == pats[ib]).any(axis=1)
             ia, ib = ia[fresh], ib[fresh]
         if len(ia) == 0:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
-            )
+            return _empty_pairs_arrow("cosine", pa.float64())
         s = np.einsum("ij,ij->i", m[ia], m[ib])
         keep = s >= threshold
-        return pd.DataFrame(
+        return pa.table(
             {
-                "id_a": ids[ia[keep]].astype(np.int64),
-                "id_b": ids[ib[keep]].astype(np.int64),
-                "cosine": s[keep].astype(np.float64),
+                "id_a": pa.array(ids[ia[keep]].astype(np.int64)),
+                "id_b": pa.array(ids[ib[keep]].astype(np.int64)),
+                "cosine": pa.array(s[keep].astype(np.float64)),
             }
         )
-
-    from fdpg_query_data_validation_ray.stages.dedup import _sieve_multi_buckets
 
     sieved, _n = _sieve_multi_buckets(exploded, "bucket")
     if sieved is None:
         import ray.data as rd
 
-        return rd.from_arrow(
-            pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "cosine": pa.array([], pa.float64())}
-            )
-        )
-    return sieved.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+        return rd.from_arrow(_empty_pairs_arrow("cosine", pa.float64()))
+    return sieved.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
