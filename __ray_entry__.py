@@ -358,6 +358,17 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') p
               ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
+        "events_range_neighbors": """
+            SELECT a.event_id, a.user_id,
+                   CAST(COUNT(b.event_id) AS BIGINT) AS n_neighbors
+            FROM events a
+            LEFT JOIN events b
+              ON a.user_id = b.user_id
+             AND b.event_id <> a.event_id
+             AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE
+                          AND a.ts + INTERVAL 5 MINUTE
+            GROUP BY a.event_id, a.user_id
+        """,
         "events_sessionize": """
             WITH e AS (
               SELECT user_id, ts, event_id,

@@ -53,6 +53,7 @@ HEADLINE = [
     "events_hourly",
     "events_asof_purchase",
     "events_sessionize",
+    "events_range_neighbors",
     "pricing_summary",
     "segment_order_totals",
     "top_building_orders",

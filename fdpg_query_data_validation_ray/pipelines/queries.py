@@ -876,10 +876,27 @@ def q_events_sessionize(sf_dir: str):
     return sessionize(ds, "user_id", "ts", "event_id", gap_seconds=1800)
 
 
+def q_events_range_neighbors(sf_dir: str):
+    """Range join (custom temporal operator): per event, how many other
+    events of the same user fall within ±5 minutes — per-key sorted
+    double-searchsorted instead of a naive pairwise sweep (SQL BETWEEN-join
+    oracle)."""
+    from fdpg_query_data_validation_ray.stages.temporal import range_join_count
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    five_min = 5 * 60 * 1_000_000
+    return range_join_count(
+        ds, by="user_id", on="ts", id_column="event_id",
+        lo_us=-five_min, hi_us=five_min,
+    )
+
+
+
 QUERIES = {
     "row_checks_documents": q_row_checks_documents,
     "events_asof_purchase": q_events_asof_purchase,
     "events_sessionize": q_events_sessionize,
+    "events_range_neighbors": q_events_range_neighbors,
     "issue_dedup_counts": q_issue_dedup_counts,
     "unique_docs_lang_nchars": q_unique_docs_lang_nchars,
     "fk_orders_customer": q_fk_orders_customer,

@@ -124,6 +124,45 @@ def asof_join_events(
     return tagged.groupby(by).map_groups(merge_group, batch_format="pandas")
 
 
+def range_join_count(
+    ds,
+    by: str,
+    on: str,
+    id_column: str,
+    lo_us: int,
+    hi_us: int,
+):
+    """Per-key range self-join, count form: for each row, how many OTHER rows
+    of the same `by` key have `on` within [on+lo_us, on+hi_us] (lo typically
+    negative). The classic interval/range join Ray Data lacks natively,
+    planned as groupby(key) + per-group sorted double-searchsorted — O(n log n)
+    per key instead of the naive O(n²) pairwise comparison.
+
+    Returns (id_column, by, n_neighbors). Same partitioning assumption as the
+    other temporal operators: one key's rows fit one group."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_int64(g[on])
+        ids = g[id_column].to_numpy()
+        order = np.lexsort((ids, ts))
+        ts_s, ids_s = ts[order], ids[order]
+        hi_ix = np.searchsorted(ts_s, ts_s + hi_us, side="right")
+        lo_ix = np.searchsorted(ts_s, ts_s + lo_us, side="left")
+        n = (hi_ix - lo_ix - 1).astype(np.int64)  # -1: exclude self
+        return pd.DataFrame(
+            {
+                id_column: ids_s,
+                by: np.full(len(ids_s), g[by].iloc[0]),
+                "n_neighbors": n,
+            }
+        )
+
+    pruned = ds.map_batches(
+        lambda t: t.select([by, on, id_column]), batch_format="pyarrow"
+    )
+    return pruned.groupby(by).map_groups(per_key, batch_format="pandas")
+
+
 def sessionize(
     ds,
     user_col: str,

@@ -109,3 +109,33 @@ def test_sessionize(ray_session):
     assert list(out["n_events"]) == [5, 1]
     assert list(out["n_sessions"]) == [3, 1]
     assert list(out["longest_session"]) == [2, 1]
+
+
+def test_range_join_count(ray_session):
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import range_join_count
+
+    # user 1 at t = 0, 100, 250, 1000 with window ±200:
+    #   0 → {100}, 100 → {0, 250}, 250 → {100}, 1000 → {}
+    t = pa.table(
+        {
+            "event_id": [1, 2, 3, 4, 9],
+            "user_id": [1, 1, 1, 1, 2],
+            "ts": pa.array([0, 100, 250, 1000, 0], pa.int64()),
+        }
+    )
+    out = (
+        range_join_count(rd.from_arrow(t).repartition(2), "user_id", "ts",
+                         "event_id", lo_us=-200, hi_us=200)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert list(out["n_neighbors"]) == [1, 2, 1, 0, 0]
+    # window boundaries are inclusive both sides (BETWEEN semantics)
+    t2 = pa.table(
+        {"event_id": [1, 2], "user_id": [1, 1], "ts": pa.array([0, 200], pa.int64())}
+    )
+    out2 = range_join_count(
+        rd.from_arrow(t2), "user_id", "ts", "event_id", lo_us=-200, hi_us=200
+    ).to_pandas()
+    assert list(out2["n_neighbors"]) == [1, 1]
