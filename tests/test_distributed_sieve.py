@@ -216,3 +216,43 @@ def test_fk_anti_join_sieve_and_shuffle_identical(ray_session, force_mode, monke
         rd.from_arrow(fact).repartition(3), ["k"], rd.from_arrow(dim)
     ).to_pandas()
     assert list(out["fk_key"]) == ["9"] and list(out["n_rows"]) == [3]
+
+
+def test_legacy_union_keyhash_artifacts_still_resume(ray_session, force_mode, tmp_path):
+    """A round-1-style output dir (keyhash rows inside the tagged union, no
+    key_enc column, no compact keyhash/ dir) must still produce uniqueness
+    violations on resume — via raw row_key grouping — in both strategies."""
+    import json
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from fdpg_query_data_validation_ray.pipelines.validate import (
+        _uniqueness_from_artifacts,
+    )
+    from fdpg_query_data_validation_ray.state.checkpoint import RunManifest
+
+    out = tmp_path / "legacy"
+    pdir = out / "partitions" / "p00000"
+    (pdir / "combined").mkdir(parents=True)
+    # hand-written legacy union shard: record_type + row_key + khash only
+    legacy = pa.table(
+        {
+            "record_type": ["keyhash"] * 5 + ["violation"],
+            "row_key": ["a|1", "a|1", "b|2", "b|2", "b|2", "x"],
+            "khash": pa.array([11, 11, 22, 22, 22, 0], pa.int64()),
+            "severity": [None] * 5 + ["error"],
+        }
+    )
+    pq.write_table(legacy, str(pdir / "combined" / "part.parquet"))
+    with open(pdir / "verdict.json", "w") as f:
+        json.dump({"complete": True, "rows_checked": 5, "passed": True,
+                   "violation_count": 0, "warning_count": 0,
+                   "lineage": {}, "metrics": {}}, f)
+
+    m = RunManifest(str(out))
+    for mode in ("sieve", "shuffle"):
+        force_mode(mode)
+        v = _uniqueness_from_artifacts(m, ["k", "n"])
+        got = sorted((x["row_key"], x["actual"]) for x in v)
+        assert got == [("a|1", "2"), ("b|2", "3")], (mode, got)
