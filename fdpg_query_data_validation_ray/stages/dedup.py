@@ -188,27 +188,80 @@ def _first_per_sorted_id(ids: np.ndarray) -> np.ndarray:
 
 def exact_duplicate_groups(ds, text_column: str, id_column: str):
     """Duplicate content groups: (text_md5, keep_id = min id, n_copies > 1).
-    The kept representative is the minimum id (deterministic)."""
+    The kept representative is the minimum id (deterministic).
+
+    Sieve plan: only rows whose md5-hash is a duplicate CANDIDATE (driver
+    np.unique within the budget, salted shuffle groupby beyond —
+    stages/unique.py split) enter the final groupby; on a typical corpus
+    that is a tiny fraction, so the old full-width groupby over every
+    (md5, min-id, count) partial disappears. Exact under 64-bit collisions:
+    falsely-flagged groups fall out at the n_copies > 1 filter."""
+    import ray
     from ray.data.aggregate import Min, Sum
 
-    def partial(batch: pa.Table) -> pa.Table:
-        t = pa.table(
+    from fdpg_query_data_validation_ray.stages.unique import (
+        SIEVE_MAX_DRIVER_ROWS,
+        candidate_dup_hashes,
+        candidate_dup_hashes_shuffle,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
                 "text_md5": md5_column(batch.column(text_column)),
                 id_column: batch.column(id_column).combine_chunks(),
             }
         )
+
+    # two consumers (sieve + pick): materialize the 40 B/row projection so
+    # the md5 pass runs once
+    proj = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    env_mode = os.environ.get("QDV_SIEVE_MODE")
+    if env_mode in ("sieve", "shuffle"):
+        sieve_mode = env_mode
+    else:
+        sieve_mode = "sieve" if proj.count() <= SIEVE_MAX_DRIVER_ROWS else "shuffle"
+    if sieve_mode == "shuffle":
+        cand = candidate_dup_hashes_shuffle(proj, ["text_md5"])
+    else:
+        cand = candidate_dup_hashes(proj, ["text_md5"])
+    empty = pa.table(
+        {
+            "text_md5": pa.array([], pa.string()),
+            "keep_id": pa.array([], proj.schema().base_schema.field(id_column).type),
+            "n_copies": pa.array([], pa.int64()),
+        }
+    )
+    if not len(cand):
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    cand_ref = ray.put(cand)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        kh = hash64(batch["text_md5"]).view(np.int64)
+        ix = np.searchsorted(c, kh)
+        ix[ix == len(c)] = 0
+        t = batch.filter(pa.array(c[ix] == kh))
         return t.group_by(["text_md5"]).aggregate(
             [(id_column, "min"), ([], "count_all")]
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    totals = partials.groupby("text_md5").aggregate(
-        Min(f"{id_column}_min", alias_name="keep_id"),
-        Sum("count_all", alias_name="n_copies"),
+    totals = (
+        proj.map_batches(partial, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(
+            Min(f"{id_column}_min", alias_name="keep_id"),
+            Sum("count_all", alias_name="n_copies"),
+        )
     )
     return totals.map_batches(
-        lambda t: t.filter(pc.greater(t["n_copies"], 1)), batch_format="pyarrow"
+        lambda t: t.filter(pc.greater(t["n_copies"], 1))
+        if t.num_rows
+        else empty,
+        batch_format="pyarrow",
     )
 
 
@@ -220,24 +273,30 @@ def exact_dedup(ds, text_column: str, id_column: str, num_partitions: int = 16):
     """Keep exactly one row per distinct text (the min id). Returns the
     deduplicated Dataset (all original columns).
 
-    Plan: per-batch (md5, min id) partials → groupby(md5) global min-id (only
-    32-byte hashes + ids shuffle) → native hash join back against the hashed
-    rows on (md5, id). No per-group Python (a groupby(md5).map_groups would
-    pay per-group overhead on a mostly-unique hash column — the LSH
-    singleton-bucket problem all over again).
+    Sieve-split plan — NO full-width shuffle or join at all:
+    - per-batch md5 (null text → sentinel, so null-text rows keep one
+      representative) with same-batch (md5, id) dedup;
+    - candidate sieve over the md5 column (driver np.unique within the
+      budget, salted shuffle groupby beyond it — stages/unique.py split):
+      rows whose md5-hash is NOT a candidate are provably unique texts and
+      pass straight through as keepers — that is ~all rows on a typical
+      corpus, and they never touch an exchange;
+    - only the (rare) candidate rows go through a Ray groupby(md5) where one
+      representative per md5 survives (min id; full-row double-ingest copies
+      of that id collapse to one row in the same step).
 
-    Null-text rows keep one representative too: the null md5 is replaced by a
-    sentinel BEFORE the join (join keys never match on null, so without it
-    every null-text row would silently vanish). Exact full-row duplicates
-    (same id AND same text, e.g. double-ingested files) are removed exactly
-    via a (md5, id) candidate sieve before the join: per-batch dedup bounds
-    them first, then the rare cross-batch copies are detected with the same
-    8 B/row hash sieve the uniqueness check uses and collapsed locally —
-    the join input is globally unique on its key."""
+    The old plan shuffled EVERY (md5, id) pair into a groupby and then hash-
+    joined keepers back against the full dataset (two full-width exchanges,
+    7.7 s at sf0.01); this one does zero. Exact under 64-bit sieve
+    collisions: a falsely-flagged unique md5 forms its own 1-row group and
+    keeps itself."""
     import ray
-    from ray.data.aggregate import Min
 
-    from fdpg_query_data_validation_ray.stages.unique import key_hash
+    from fdpg_query_data_validation_ray.stages.unique import (
+        SIEVE_MAX_DRIVER_ROWS,
+        candidate_dup_hashes,
+        candidate_dup_hashes_shuffle,
+    )
 
     def add_hash(batch: pa.Table) -> pa.Table:
         md5 = pc.fill_null(md5_column(batch.column(text_column)), _NULL_TEXT_MD5)
@@ -245,18 +304,9 @@ def exact_dedup(ds, text_column: str, id_column: str, num_partitions: int = 16):
         # same-batch exact full-row duplicates collapse here
         return _first_per_key(t, ["__md5", id_column])
 
-    # two downstream consumers (keepers + join probe): materialize so the
-    # per-row md5 pass doesn't re-execute (same reasoning as the LSH sieve)
+    # two downstream consumers (sieve + split): materialize so the per-row
+    # md5 pass doesn't re-execute (same reasoning as the LSH sieve)
     hashed = ds.map_batches(add_hash, batch_format="pyarrow").materialize()
-
-    # cross-batch full-row duplicate sieve on (md5, id): strategy auto-selects
-    # between the driver np.unique and the salted shuffle groupby exactly like
-    # the uniqueness check (the materialized count is exact)
-    from fdpg_query_data_validation_ray.stages.unique import (
-        SIEVE_MAX_DRIVER_ROWS,
-        candidate_dup_hashes,
-        candidate_dup_hashes_shuffle,
-    )
 
     env_mode = os.environ.get("QDV_SIEVE_MODE")
     if env_mode in ("sieve", "shuffle"):
@@ -266,71 +316,46 @@ def exact_dedup(ds, text_column: str, id_column: str, num_partitions: int = 16):
             "sieve" if hashed.count() <= SIEVE_MAX_DRIVER_ROWS else "shuffle"
         )
     if sieve_mode == "shuffle":
-        cand = candidate_dup_hashes_shuffle(hashed, ["__md5", id_column])
+        cand = candidate_dup_hashes_shuffle(hashed, ["__md5"])
     else:
-        cand = candidate_dup_hashes(hashed, ["__md5", id_column])
-    if len(cand):
-        cand_ref = ray.put(cand)
-
-        def drop_cross_copies(batch: pa.Table) -> pa.Table:
-            c = ray.get(cand_ref)
-            kh = key_hash(batch, ["__md5", id_column]).view(np.int64)
-            ix = np.searchsorted(c, kh)
-            ix[ix == len(c)] = 0
-            hit = c[ix] == kh
-            clean = batch.filter(pa.array(~hit))
-            return clean
-
-        def keep_cross_copies(batch: pa.Table) -> pa.Table:
-            c = ray.get(cand_ref)
-            kh = key_hash(batch, ["__md5", id_column]).view(np.int64)
-            ix = np.searchsorted(c, kh)
-            ix[ix == len(c)] = 0
-            return batch.filter(pa.array(c[ix] == kh))
-
-        def add_pair_hash(batch: pa.Table) -> pa.Table:
-            kh = key_hash(batch, ["__md5", id_column]).view(np.int64)
-            return batch.append_column("__pairh", pa.array(kh))
-
-        # distributed resolution: the (rare — true double-ingest only)
-        # duplicate rows collapse to one representative inside a Ray groupby
-        # over their pair hash; nothing concatenates at the driver. The
-        # reducer is a per-column Min aggregate, NOT map_groups — the rows
-        # within a pair-hash group are full duplicates by construction, so
-        # column-wise Min IS the row (and stays deterministic under shuffle
-        # arrival order even for pathological divergent rows); map_groups
-        # would also emit schema-less empty blocks for empty shuffle
-        # partitions, which break the downstream Acero join.
-        from ray.data.aggregate import Min as _Min
-
-        cols = list(hashed.schema().base_schema.names)
-        dups = hashed.map_batches(keep_cross_copies, batch_format="pyarrow")
-        resolved = (
-            dups.map_batches(add_pair_hash, batch_format="pyarrow")
-            .groupby("__pairh")
-            .aggregate(*[_Min(c, alias_name=c) for c in cols])
-            .drop_columns(["__pairh"])
+        cand = candidate_dup_hashes(hashed, ["__md5"])
+    if not len(cand):
+        return hashed.map_batches(
+            lambda t: t.drop_columns(["__md5"]), batch_format="pyarrow"
         )
-        clean = hashed.map_batches(drop_cross_copies, batch_format="pyarrow")
-        hashed = drop_schemaless_empty_blocks(clean.union(resolved))
+    cand_ref = ray.put(cand)
 
-    def keep_partial(batch: pa.Table) -> pa.Table:
-        t = batch.select(["__md5", id_column])
-        return t.group_by(["__md5"]).aggregate([(id_column, "min")])
+    def _hit_mask(batch: pa.Table) -> np.ndarray:
+        c = ray.get(cand_ref)
+        kh = hash64(batch["__md5"]).view(np.int64)
+        ix = np.searchsorted(c, kh)
+        ix[ix == len(c)] = 0
+        return c[ix] == kh
 
-    keepers = drop_schemaless_empty_blocks(
-        hashed.map_batches(keep_partial, batch_format="pyarrow")
+    def keep_unique(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(~_hit_mask(batch))).drop_columns(["__md5"])
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(_hit_mask(batch)))
+
+    def pick_winner(group: pa.Table) -> pa.Table:
+        # one representative per md5: min id, then first row in (id) order —
+        # deterministic under shuffle arrival order; duplicate (md5, id)
+        # double-ingest copies collapse here too
+        g = group.sort_by([(id_column, "ascending")])
+        return g.slice(0, 1).drop_columns(["__md5"])
+
+    clean = hashed.map_batches(keep_unique, batch_format="pyarrow")
+    winners = (
+        hashed.map_batches(keep_candidates, batch_format="pyarrow")
         .groupby("__md5")
-        .aggregate(Min(f"{id_column}_min", alias_name="__keep_id"))
+        .map_groups(pick_winner, batch_format="pyarrow")
     )
-    joined = hashed.join(
-        keepers,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("__md5", id_column),
-        right_on=("__md5", "__keep_id"),
-    )
-    return joined.drop_columns(["__md5"])
+    # map_groups emits schema-less empty blocks for empty shuffle partitions;
+    # strip them (winners are rare → the materialize is tiny) or a downstream
+    # consumer's join/groupby would trip over them
+    winners = drop_schemaless_empty_blocks(winners)
+    return clean.union(winners)
 
 
 def _first_per_key(t: pa.Table, key_columns: list[str]) -> pa.Table:
