@@ -321,12 +321,105 @@ def q_pricing_summary(sf_dir: str):
     )
 
 
+def _stream_key_array(ds, column: str, cap: int):
+    """Collect a dataset's int key column at the driver as a sorted unique
+    int64 array, bailing out (None) beyond `cap` — the budget guard every
+    broadcast side uses (stages/fk.py pattern)."""
+    chunks, total = [], 0
+    for b in ds.select_columns([column]).iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        arr = pc.unique(t[column].combine_chunks()).to_numpy(zero_copy_only=False)
+        chunks.append(arr.astype(np.int64))
+        total += len(arr)
+        if total > cap:
+            return None
+    if not chunks:
+        return np.array([], dtype=np.int64)
+    return np.unique(np.concatenate(chunks))
+
+
 def q_top_building_orders(sf_dir: str):
-    """Join pipeline (TPC-H Q3 shape), fully distributed: orders ⋈
-    customer(BUILDING) native hash join → lineitem revenue partial-aggregated
-    per batch BEFORE its join (shrinks the probe side to one row per orderkey
-    per batch) → semi-join via native join → final groupby → pruned top-10.
-    No driver-side key collection at any step."""
+    """Join pipeline (TPC-H Q3 shape) as a broadcast semi-join CHAIN: the
+    BUILDING customer keys (dimension-sized) and then the matching orderkeys
+    are each streamed to the driver under a budget and broadcast
+    (`ray.put` once, binary-search filter per task) — no shuffle join
+    anywhere; lineitem's per-batch revenue partials for ONLY the surviving
+    orderkeys merge incrementally at the driver (bounded by ~4× the orderkey
+    count). Beyond the budget either key set falls back to the fully
+    distributed native-hash-join plan (`_top_building_orders_join`)."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.unique import SIEVE_MAX_DRIVER_ROWS
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    bkeys = _stream_key_array(cust, "c_custkey", SIEVE_MAX_DRIVER_ROWS)
+    if bkeys is None:
+        return _top_building_orders_join(sf_dir)
+    bref = ray.put(bkeys)
+
+    def building_only(t: pa.Table) -> pa.Table:
+        keys = ray.get(bref)
+        if len(keys) == 0:
+            return t.slice(0, 0).select(["o_orderkey"])
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix = np.searchsorted(keys, ck)
+        ix[ix == len(keys)] = 0
+        return t.filter(pa.array(keys[ix] == ck)).select(["o_orderkey"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        building_only, batch_format="pyarrow"
+    )
+    okeys = _stream_key_array(orders, "o_orderkey", SIEVE_MAX_DRIVER_ROWS)
+    if okeys is None:
+        return _top_building_orders_join(sf_dir)
+    oref = ray.put(okeys)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue_partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(oref)
+        if len(keys) == 0:
+            t = t.slice(0, 0)
+        else:
+            lk = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ix = np.searchsorted(keys, lk)
+            ix[ix == len(keys)] = 0
+            t = t.filter(pa.array(keys[ix] == lk))
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        return pa.table(
+            {"o_orderkey": t["l_orderkey"].combine_chunks(), "revenue_e4": rev}
+        ).group_by(["o_orderkey"]).aggregate([("revenue_e4", "sum")])
+
+    from fdpg_query_data_validation_ray.stages.unique import _merge_partials_driver
+
+    partials = li.map_batches(revenue_partial, batch_format="pyarrow").map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "count_all"]),
+        batch_format="pyarrow",
+    )
+    merged = _merge_partials_driver(
+        partials, ["o_orderkey"], cap=max(4 * len(okeys), 65_536)
+    )
+    if merged is None or merged.num_rows == 0:
+        return pa.table(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "revenue_e4": pa.array([], pa.int64())}
+        )
+    merged = merged.rename_columns(["o_orderkey", "revenue_e4"])
+    out = merged.sort_by([("revenue_e4", "descending"), ("o_orderkey", "ascending")])
+    return out.slice(0, 10)
+
+
+def _top_building_orders_join(sf_dir: str):
+    """Fully distributed fallback (native hash joins) for when either
+    broadcast side exceeds the driver budget."""
     from ray.data.aggregate import Sum
 
     from fdpg_query_data_validation_ray.stages.topk import top_k
