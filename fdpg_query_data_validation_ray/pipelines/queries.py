@@ -48,12 +48,13 @@ def documents_suite() -> qdv.Suite:
 
 
 def q_row_checks_documents(sf_dir: str):
+    # task-based instance: this 4-rule suite compiles in microseconds, so
+    # plain tasks beat an actor pool's startup latency (the flagship
+    # corpus_validate keeps the actor pool — its CheckAndProfile state is
+    # bigger and its runs long enough to amortize)
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars", "source"])
     return ds.map_batches(
-        RowChecker,
-        fn_constructor_kwargs=dict(suite=documents_suite()),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        RowChecker(suite=documents_suite()), batch_format="pyarrow"
     )
 
 

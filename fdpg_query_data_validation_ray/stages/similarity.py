@@ -82,16 +82,13 @@ def knn_cosine(
     Returns a Dataset (query_id, vec_id, similarity, rank) with rank 1..k,
     deterministically tie-broken by (−similarity, vec_id).
     """
-    import ray
-
-    ref = ray.put(queries)
+    # task-based: the query matrix is a few KB, so the instance (built once
+    # at the driver) ships per task with no actor-pool startup latency
     partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs=dict(
-            queries_ref=ref, k=k, vec_column=vec_column, id_column=id_column
+        BruteForceTopK(
+            queries_ref=queries, k=k, vec_column=vec_column, id_column=id_column
         ),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
@@ -220,8 +217,6 @@ def knn_cosine_ivf(
     next to the brute-force baseline `knn_cosine`). Same output shape.
     train=True fits spherical-k-means centroids on a sample (better recall
     per probe); train=False uses seeded data-independent directions."""
-    import ray
-
     if train:
         centroids = train_centroids(
             ds, n_centroids, dim, vec_column=vec_column, seed=seed
@@ -234,16 +229,13 @@ def knn_cosine_ivf(
     qids, qm = queries
     qmn = _normalize(np.asarray(qm, dtype=np.float32))
     probe = np.argsort(-(qmn @ centroids.T), axis=1)[:, :n_probes]
-    ref = ray.put((list(qids), qmn))
 
     partials = ds.map_batches(
-        IVFTopK,
-        fn_constructor_kwargs=dict(
-            queries_ref=ref, centroids=centroids, probe=probe, k=k,
-            vec_column=vec_column, id_column=id_column,
+        IVFTopK(
+            queries_ref=(list(qids), qmn), centroids=centroids, probe=probe,
+            k=k, vec_column=vec_column, id_column=id_column,
         ),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
