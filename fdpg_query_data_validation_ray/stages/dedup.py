@@ -7,9 +7,10 @@ algorithms (Broder 1997 resemblance/minhash; Leskovec-Rajaraman-Ullman MMDS
 ch.3 banding; Charikar 2002 simhash).
 
 Scale shapes:
-- exact: content-hash per batch (vectorized) → groupby(hash) partial-count
-  two-phase, same skew-bounded plan as the uniqueness check (stages/unique.py);
-  only the 32-byte hash + id ever shuffles, never the text.
+- exact: content-hash per batch (vectorized) → candidate sieve (the
+  stages/unique.py driver/shuffle strategy split) → only rows whose md5 is a
+  duplicate CANDIDATE ever enter an exchange; unique-text rows stream
+  straight through. Neither the text nor the full hash set shuffles.
 - MinHash+LSH: per-batch vectorized shingle→128-perm signature (numpy
   reduceat, no per-row Python loops on the hot path) → explode to
   (band, band_hash, id, sig) rows → groupby((band, band_hash)) → candidate
