@@ -139,3 +139,47 @@ def test_range_join_count(ray_session):
         rd.from_arrow(t2), "user_id", "ts", "event_id", lo_us=-200, hi_us=200
     ).to_pandas()
     assert list(out2["n_neighbors"]) == [1, 1]
+
+
+def test_temporal_partition_invariance(ray_session):
+    """As-of join, sessionization and range join outputs are independent of
+    the input's block split (§2.9 order-insensitivity: per-group bodies sort
+    internally, groupby co-locates keys)."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import (
+        asof_join_events,
+        range_join_count,
+        sessionize,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 400
+    t = pa.table(
+        {
+            "event_id": list(range(n)),
+            "user_id": rng.integers(0, 7, n),
+            "ts": pa.array(np.sort(rng.integers(0, 10_000_000, n)), pa.int64()),
+            "event_type": rng.choice(["click", "purchase", "view"], n),
+        }
+    )
+
+    def run_all(parts):
+        ds = rd.from_arrow(t).repartition(parts)
+        a = asof_join_events(
+            ds, by="user_id", on="ts", id_column="event_id",
+            left_filter=lambda x: pc.equal(x["event_type"], "click"),
+            right_filter=lambda x: pc.equal(x["event_type"], "purchase"),
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+        s = sessionize(ds, "user_id", "ts", "event_id", gap_seconds=100).to_pandas(
+        ).sort_values("user_id").reset_index(drop=True)
+        r = range_join_count(
+            ds, "user_id", "ts", "event_id", lo_us=-5000, hi_us=5000
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+        return a, s, r
+
+    a1, s1, r1 = run_all(1)
+    a2, s2, r2 = run_all(9)
+    assert a1.equals(a2)
+    assert s1.equals(s2)
+    assert r1.equals(r2)
