@@ -65,7 +65,12 @@ def distribution_by_system(
     path-template → code-system → count shape, extraction/main.py:270-293):
     each configured column's value counts are split by which value set each
     value belongs to, with an __unmatched__ bucket. Deterministic: all keys
-    sorted; a value in several systems is counted under each."""
+    sorted; a value in several systems is counted under each.
+
+    When the stats pass truncated the column's value counts to
+    MAX_CATEGORICAL (lossy partial merges), every count here is a lower
+    bound — the column's entry then carries `"approximate": true` instead of
+    silently undercounting vs the reference's exact analyse_distribution."""
     from fdpg_query_data_validation_ray.pipelines.validate import ValidationPlan
 
     out: dict = {}
@@ -81,6 +86,8 @@ def distribution_by_system(
             rep[name] = {"count": sum(sub.values()), "values": sub}
         um = {v: c for v, c in sorted(counts.items()) if v not in matched}
         rep["__unmatched__"] = {"count": sum(um.values()), "values": um}
+        if p is not None and p.cat_overflow:
+            rep["approximate"] = True
         out[col] = rep
     return out
 

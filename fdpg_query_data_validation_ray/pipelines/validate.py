@@ -34,6 +34,7 @@ import pickle
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -350,6 +351,17 @@ def _scan_union(dir_path: str, record_type: str, columns: list[str]) -> pa.Table
     )
 
 
+def _file_stamps(files: list[str]) -> dict[str, tuple[int, int]]:
+    """(mtime_ns, size) per input file — cheap identity snapshot used to
+    detect a file being swapped between the check pass and the concurrent
+    column-pruned keyhash re-read (the two must see identical bytes)."""
+    out = {}
+    for f in files:
+        st = os.stat(f)
+        out[f] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
 def _run_one_partition(
     pid: str,
     files: list[str],
@@ -369,6 +381,11 @@ def _run_one_partition(
 
         shutil.rmtree(tmp_dir)
     os.makedirs(os.path.join(tmp_dir, "combined"), exist_ok=True)
+
+    # snapshot input identity BEFORE any scan: the keyhash pass re-reads the
+    # same files concurrently with the check pass, and a file swapped mid-
+    # partition would silently diverge the keyhash rows from the rows checked
+    stamps = _file_stamps(files)
 
     ds = rd.read_parquet(files)
     combined = ds.map_batches(
@@ -394,6 +411,14 @@ def _run_one_partition(
         # decode every digest row's strings too (~8x the bytes). Built from a
         # column-pruned re-read of the input (only the key columns leave
         # storage — far cheaper than fattening every union block).
+        changed = [f for f, s in _file_stamps(files).items() if stamps.get(f) != s]
+        if changed:
+            # fail the partition (error channel, is_complete=False) rather
+            # than commit keyhash rows derived from different bytes than the
+            # rows the check pass validated
+            raise RuntimeError(
+                f"input files changed mid-partition before keyhash pass: {changed}"
+            )
         uk = list(plan.unique_keys)
         rd.read_parquet(files, columns=uk).map_batches(
             lambda t: _keyrec_table(t, uk), batch_format="pyarrow"
@@ -752,25 +777,50 @@ def _grouping_key(t: pa.Table) -> pa.Table:
     """Exact verify grouping key: the unambiguous length-prefixed key_enc
     (distinct composite keys can never collide, unlike the '|'-joined
     row_key); artifacts from older runs without key_enc fall back to raw
-    row_key grouping. Output: (gkey, khash)."""
-    if "key_enc" in t.column_names and "row_key" in t.column_names:
+    row_key grouping. Output: (gkey, genc, khash) — genc records PROVENANCE
+    (1 = value came from key_enc, 0 = legacy raw row_key) so the display
+    decode never has to sniff the format: a legacy key that coincidentally
+    parses as an encoding ('3:abc') must NOT be rewritten."""
+    if "genc" in t.column_names:  # provenance pre-computed (e.g. by
+        # _keyhash_dataset, whose legacy reader bakes the coalesce in)
+        gkey = t["key_enc"] if "key_enc" in t.column_names else t["row_key"]
+        genc = t["genc"]
+    elif "key_enc" in t.column_names and "row_key" in t.column_names:
+        enc_valid = pc.is_valid(t["key_enc"])
         gkey = pc.coalesce(t["key_enc"], t["row_key"])
+        genc = pc.cast(enc_valid, pa.int8())
     elif "key_enc" in t.column_names:
         gkey = t["key_enc"]
+        genc = pa.array(np.ones(t.num_rows, dtype=np.int8))
     else:
         gkey = t["row_key"]
-    return pa.table({"gkey": pc.cast(gkey, pa.string()), "khash": t["khash"]})
+        genc = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+    return pa.table(
+        {"gkey": pc.cast(gkey, pa.string()), "genc": genc, "khash": t["khash"]}
+    )
 
 
 def _uniqueness_violation_rows(g: pa.Table, unique_keys: list[str]) -> list[dict]:
-    """(gkey, count_all) dup groups → violation dicts. The display row_key is
-    decoded from the key_enc grouping key (legacy raw row_keys pass through
-    verbatim); sorted deterministically by (row_key, gkey)."""
+    """(gkey, genc, count_all) dup groups → violation dicts. The display
+    row_key is decoded ONLY for keys whose provenance is key_enc (genc=1);
+    legacy raw row_keys pass through verbatim even when they coincidentally
+    parse as an encoding. Sorted deterministically by (row_key, gkey)."""
     from fdpg_query_data_validation_ray.rules import DIAGNOSTICS
 
+    genc = (
+        g["genc"].to_pylist()
+        if "genc" in g.column_names
+        else [1] * g.num_rows  # pre-provenance callers: all keys are key_enc
+    )
     g = g.append_column(
         "row_key",
-        pa.array([decode_key_display(k) for k in g["gkey"].to_pylist()], pa.string()),
+        pa.array(
+            [
+                decode_key_display(k) if e else k
+                for k, e in zip(g["gkey"].to_pylist(), genc)
+            ],
+            pa.string(),
+        ),
     )
     g = g.sort_by([("row_key", "ascending"), ("gkey", "ascending")])
     rule_id = f"unique({','.join(unique_keys)})"
@@ -855,7 +905,7 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
         if not part.num_rows:
             return None
         gk = _grouping_key(part)
-        return gk.group_by(["gkey"]).aggregate([([], "count_all")])
+        return gk.group_by(["gkey"]).aggregate([([], "count_all"), ("genc", "max")])
 
     picked_parts = [
         p
@@ -865,9 +915,11 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
     if not picked_parts:
         return []
     picked = pa.concat_tables(picked_parts).combine_chunks()
-    g = picked.group_by(["gkey"]).aggregate([("count_all", "sum")])
+    g = picked.group_by(["gkey"]).aggregate(
+        [("count_all", "sum"), ("genc_max", "max")]
+    )
     g = g.filter(pc.greater(g["count_all_sum"], 1)).rename_columns(
-        ["gkey", "count_all"]
+        ["gkey", "count_all", "genc"]
     )
     return _uniqueness_violation_rows(g, unique_keys)
 
@@ -950,7 +1002,17 @@ def _keyhash_dataset(manifest: RunManifest, columns: list[str]):
                 union_files.append(f)
     parts = []
     if compact_files:
-        parts.append(rd.read_parquet(compact_files, columns=columns))
+        compact = rd.read_parquet(compact_files, columns=columns)
+        if "key_enc" in columns:
+            # align with the legacy part's provenance column: compact
+            # artifacts always carry a real key_enc
+            compact = compact.map_batches(
+                lambda t: t.append_column(
+                    "genc", pa.array(np.ones(t.num_rows, dtype=np.int8))
+                ),
+                batch_format="pyarrow",
+            )
+        parts.append(compact)
     if union_files:
         legacy_want = ["row_key", "key_enc", "khash"]
         legacy_cols = [
@@ -962,12 +1024,16 @@ def _keyhash_dataset(manifest: RunManifest, columns: list[str]):
             for c in columns:
                 if c == "key_enc":
                     # bake the legacy fallback in: key_enc := coalesce(
-                    # key_enc, row_key) so downstream grouping is uniform
+                    # key_enc, row_key) so downstream grouping is uniform —
+                    # but record PROVENANCE in genc so the display decode
+                    # never rewrites a raw row_key that happens to parse as
+                    # an encoding
                     enc = (
                         t["key_enc"] if "key_enc" in t.column_names
                         else pa.nulls(t.num_rows, pa.string())
                     )
                     cols[c] = pc.coalesce(enc, t["row_key"])
+                    cols["genc"] = pc.cast(pc.is_valid(enc), pa.int8())
                 elif c in t.column_names:
                     cols[c] = t[c]
                 else:
@@ -998,7 +1064,7 @@ def _uniqueness_from_artifacts_distributed(
     materialize at the driver."""
     import numpy as np
     import ray
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
     ds = _keyhash_dataset(manifest, ["key_enc", "khash"])
     if ds is None:
@@ -1035,15 +1101,19 @@ def _uniqueness_from_artifacts_distributed(
         if not part.num_rows:
             return pa.table(
                 {"gkey": pa.array([], pa.string()),
-                 "count_all": pa.array([], pa.int64())}
+                 "count_all": pa.array([], pa.int64()),
+                 "genc_max": pa.array([], pa.int8())}
             )
         gk = _grouping_key(part)
-        return gk.group_by(["gkey"]).aggregate([([], "count_all")])
+        return gk.group_by(["gkey"]).aggregate([([], "count_all"), ("genc", "max")])
 
     g_ds = (
         ds.map_batches(pick_keyhash, batch_format="pyarrow")
         .groupby("gkey")
-        .aggregate(Sum("count_all", alias_name="count_all"))
+        .aggregate(
+            Sum("count_all", alias_name="count_all"),
+            Max("genc_max", alias_name="genc"),
+        )
     )
     parts = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])

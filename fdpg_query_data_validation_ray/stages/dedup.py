@@ -130,13 +130,18 @@ def _sieve_multi_buckets(exploded, bucket_column: str, mode: str = "auto"):
     return exploded.map_batches(keep_multi, batch_format="pyarrow"), len(multi)
 
 
-def drop_schemaless_empty_blocks(ds):
+def drop_schemaless_empty_blocks(ds, empty_schema: pa.Schema | None = None):
     """Ray 2.49's hash-shuffle aggregate emits SCHEMA-LESS 0-row blocks for
     empty output partitions; a downstream Acero join that receives one fails
     with "No match or multiple matches for key field reference". Strip them
     by object ref (zero-copy — the surviving blocks are not touched).
     Materializes the input (callers sit right before a join, which
-    materializes the build side anyway)."""
+    materializes the build side anyway).
+
+    When EVERY block is a schema-less empty, the poison blocks are all there
+    is — returning the input unchanged would hand them to the consumer.
+    Build a schema-bearing empty dataset instead: from `empty_schema` if the
+    caller supplied one, else from the dataset's own recoverable schema."""
     import ray.data as rd
     from ray.data.dataset import MaterializedDataset
 
@@ -149,9 +154,20 @@ def drop_schemaless_empty_blocks(ds):
                 dropped += 1
             else:
                 refs.append(blk)
-    if not refs or not dropped:
+    if not dropped:
         return ds
-    return rd.from_arrow_refs(refs)
+    if refs:
+        return rd.from_arrow_refs(refs)
+    schema = empty_schema
+    if schema is None:
+        try:
+            s = ds.schema(fetch_if_missing=True)
+            schema = s.base_schema if s is not None else None
+        except Exception:
+            schema = None
+    if schema is None or not isinstance(schema, pa.Schema):
+        return ds  # nothing recoverable — degenerate, caller's schema unknown
+    return rd.from_arrow(schema.empty_table())
 
 
 def _empty_pairs(metric: str, dtype: str) -> pd.DataFrame:
@@ -355,7 +371,11 @@ def exact_dedup(ds, text_column: str, id_column: str, num_partitions: int = 16):
     # map_groups emits schema-less empty blocks for empty shuffle partitions;
     # strip them (winners are rare → the materialize is tiny) or a downstream
     # consumer's join/groupby would trip over them
-    winners = drop_schemaless_empty_blocks(winners)
+    base = hashed.schema().base_schema
+    winners_schema = pa.schema(
+        [base.field(n) for n in base.names if n != "__md5"]
+    )
+    winners = drop_schemaless_empty_blocks(winners, empty_schema=winners_schema)
     return clean.union(winners)
 
 

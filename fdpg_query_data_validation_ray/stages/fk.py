@@ -123,12 +123,14 @@ def _dangling_sieve(fact_ds, dim_ds, columns, dim_columns, _key):
     keys to the driver with a hard budget; on success broadcast the EXACT key
     set (values, not hashes — no collision caveat) and anti-filter the fact
     side with vectorized `is_in`, finishing counts via the bounded
-    incremental partial merge. Returns None when the dim overflows the budget
-    (caller falls back to the single-shuffle tagged-groupby plan)."""
+    incremental partial merge. Returns None when the dim — or the merged
+    dangling-key RESULT — overflows the budget (caller falls back to the
+    single-shuffle tagged-groupby plan, which keeps the result distributed)."""
     import ray
     import ray.data as rd
 
     from fdpg_query_data_validation_ray.stages.unique import (
+        MERGE_OVERFLOW,
         SIEVE_MAX_DRIVER_ROWS,
         _merge_partials_driver,
     )
@@ -163,7 +165,15 @@ def _dangling_sieve(fact_ds, dim_ds, columns, dim_columns, _key):
         return t.group_by(["fk_key"]).aggregate([([], "count_all")])
 
     partials = fact_ds.map_batches(anti_partial, batch_format="pyarrow")
-    g = _merge_partials_driver(partials, ["fk_key"], cap=1 << 20)
+    # the dangling-key RESULT is driver-materialized too: bound it by the same
+    # budget (an empty/mismatched dim against a high-cardinality fact would
+    # otherwise collect every distinct fact key here) and bail to the
+    # distributed shuffle plan on overflow
+    g = _merge_partials_driver(
+        partials, ["fk_key"], cap=1 << 20, hard_limit=SIEVE_MAX_DRIVER_ROWS
+    )
+    if g is MERGE_OVERFLOW:
+        return None
     if g is None or g.num_rows == 0:
         out = pa.table(
             {"fk_key": pa.array([], pa.string()), "n_rows": pa.array([], pa.int64())}

@@ -63,6 +63,10 @@ class ColumnPartial:
     hll: HLL = field(default_factory=HLL)
     kll: KLL = field(default_factory=KLL)
     cat_counts: dict | None = None
+    # True once ANY truncation to MAX_CATEGORICAL happened anywhere in this
+    # partial's merge lineage — per-value counts downstream are then lower
+    # bounds, not exact (partial merges drop tail keys lossily)
+    cat_overflow: bool = False
 
     def merge(self, o: "ColumnPartial") -> "ColumnPartial":
         self.n_rows += o.n_rows
@@ -74,6 +78,7 @@ class ColumnPartial:
         self.sum_sq += o.sum_sq
         self.hll.merge(o.hll)
         self.kll.merge(o.kll)
+        self.cat_overflow = self.cat_overflow or o.cat_overflow
         if o.cat_counts is not None:
             if self.cat_counts is None:
                 self.cat_counts = dict(o.cat_counts)
@@ -83,6 +88,7 @@ class ColumnPartial:
         if self.cat_counts is not None and len(self.cat_counts) > MAX_CATEGORICAL:
             keep = sorted(self.cat_counts.items(), key=lambda kv: (-kv[1], kv[0]))
             self.cat_counts = dict(keep[:MAX_CATEGORICAL])
+            self.cat_overflow = True
         return self
 
 
@@ -120,6 +126,7 @@ def _partial_from_array(name: str, col: pa.ChunkedArray, categorical: bool) -> C
         if len(p.cat_counts) > MAX_CATEGORICAL:
             keep = sorted(p.cat_counts.items(), key=lambda kv: (-kv[1], kv[0]))
             p.cat_counts = dict(keep[:MAX_CATEGORICAL])
+            p.cat_overflow = True
     return p
 
 
@@ -137,8 +144,13 @@ def _partials_to_table(partials: list[ColumnPartial]) -> pa.Table:
             "max_str": [p.max_str for p in partials],
             "hll": [p.hll.to_bytes() for p in partials],
             "kll": [p.kll.to_bytes() for p in partials],
+            # (dict, overflow) tuple — the overflow flag rides inside the
+            # existing binary column so legacy artifacts stay readable and the
+            # union schema is unchanged; loads handle both forms
             "cat_counts": [
-                None if p.cat_counts is None else pickle.dumps(p.cat_counts, protocol=4)
+                None
+                if p.cat_counts is None
+                else pickle.dumps((p.cat_counts, p.cat_overflow), protocol=4)
                 for p in partials
             ],
         },
@@ -160,7 +172,14 @@ def _partials_from_table(t: pa.Table) -> list[ColumnPartial]:
         p.max_str = row["max_str"]
         p.hll = HLL.from_bytes(row["hll"])
         p.kll = KLL.from_bytes(row["kll"])
-        p.cat_counts = None if row["cat_counts"] is None else pickle.loads(row["cat_counts"])
+        if row["cat_counts"] is None:
+            p.cat_counts = None
+        else:
+            loaded = pickle.loads(row["cat_counts"])
+            if isinstance(loaded, tuple):
+                p.cat_counts, p.cat_overflow = loaded[0], bool(loaded[1])
+            else:  # legacy artifacts: bare dict, overflow unknown → False
+                p.cat_counts = loaded
         out.append(p)
     return out
 

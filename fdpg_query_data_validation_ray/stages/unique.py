@@ -229,10 +229,24 @@ def duplicate_keys(
     )
 
 
-def _merge_partials_driver(partials, key_columns: list[str], cap: int) -> pa.Table | None:
+MERGE_OVERFLOW = object()
+"""Sentinel returned by _merge_partials_driver when `hard_limit` is set and
+the DISTINCT-key result itself exceeds it — the caller must fall back to a
+distributed plan instead of materializing the result at the driver."""
+
+
+def _merge_partials_driver(
+    partials, key_columns: list[str], cap: int, hard_limit: int | None = None
+):
     """Incrementally merge streamed (key, count_all) partial tables with
     bounded driver memory: re-aggregate whenever the buffer exceeds `cap`
-    rows (the merged result can never exceed the candidate-key count)."""
+    rows (the merged result can never exceed the candidate-key count).
+
+    `hard_limit` bounds the MERGED (distinct-key) row count: if a regroup
+    still leaves more rows than the limit, the distinct result genuinely does
+    not fit the driver (e.g. an empty dimension against a high-cardinality
+    fact column makes every distinct fact key 'dangling') and MERGE_OVERFLOW
+    is returned so the caller can keep the result distributed."""
     def regroup(t: pa.Table) -> pa.Table:
         out = t.group_by(key_columns).aggregate([("count_all", "sum")])
         return out.rename_columns(key_columns + ["count_all"])
@@ -245,6 +259,8 @@ def _merge_partials_driver(partials, key_columns: list[str], cap: int) -> pa.Tab
         buf = t if buf is None else pa.concat_tables([buf, t])
         if buf.num_rows > cap:
             buf = regroup(buf.combine_chunks())
+            if hard_limit is not None and buf.num_rows > hard_limit:
+                return MERGE_OVERFLOW
     return regroup(buf.combine_chunks()) if buf is not None else None
 
 

@@ -1,0 +1,174 @@
+"""Round-3 ADVICE fixes: decode provenance, cat-count overflow flag,
+bounded dangling-key driver merge, schema-bearing all-empty recovery, and
+the input-stamp guard for the concurrent keyhash re-read."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_decode_provenance_legacy_raw_key_not_rewritten():
+    """A legacy raw row_key that coincidentally parses as a length-prefixed
+    encoding ('3:abc') must pass through verbatim (genc=0); only true
+    key_enc values (genc=1) are decoded for display."""
+    from fdpg_query_data_validation_ray.pipelines.validate import (
+        _uniqueness_violation_rows,
+    )
+
+    g = pa.table(
+        {
+            "gkey": ["3:abc", "3:abc;2:xy"],
+            "count_all": pa.array([2, 3], pa.int64()),
+            "genc": pa.array([0, 1], pa.int8()),
+        }
+    )
+    rows = _uniqueness_violation_rows(g, ["k"])
+    by_count = {r["actual"]: r["row_key"] for r in rows}
+    assert by_count["2"] == "3:abc"  # legacy: verbatim
+    assert by_count["3"] == "abc|xy"  # key_enc: decoded
+
+
+def test_grouping_key_provenance_column():
+    from fdpg_query_data_validation_ray.pipelines.validate import _grouping_key
+
+    t = pa.table(
+        {
+            "row_key": ["r1", "r2"],
+            "key_enc": pa.array(["2:r1", None], pa.string()),
+            "khash": pa.array([1, 2], pa.int64()),
+        }
+    )
+    gk = _grouping_key(t)
+    assert gk["gkey"].to_pylist() == ["2:r1", "r2"]
+    assert gk["genc"].to_pylist() == [1, 0]
+    # pre-computed provenance passes through untouched
+    t2 = t.append_column("genc", pa.array([0, 0], pa.int8())).set_column(
+        t.schema.get_field_index("key_enc"),
+        "key_enc",
+        pa.array(["x", "y"], pa.string()),
+    )
+    gk2 = _grouping_key(t2)
+    assert gk2["genc"].to_pylist() == [0, 0]
+
+
+def test_cat_overflow_flag_roundtrip_and_report():
+    from fdpg_query_data_validation_ray.pipelines.report import (
+        distribution_by_system,
+    )
+    from fdpg_query_data_validation_ray.stages.stats import (
+        MAX_CATEGORICAL,
+        ColumnPartial,
+        _partial_from_array,
+        _partials_from_table,
+        _partials_to_table,
+    )
+
+    vals = pa.chunked_array(
+        [pa.array([f"v{i:05d}" for i in range(MAX_CATEGORICAL + 10)])]
+    )
+    p = _partial_from_array("c", vals, categorical=True)
+    assert p.cat_overflow is True
+    assert len(p.cat_counts) == MAX_CATEGORICAL
+    # merge propagates the flag into a clean partial
+    clean = _partial_from_array(
+        "c", pa.chunked_array([pa.array(["a", "b"])]), categorical=True
+    )
+    assert clean.cat_overflow is False
+    clean.merge(p)
+    assert clean.cat_overflow is True
+    # artifact round-trip keeps the flag (tuple payload) and legacy bare-dict
+    # payloads still load
+    rt = _partials_from_table(_partials_to_table([p]))[0]
+    assert rt.cat_overflow is True and rt.cat_counts == p.cat_counts
+    import pickle
+
+    legacy = _partials_to_table([p])
+    legacy = legacy.set_column(
+        legacy.schema.get_field_index("cat_counts"),
+        "cat_counts",
+        pa.array([pickle.dumps({"a": 1})], pa.binary()),
+    )
+    lp = _partials_from_table(legacy)[0]
+    assert lp.cat_overflow is False and lp.cat_counts == {"a": 1}
+
+    # report marks the column approximate iff the cap was hit
+    rep = distribution_by_system({"c": p}, {"c": {"sys": ["v00001"]}})
+    assert rep["c"]["approximate"] is True
+    rep2 = distribution_by_system({"c": clean2()}, {"c": {"sys": ["a"]}})
+    assert "approximate" not in rep2["c"]
+
+
+def clean2():
+    from fdpg_query_data_validation_ray.stages.stats import _partial_from_array
+
+    return _partial_from_array(
+        "c", pa.chunked_array([pa.array(["a", "b"])]), categorical=True
+    )
+
+
+def test_merge_partials_driver_hard_limit(ray_session):
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.unique import (
+        MERGE_OVERFLOW,
+        _merge_partials_driver,
+    )
+
+    t = pa.table(
+        {
+            "fk_key": [f"k{i}" for i in range(100)],
+            "count_all": pa.array([1] * 100, pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    assert (
+        _merge_partials_driver(ds, ["fk_key"], cap=10, hard_limit=50)
+        is MERGE_OVERFLOW
+    )
+    ok = _merge_partials_driver(ds, ["fk_key"], cap=10, hard_limit=1000)
+    assert ok.num_rows == 100
+
+
+def test_dangling_sieve_overflow_falls_back_to_shuffle(ray_session, monkeypatch):
+    """When the sieve bails (None — e.g. dangling result over budget), the
+    shuffle plan still produces the exact dangling set."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages import fk as fk_mod
+
+    fact = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3, 3, 9], pa.int64())}))
+    dim = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    monkeypatch.setattr(fk_mod, "_dangling_sieve", lambda *a, **kw: None)
+    out = fk_mod.dangling_keys_hash(fact, ["k"], dim).to_pandas()
+    out = out.sort_values("fk_key").reset_index(drop=True)
+    assert out["fk_key"].tolist() == ["3", "9"]
+    assert out["n_rows"].tolist() == [2, 1]
+
+
+def test_drop_schemaless_all_empty_keeps_schema(ray_session):
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.dedup import (
+        drop_schemaless_empty_blocks,
+    )
+
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    ds = rd.from_arrow(schema.empty_table())
+    out = drop_schemaless_empty_blocks(ds, empty_schema=schema)
+    assert out.count() == 0
+    assert out.schema().base_schema.equals(schema)
+
+
+def test_file_stamps_detect_change(tmp_path):
+    import os
+
+    from fdpg_query_data_validation_ray.pipelines.validate import _file_stamps
+
+    f = tmp_path / "x.parquet"
+    f.write_bytes(b"abc")
+    s1 = _file_stamps([str(f)])
+    f.write_bytes(b"abcd")
+    s2 = _file_stamps([str(f)])
+    assert s1 != s2
+    os.utime(f, ns=(1, 1))
+    assert _file_stamps([str(f)]) != s2
