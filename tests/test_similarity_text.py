@@ -252,3 +252,46 @@ def test_cosine_lsh_multitable_recall_and_uniqueness(ray_session):
     assert got_set <= truth  # precision 1 (exact verify)
     recall = len(got_set & truth) / len(truth)
     assert recall >= 0.9, recall
+
+
+def test_md5_low60_backends_agree():
+    """DuckDB fast path and hashlib fallback are bit-identical (incl. the
+    short-input cutoff boundary and non-ASCII)."""
+    from fdpg_query_data_validation_ray.stages.text import (
+        _md5_low60_py,
+        md5_low60,
+    )
+
+    strs = [f"tok {i} öäß€" for i in range(1000)] + ["", " ", "a b c"]
+    assert (md5_low60(strs) == _md5_low60_py(strs)).all()
+
+
+def test_fingerprint_batch_matches_per_doc_reference():
+    """The batch-vectorized FingerprintStage equals the per-doc winnowing
+    reference on a mix of empty/short/boundary-length/long docs."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from fdpg_query_data_validation_ray.stages.text import FingerprintStage
+
+    st = FingerprintStage()
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(60)]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(n))
+        for n in [0, 1, 2, 4, 5, 6, 8, 9, 40, 200]
+        for _ in range(5)
+    ] + ["", None, "ONE two\tthree\nfour five six", "x " * 300]
+    out = st(pd.DataFrame({"text": texts}))
+    mins, counts = [], []
+    for t in texts:
+        fp = st._fingerprints(t)
+        mins.append(int(fp.min()) if len(fp) else 0)
+        counts.append(len(fp))
+    assert (
+        out["fingerprint_min"].to_numpy()
+        == np.array(mins, dtype=np.uint64).view(np.int64)
+    ).all()
+    assert (out["n_fingerprints"].to_numpy() == np.array(counts)).all()
