@@ -411,4 +411,66 @@ def oracle_sql() -> dict[str, str]:
               FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id)
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
         """,
+        "dedup_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(coalesce(text,'')), '\\S+') AS t
+              FROM documents),
+            sets AS (
+              SELECT doc_id, lang,
+                CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE list_distinct([array_to_string(t[x:x+2], ' ')
+                                         for x in generate_series(1, len(t)-2)])
+                END AS g
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE (CASE WHEN len(a.g) = 0 AND len(b.g) = 0 THEN 1.0
+                     WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0
+                     ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.g, b.g))) END) >= 0.5),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+            SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        """,
+        "dedup_jaccard_keep": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(coalesce(text,'')), '\\S+') AS t
+              FROM documents),
+            sets AS (
+              SELECT doc_id, lang,
+                CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE list_distinct([array_to_string(t[x:x+2], ' ')
+                                         for x in generate_series(1, len(t)-2)])
+                END AS g
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE (CASE WHEN len(a.g) = 0 AND len(b.g) = 0 THEN 1.0
+                     WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0
+                     ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.g, b.g))) END) >= 0.5),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+            comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> c)
+        """,
     }

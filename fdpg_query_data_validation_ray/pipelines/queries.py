@@ -583,6 +583,55 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.5)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup cluster labels: exact n-gram-Jaccard pairs (per-lang) →
+    connected components → (doc_id, cluster_id = min member id). The
+    oracle is a DuckDB recursive-CTE transitive closure over the SAME
+    exact-jaccard pair set, so the component labels are hash-checked."""
+    from fdpg_query_data_validation_ray.stages.cluster import connected_components
+    from fdpg_query_data_validation_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pairs = ngram_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.5)
+    labels = connected_components(pairs)
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_dedup_jaccard_keep(sf_dir: str):
+    """Materializing fuzzy dedup with an exact verifier: drop every doc that
+    is a non-minimum member of an exact-jaccard near-dup component. The
+    fuzzy keep-one analog of dedup_keep_first, oracle-checked end to end."""
+    from fdpg_query_data_validation_ray.stages.cluster import (
+        dedup_keep_representative,
+    )
+    from fdpg_query_data_validation_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).materialize()
+    pairs = ngram_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.5)
+    kept = dedup_keep_representative(ds, pairs, "doc_id")
+    return kept.map_batches(
+        lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+
+
+def q_dedup_minhash_keep(sf_dir: str):
+    """Scale-path materializing fuzzy dedup: MinHash+LSH pairs → connected
+    components → keep min-id representative. No SQL oracle (minhash
+    estimates aren't SQL-expressible); cross-checked in tests against
+    exact_dedup on identical-clique fixtures and guarded by a giant-clique
+    skew test (tests/test_cluster.py)."""
+    from fdpg_query_data_validation_ray.stages.cluster import minhash_dedup_keep
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    kept = minhash_dedup_keep(ds, "text", "doc_id", threshold=0.7)
+    return kept.map_batches(
+        lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+
+
 def q_supplier_balance_by_region(sf_dir: str):
     """Three-way broadcast join (supplier ⋈ nation ⋈ region): the two tiny
     dims collapse to ONE driver-side lookup (suppkey-side never shuffles) —
@@ -1016,6 +1065,9 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_jaccard_keep": q_dedup_jaccard_keep,
+    "dedup_minhash_keep": q_dedup_minhash_keep,
     "supplier_balance_by_region": q_supplier_balance_by_region,
     "parts_by_brand_size": q_parts_by_brand_size,
     "knn_cosine": q_knn_cosine,

@@ -1,0 +1,324 @@
+"""Pair → cluster resolution for near-duplicate deduplication.
+
+The LSH families (stages/dedup.py: minhash/simhash, stages/similarity.py:
+cosine) emit VERIFIED PAIRS (id_a, id_b). A real training-data dedup run
+needs one more step: connected components over the pair graph plus a
+keep-one-representative filter — the fuzzy analog of `exact_dedup`
+(stages/dedup.py). The reference has no such operator (its dedup is
+issue-level set membership, extraction/IssueSet.py:9-26); this is part of
+the mandated LLM-pipeline surface.
+
+Two strategies, following the engine-wide sieve split (stages/unique.py):
+
+- "driver" (default within budget): the pair set is O(duplicate pairs) —
+  tiny relative to the corpus — so stream the two int64 id columns to the
+  driver (16 B/pair) and run vectorized min-label propagation with pointer
+  doubling (O(E) numpy sweeps, O(log n) rounds). The ORIGINAL corpus never
+  leaves the cluster; only pair ids do.
+
+- "shuffle" (beyond budget / forced): CCF ("Connected Component Finder",
+  Kardes et al. 2014) expressed in Ray Data: each round symmetrizes the
+  edge set, computes per-node min labels (per-batch partial groupby →
+  global `groupby.aggregate(Min)`), joins the min back onto the edges with
+  the native hash join, re-emits rewired (node, min) edges, and dedups
+  them with one composite groupby. Rewiring toward the minimum gives
+  O(log d) rounds; convergence = zero newly-generated pairs in a round.
+  Nothing O(nodes) ever reaches the driver.
+
+Labels are (node, cluster_id) with cluster_id = MIN node id of the
+component, so "keep the representative" == "keep rows whose id equals
+their cluster_id, plus all unpaired rows".
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fdpg_query_data_validation_ray.stages.unique import SIEVE_MAX_DRIVER_ROWS
+
+LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())])
+
+
+def _join_partitions() -> int:
+    """Hash-join partition count sized to the session: Ray 2.49's hash
+    shuffle runs one 1-CPU aggregator per partition concurrently, so asking
+    for more partitions than cluster CPUs DEADLOCKS a small session (the
+    join backpressures forever waiting for infeasible actors). At real
+    cluster scale pin QDV_CC_JOIN_PARTITIONS to ~2× total cores."""
+    env = os.environ.get("QDV_CC_JOIN_PARTITIONS")
+    if env:
+        return int(env)
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus)
+
+
+def _labels_driver(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Vectorized min-label propagation + pointer doubling over edge arrays.
+
+    Each sweep relaxes every edge (parent[x] ← min of endpoint parents, via
+    np.minimum.at which handles repeated indices) then shortcuts parent
+    chains (parent ← parent[parent] to fixpoint). Converges to the
+    component-minimum label in O(log n) sweeps of O(E) work — no Python
+    per-edge loop, so 50M pairs stay in the driver budget's time envelope.
+    """
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a) :]
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = parent.copy()
+        pa_, pb_ = parent[ia], parent[ib]
+        np.minimum.at(parent, ia, pb_)
+        np.minimum.at(parent, ib, pa_)
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        if np.array_equal(parent, old):
+            break
+    # nodes is sorted ascending, so the min parent INDEX is the min node id
+    return pa.table({"node": nodes, "cluster_id": nodes[parent]}, schema=LABEL_SCHEMA)
+
+
+def _sym(t: pa.Table) -> pa.Table:
+    src = t["src"].combine_chunks()
+    dst = t["dst"].combine_chunks()
+    return pa.table(
+        {"src": pa.concat_arrays([src, dst]), "dst": pa.concat_arrays([dst, src])}
+    )
+
+
+def _partial_min(t: pa.Table) -> pa.Table:
+    """Per-batch (src → min dst) pre-aggregate: shrinks the groupby input."""
+    return t.group_by(["src"]).aggregate([("dst", "min")]).rename_columns(["src", "dst"])
+
+
+def _batch_unique_pairs(a: np.ndarray, b: np.ndarray, new: np.ndarray):
+    """Within-batch pair dedup (lexsort) to cut the global dedup shuffle."""
+    if len(a) == 0:
+        return a, b, new
+    order = np.lexsort((b, a))
+    a, b, new = a[order], b[order], new[order]
+    keep = np.empty(len(a), dtype=bool)
+    keep[0] = True
+    np.not_equal(a[1:], a[:-1], out=keep[1:])
+    keep[1:] |= b[1:] != b[:-1]
+    # a kept pair is "new" if ANY duplicate of it was new
+    grp = np.cumsum(keep) - 1
+    newmax = np.zeros(int(grp[-1]) + 1, dtype=new.dtype)
+    np.maximum.at(newmax, grp, new)
+    return a[keep], b[keep], newmax
+
+
+def _labels_ccf(pairs, col_a: str, col_b: str, num_partitions: int | None = None,
+                max_iters: int = 64):
+    """Distributed CCF over a Ray Dataset of pairs → Dataset(node, cluster_id).
+
+    Per round: symmetrize → per-node min (partial + Min aggregate) → native
+    hash join of mins onto edges → rewired emission with within-batch dedup
+    → global composite-key dedup carrying a max(new) flag. Stops when the
+    round emitted zero rewired pairs (the CCF counter == 0).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    from fdpg_query_data_validation_ray.stages.dedup import (
+        drop_schemaless_empty_blocks,
+    )
+
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+    mins_schema = pa.schema([("src", pa.int64()), ("m", pa.int64())])
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    E = pairs.map_batches(
+        lambda t: pa.table(
+            {"src": t[col_a].cast(pa.int64()), "dst": t[col_b].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    # pairs usually come out of a groupby.map_groups — strip the schema-less
+    # empty blocks Ray 2.49 emits for empty partitions, they poison the join
+    E = drop_schemaless_empty_blocks(E, empty_schema=edge_schema)
+    if E.count() == 0:
+        return rd.from_arrow(LABEL_SCHEMA.empty_table())
+
+    for _ in range(max_iters):
+        sym = E.map_batches(_sym, batch_format="pyarrow")
+        mins = (
+            sym.map_batches(_partial_min, batch_format="pyarrow")
+            .groupby("src")
+            .aggregate(Min("dst", alias_name="m"))
+            .map_batches(
+                lambda t: pa.table(
+                    {"src": t["src"], "m": pc.min_element_wise(t["m"], t["src"])}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        # Ray 2.49 hash aggregates emit schema-less empty blocks that poison
+        # the Acero join (see stages/dedup.py:drop_schemaless_empty_blocks)
+        mins = drop_schemaless_empty_blocks(mins, empty_schema=mins_schema)
+        joined = sym.join(mins, "inner", num_partitions, on=("src",))
+
+        def emit(t: pa.Table) -> pa.Table:
+            k = t["src"].to_numpy(zero_copy_only=False)
+            v = t["dst"].to_numpy(zero_copy_only=False)
+            m = t["m"].to_numpy(zero_copy_only=False)
+            keep = m < k
+            k, v, m = k[keep], v[keep], m[keep]
+            rewired = v != m
+            a = np.concatenate([k, v[rewired]])
+            b = np.concatenate([m, m[rewired]])
+            new = np.concatenate(
+                [np.zeros(len(k), dtype=np.int64), np.ones(int(rewired.sum()), np.int64)]
+            )
+            a, b, new = _batch_unique_pairs(a, b, new)
+            return pa.table({"src": a, "dst": b, "new": new})
+
+        deduped = (
+            joined.map_batches(emit, batch_format="pyarrow")
+            .groupby(["src", "dst"])
+            .aggregate(Max("new", alias_name="new"))
+            .materialize()
+        )
+        n_new = deduped.sum("new") or 0
+        E = drop_schemaless_empty_blocks(
+            deduped.select_columns(["src", "dst"]), empty_schema=edge_schema
+        )
+        if n_new == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: CCF did not converge in {max_iters} rounds"
+        )
+
+    # At convergence E == {(member, root)}: per-node min over the symmetrized
+    # set labels members AND roots (a root's min neighbor is larger, so
+    # min_element_wise with the node itself pins it to the root).
+    final = (
+        E.map_batches(_sym, batch_format="pyarrow")
+        .map_batches(_partial_min, batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(Min("dst", alias_name="m"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["src"].cast(pa.int64()),
+                    "cluster_id": pc.min_element_wise(t["m"], t["src"]).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return final
+
+
+def connected_components(pairs, col_a: str = "id_a", col_b: str = "id_b",
+                         mode: str = "auto"):
+    """Dataset(node, cluster_id) over the undirected pair graph; cluster_id =
+    min node id of the component. Every node that appears in a pair gets a
+    row; unpaired corpus rows are implicitly their own singleton cluster
+    (callers treat absence as node == cluster_id).
+
+    mode: 'driver' (vectorized union via min-label propagation on the pair
+    arrays, within QDV_SIEVE_MAX_DRIVER_ROWS pairs), 'shuffle' (distributed
+    CCF, see _labels_ccf), or 'auto'. QDV_SIEVE_MODE forces ('sieve' maps to
+    'driver')."""
+    import ray.data as rd
+
+    env = os.environ.get("QDV_SIEVE_MODE")
+    if env == "sieve":
+        mode = "driver"
+    elif env == "shuffle":
+        mode = "shuffle"
+    if mode == "auto":
+        pairs = pairs.materialize()
+        mode = "driver" if pairs.count() <= SIEVE_MAX_DRIVER_ROWS else "shuffle"
+    if mode == "shuffle":
+        return _labels_ccf(pairs, col_a, col_b)
+
+    ids = pairs.select_columns([col_a, col_b])
+    chunks_a, chunks_b = [], []
+    for b in ids.iter_batches(batch_format="pyarrow"):
+        chunks_a.append(b[col_a].to_numpy(zero_copy_only=False).astype(np.int64))
+        chunks_b.append(b[col_b].to_numpy(zero_copy_only=False).astype(np.int64))
+    if not chunks_a or sum(len(c) for c in chunks_a) == 0:
+        return rd.from_arrow(LABEL_SCHEMA.empty_table())
+    return rd.from_arrow(
+        _labels_driver(np.concatenate(chunks_a), np.concatenate(chunks_b))
+    )
+
+
+def dedup_keep_representative(ds, pairs, id_column: str, mode: str = "auto"):
+    """Filter `ds` down to one representative row per near-dup cluster: drop
+    every row whose id is a NON-minimum member of a component; unpaired rows
+    pass through untouched. The loser id set is O(duplicate rows); within
+    the driver budget it broadcasts (ray.put + binary-search membership),
+    beyond it the native LEFT ANTI hash join keeps everything distributed."""
+    import ray
+    import ray.data as rd
+
+    labels = connected_components(pairs, mode=mode)
+    losers = labels.map_batches(
+        lambda t: t.filter(pc.not_equal(t["node"], t["cluster_id"])).select(["node"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_losers = losers.count()
+    if n_losers == 0:
+        return ds
+
+    env = os.environ.get("QDV_SIEVE_MODE")
+    broadcast = n_losers <= SIEVE_MAX_DRIVER_ROWS if env is None else env == "sieve"
+    if not broadcast:
+        from fdpg_query_data_validation_ray.stages.dedup import (
+            drop_schemaless_empty_blocks,
+        )
+
+        anti = drop_schemaless_empty_blocks(
+            losers.map_batches(
+                lambda t: t.rename_columns([id_column]), batch_format="pyarrow"
+            ),
+            empty_schema=pa.schema([(id_column, pa.int64())]),
+        )
+        return ds.join(anti, "left_anti", _join_partitions(), on=(id_column,))
+
+    arr = np.sort(
+        np.concatenate(
+            [
+                b["node"].to_numpy(zero_copy_only=False)
+                for b in losers.iter_batches(batch_format="pyarrow")
+            ]
+        )
+    )
+    drop_ref = ray.put(arr)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        ix = np.searchsorted(drop, ids)
+        ix[ix == len(drop)] = 0
+        return batch.filter(pa.array(drop[ix] != ids))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def minhash_dedup_keep(ds, text_column: str, id_column: str,
+                       threshold: float = 0.7, shingle_n: int = 3,
+                       mode: str = "auto"):
+    """Materializing fuzzy dedup: MinHash+LSH verified pairs → connected
+    components → keep the min-id representative of each near-dup cluster.
+    The fuzzy analog of exact_dedup (stages/dedup.py). Returns the
+    deduplicated Dataset with ds's schema."""
+    from fdpg_query_data_validation_ray.stages.dedup import minhash_near_duplicates
+
+    ds = ds.materialize()  # consumed twice: pair mining + final filter
+    pairs = minhash_near_duplicates(
+        ds, text_column, id_column, threshold=threshold, shingle_n=shingle_n
+    )
+    return dedup_keep_representative(ds, pairs, id_column, mode=mode)
