@@ -130,6 +130,126 @@ def _sieve_multi_buckets(exploded, bucket_column: str, mode: str = "auto"):
     return exploded.map_batches(keep_multi, batch_format="pyarrow"), len(multi)
 
 
+def _verify_parts() -> int:
+    """Partition count for the bucket-verify stage: the verify groupby runs
+    over COARSE partitions (bucket & mask), not raw buckets — Ray's per-group
+    map_groups overhead across hundreds of thousands of tiny LSH buckets
+    dominated round 2's verify (measured ~55 s of a 68 s 100k-doc run). Each
+    part processes its buckets with one lexsort + slice loop instead.
+    Power of two ~8× cluster CPUs; QDV_VERIFY_PARTS pins it (scale it with
+    survivor volume on a real cluster)."""
+    env = os.environ.get("QDV_VERIFY_PARTS")
+    if env:
+        return int(env)
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    p = 1
+    while p < 8 * cpus:
+        p <<= 1
+    return p
+
+
+def _with_part(t: pa.Table, n_parts: int) -> pa.Table:
+    # two's-complement AND keeps the result in [0, n_parts) for negative
+    # int64 buckets too
+    part = pc.bit_wise_and(t["bucket"], n_parts - 1)
+    return t.append_column("part", pc.cast(part, pa.int32()))
+
+
+def _iter_bucket_groups(bucket: np.ndarray, ids: np.ndarray):
+    """Yield per-bucket row-index arrays (sorted by id, duplicate ids
+    dropped, multi-member only) for one part's columns: ONE lexsort for the
+    whole part, then plain slice arithmetic per bucket — no per-group Ray
+    machinery."""
+    order = np.lexsort((ids, bucket))
+    b_sorted = bucket[order]
+    n = len(order)
+    if n == 0:
+        return
+    starts = np.flatnonzero(np.concatenate([[True], b_sorted[1:] != b_sorted[:-1]]))
+    ends = np.append(starts[1:], n)
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        if e - s < 2:
+            continue
+        rows = order[s:e]
+        gids = ids[rows]
+        keep = np.concatenate([[True], gids[1:] != gids[:-1]])
+        rows = rows[keep]
+        if len(rows) >= 2:
+            yield rows
+
+
+def _attach_payload(bucket_rows, payload_ds, key: str, payload_columns: list[str],
+                    payload_schema: pa.Schema, payload_width: int = 256):
+    """Attach per-doc payload columns (signatures / vectors) to SIEVED bucket
+    rows. The explode stage ships only (band, bucket, id) triples — ~28 B/row
+    instead of replicating the payload into every band row (the round-2 LSH
+    exchange carried bands× the necessary bytes) — so the payload must be
+    re-attached to the small post-sieve survivor set here.
+
+    Within the driver budget (survivor payload rows × width), the survivor id
+    set is collected, the payload table pruned to it and broadcast via
+    ray.put for a searchsorted+take attach inside tasks: zero additional
+    exchange. Beyond it, one native inner hash join ships each surviving
+    payload row ONCE — still bands× less than the old explode."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.unique import SIEVE_MAX_DRIVER_ROWS
+
+    bucket_rows = bucket_rows.materialize()
+    n_rows = bucket_rows.count()
+    env = os.environ.get("QDV_SIEVE_MODE")
+    # budget in BYTES: the sieve budget constant is denominated in 8-B rows,
+    # payload rows are payload_width B each
+    within = n_rows * payload_width <= SIEVE_MAX_DRIVER_ROWS * 8
+    broadcast = within if env is None else env == "sieve"
+    if not broadcast:
+        from fdpg_query_data_validation_ray.stages.cluster import _join_partitions
+
+        payload_ds = drop_schemaless_empty_blocks(payload_ds, empty_schema=payload_schema)
+        return bucket_rows.join(payload_ds, "inner", _join_partitions(), on=(key,))
+
+    ids = np.unique(
+        np.concatenate(
+            [
+                b[key].to_numpy(zero_copy_only=False)
+                for b in bucket_rows.select_columns([key]).iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+        )
+    )
+    ids_ref = ray.put(ids)
+
+    def prune(t: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        kk = t[key].to_numpy(zero_copy_only=False)
+        ix = np.searchsorted(want, kk)
+        ix[ix == len(want)] = 0
+        return t.filter(pa.array(want[ix] == kk))
+
+    pruned = pa.concat_tables(
+        list(payload_ds.map_batches(prune, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ))
+    )
+    order = pc.sort_indices(pruned[key])
+    pruned = pruned.take(order).combine_chunks()
+    pruned_ref = ray.put(pruned)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        p = ray.get(pruned_ref)
+        pkeys = p[key].to_numpy(zero_copy_only=False)
+        ix = np.searchsorted(pkeys, batch[key].to_numpy(zero_copy_only=False))
+        out = batch
+        for c in payload_columns:
+            out = out.append_column(c, pc.take(p[c], pa.array(ix)))
+        return out
+
+    return bucket_rows.map_batches(attach, batch_format="pyarrow")
+
+
 def drop_schemaless_empty_blocks(ds, empty_schema: pa.Schema | None = None):
     """Ray 2.49's hash-shuffle aggregate emits SCHEMA-LESS 0-row blocks for
     empty output partitions; a downstream Acero join that receives one fails
@@ -495,28 +615,50 @@ def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
     return out
 
 
-class MinHashLSH:
-    """Actor-pool stage: text batch → exploded (band, band_hash, id, sig) rows."""
+class MinHashSignatureStage:
+    """Text batch → compact (doc_id, sig) rows: ONE row per doc, the b-bit
+    truncated 128-perm signature as 256 B of binary. Computed once; both the
+    band explode and the post-sieve verify read from this table."""
 
-    def __init__(self, text_column: str, id_column: str, shingle_n: int = 3,
-                 bands: int = DEFAULT_BANDS):
+    def __init__(self, text_column: str, id_column: str, shingle_n: int = 3):
         self.text_column = text_column
         self.id_column = id_column
         self.shingle_n = shingle_n
-        self.bands = bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_column).to_pylist()
-        ids = batch.column(self.id_column).to_pylist()
         sig = minhash_signatures(texts, self.shingle_n)
-        # b-bit minwise truncation (Li & König 2010): 16 low bits per perm keep
-        # the jaccard estimator within +1/65536 bias but cut the exploded
-        # band rows' payload 4× — the explosion (bands × rows) dominates this
-        # operator's exchange volume
+        # b-bit minwise truncation (Li & König 2010): 16 low bits per perm
+        # keep the jaccard estimator within +1/65536 bias at 4× less payload
         sig16 = (sig & np.uint64(0xFFFF)).astype(np.uint16)
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_column).cast(pa.int64()),
+                "sig": pa.array([sig16[i].tobytes() for i in range(len(sig16))],
+                                pa.binary()),
+            }
+        )
+
+
+class BandExplodeStage:
+    """(doc_id, sig) → exploded (band, bucket, doc_id) rows — 28 B/row. The
+    signature itself is NOT replicated into the explosion (round 2 shipped
+    bands× the payload through the exchange); _attach_payload re-joins it to
+    the post-sieve survivors."""
+
+    def __init__(self, bands: int = DEFAULT_BANDS):
+        self.bands = bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig_col = batch["sig"].combine_chunks()
+        n = len(sig_col)
+        sig16 = (
+            np.frombuffer(b"".join(sig_col.to_pylist()), dtype=np.uint16).reshape(n, N_PERMS)
+            if n
+            else np.empty((0, N_PERMS), np.uint16)
+        )
         bh = _band_hashes(sig16, self.bands)
-        n = len(ids)
-        sig_bytes = [sig16[i].tobytes() for i in range(n)]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         bands_col = np.repeat(np.arange(self.bands, dtype=np.uint64), n)
         with np.errstate(over="ignore"):
             bucket = mix64(bh.T.reshape(-1) ^ (bands_col + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15))
@@ -524,8 +666,7 @@ class MinHashLSH:
             {
                 "band": pa.array(bands_col.astype(np.int32)),
                 "bucket": pa.array(bucket.view(np.int64)),
-                "doc_id": pa.array(ids * self.bands),
-                "sig": pa.array(sig_bytes * self.bands, pa.binary()),
+                "doc_id": pa.array(np.tile(ids, self.bands)),
             }
         )
 
@@ -552,40 +693,57 @@ def minhash_near_duplicates(
     one band (~bands× less quadratic work on skewed corpora).
     """
     # task-based: the stage instance is a few ints/strings, so plain tasks
-    # avoid actor-pool startup latency (the old pool cost ~1.5s per query)
-    exploded = ds.map_batches(
-        MinHashLSH(
-            text_column=text_column, id_column=id_column,
-            shingle_n=shingle_n, bands=bands,
+    # avoid actor-pool startup latency (the old pool cost ~1.5s per query).
+    # Signatures land in a compact 1-row-per-doc table (the dominant compute,
+    # materialized once); the explosion ships bare (band, bucket, id) triples.
+    sig_schema = pa.schema([("doc_id", pa.int64()), ("sig", pa.binary())])
+    sigs = ds.map_batches(
+        MinHashSignatureStage(
+            text_column=text_column, id_column=id_column, shingle_n=shingle_n
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    exploded = sigs.map_batches(BandExplodeStage(bands=bands), batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        # pyarrow map_groups: ~2× less per-group overhead than pandas frames
-        # (measured 0.62 s vs 1.34 s over the sf0.1 post-sieve 6.7k groups)
-        ids_all = group["doc_id"].to_numpy()
-        sel = _first_per_sorted_id(ids_all)
-        if len(sel) < 2:
+    def part_pairs(part: pa.Table) -> pa.Table:
+        # one part = many buckets: decode sigs + band hashes ONCE for the
+        # whole part (vectorized), then a slice loop over bucket boundaries
+        n = part.num_rows
+        if n == 0:
             return _empty_pairs_arrow("est_jaccard", pa.float64())
-        band = int(group["band"][0].as_py())
-        sig_col = group["sig"].combine_chunks()
-        sigs = np.stack(
-            [np.frombuffer(sig_col[int(i)].as_py(), dtype=np.uint16) for i in sel]
+        ids_all = part["doc_id"].to_numpy()
+        bucket = part["bucket"].to_numpy()
+        band_all = part["band"].to_numpy()
+        sig_col = part["sig"].combine_chunks()
+        raw = np.frombuffer(b"".join(sig_col.to_pylist()), dtype=np.uint16).reshape(
+            n, N_PERMS
         )
-        ids = ids_all[sel]
-        ia, ib = np.triu_indices(len(sel), k=1)
-        if band > 0:
-            bh = _band_hashes(sigs, bands)[:, :band]
-            fresh = ~(bh[ia] == bh[ib]).any(axis=1)
-            ia, ib = ia[fresh], ib[fresh]
-        est = (sigs[ia] == sigs[ib]).mean(axis=1) if len(ia) else np.empty(0)
-        keep = est >= threshold
+        bh_all = _band_hashes(raw, bands)
+        out_a, out_b, out_e = [], [], []
+        for rows in _iter_bucket_groups(bucket, ids_all):
+            band = int(band_all[rows[0]])
+            ia, ib = np.triu_indices(len(rows), k=1)
+            if band > 0:
+                bh = bh_all[rows][:, :band]
+                fresh = ~(bh[ia] == bh[ib]).any(axis=1)
+                ia, ib = ia[fresh], ib[fresh]
+            if not len(ia):
+                continue
+            sg = raw[rows]
+            est = (sg[ia] == sg[ib]).mean(axis=1)
+            keep = est >= threshold
+            if keep.any():
+                ids = ids_all[rows]
+                out_a.append(ids[ia[keep]])
+                out_b.append(ids[ib[keep]])
+                out_e.append(est[keep])
+        if not out_a:
+            return _empty_pairs_arrow("est_jaccard", pa.float64())
         return pa.table(
             {
-                "id_a": pa.array(ids[ia[keep]].astype(np.int64)),
-                "id_b": pa.array(ids[ib[keep]].astype(np.int64)),
-                "est_jaccard": pa.array(est[keep].astype(np.float64)),
+                "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                "est_jaccard": pa.array(np.concatenate(out_e).astype(np.float64)),
             }
         )
 
@@ -594,7 +752,16 @@ def minhash_near_duplicates(
         import ray.data as rd
 
         return rd.from_arrow(_empty_pairs_arrow("est_jaccard", pa.float64()))
-    return sieved.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    sieved = _attach_payload(
+        sieved, sigs, key="doc_id", payload_columns=["sig"],
+        payload_schema=sig_schema, payload_width=2 * N_PERMS + 8,
+    )
+    n_parts = _verify_parts()
+    return (
+        sieved.map_batches(lambda t: _with_part(t, n_parts), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pyarrow")
+    )
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -678,29 +845,40 @@ def simhash_near_duplicates(
         batch_format="pyarrow",
     )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids_all = group["doc_id"].to_numpy()
-        sel = _first_per_sorted_id(ids_all)
-        if len(sel) < 2:
+    def part_pairs(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
             return _empty_pairs_arrow("hamming", pa.int64())
-        band = int(group["band"][0].as_py())
-        sig = group["simhash"].to_numpy()[sel].view(np.uint64)
-        ids = ids_all[sel]
-        ia, ib = np.triu_indices(len(sel), k=1)
-        if band > 0:
-            shifts = (np.arange(band) * 16).astype(np.uint64)
-            bands_lo = (sig[:, None] >> shifts) & np.uint64(0xFFFF)  # docs × band
-            fresh = ~(bands_lo[ia] == bands_lo[ib]).any(axis=1)
-            ia, ib = ia[fresh], ib[fresh]
-        if len(ia) == 0:
+        ids_all = part["doc_id"].to_numpy()
+        bucket = part["bucket"].to_numpy()
+        band_all = part["band"].to_numpy()
+        sig_all = part["simhash"].to_numpy().view(np.uint64)
+        out_a, out_b, out_d = [], [], []
+        for rows in _iter_bucket_groups(bucket, ids_all):
+            band = int(band_all[rows[0]])
+            sig = sig_all[rows]
+            ia, ib = np.triu_indices(len(rows), k=1)
+            if band > 0:
+                shifts = (np.arange(band) * 16).astype(np.uint64)
+                bands_lo = (sig[:, None] >> shifts) & np.uint64(0xFFFF)
+                fresh = ~(bands_lo[ia] == bands_lo[ib]).any(axis=1)
+                ia, ib = ia[fresh], ib[fresh]
+            if len(ia) == 0:
+                continue
+            dist = hamming64(sig[ia], sig[ib]).astype(np.int64)
+            keep = dist <= max_hamming
+            if keep.any():
+                ids = ids_all[rows]
+                out_a.append(ids[ia[keep]])
+                out_b.append(ids[ib[keep]])
+                out_d.append(dist[keep])
+        if not out_a:
             return _empty_pairs_arrow("hamming", pa.int64())
-        dist = hamming64(sig[ia], sig[ib]).astype(np.int64)
-        keep = dist <= max_hamming
         return pa.table(
             {
-                "id_a": pa.array(ids[ia[keep]].astype(np.int64)),
-                "id_b": pa.array(ids[ib[keep]].astype(np.int64)),
-                "hamming": pa.array(dist[keep]),
+                "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                "hamming": pa.array(np.concatenate(out_d)),
             }
         )
 
@@ -709,7 +887,12 @@ def simhash_near_duplicates(
         import ray.data as rd
 
         return rd.from_arrow(_empty_pairs_arrow("hamming", pa.int64()))
-    return sieved.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    n_parts = _verify_parts()
+    return (
+        sieved.map_batches(lambda t: _with_part(t, n_parts), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pyarrow")
+    )
 
 
 # -- n-gram Jaccard (exact verifier) ----------------------------------------

@@ -268,13 +268,13 @@ def lsh_bucket(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return out
 
 
-class LSHBucketStage:
-    """Multi-table hyperplane LSH explode: each row emits one
-    (table, bucket, id, vec, patterns) row per table. The per-table sign
-    patterns (uint64 each) are computed ONCE here and carried alongside the
-    vector, so canonical-table pair suppression downstream compares exact
-    integers instead of re-deriving float sign bits (which BLAS could round
-    differently per matrix shape)."""
+class LSHSignStage:
+    """Vector batch → compact (id, vec, patterns) rows: ONE row per vector —
+    the normalized float32 vector and the per-table sign patterns (uint64
+    each), computed once. Patterns are carried as exact integers so the
+    canonical-table pair suppression downstream compares ints instead of
+    re-deriving float sign bits (which BLAS could round differently per
+    matrix shape)."""
 
     def __init__(self, planes: np.ndarray, vec_column: str, id_column: str):
         # planes: (n_tables, n_planes, dim)
@@ -285,27 +285,54 @@ class LSHBucketStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_tables = self.planes.shape[0]
         m = _normalize(batch_matrix(batch.column(self.vec_column)))
-        ids = batch.column(self.id_column).to_pylist()
-        n = len(ids)
+        n = len(m)
         patterns = np.zeros((n, n_tables), dtype=np.uint64)
         for t in range(n_tables):
             patterns[:, t] = lsh_bucket(m, self.planes[t])
+        return pa.table(
+            {
+                self.id_column: batch.column(self.id_column).cast(pa.int64()),
+                "vec": pa.array([row.tobytes() for row in m], pa.binary()),
+                "patterns": pa.array(
+                    [patterns[i].tobytes() for i in range(n)], pa.binary()
+                ),
+            }
+        )
+
+
+class TableExplodeStage:
+    """(id, patterns) → exploded (table, bucket, id) rows — 28 B/row. The
+    vector/pattern payload is NOT replicated into the explosion (round 2
+    shipped tables× the bytes through the exchange); _attach_payload re-joins
+    it to the post-sieve survivors."""
+
+    def __init__(self, n_tables: int, id_column: str):
+        self.n_tables = n_tables
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pat_col = batch["patterns"].combine_chunks()
+        n = len(pat_col)
+        patterns = (
+            np.frombuffer(b"".join(pat_col.to_pylist()), dtype=np.uint64).reshape(
+                n, self.n_tables
+            )
+            if n
+            else np.empty((0, self.n_tables), np.uint64)
+        )
         with np.errstate(over="ignore"):
             buckets = mix64(
                 patterns
-                ^ (np.arange(1, n_tables + 1, dtype=np.uint64)
+                ^ (np.arange(1, self.n_tables + 1, dtype=np.uint64)
                    * np.uint64(0x9E3779B97F4A7C15))[None, :]
             )
-        vec_bytes = [row.tobytes() for row in m]
-        pat_bytes = [patterns[i].tobytes() for i in range(n)]
-        tables_col = np.repeat(np.arange(n_tables, dtype=np.int32), n)
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        tables_col = np.repeat(np.arange(self.n_tables, dtype=np.int32), n)
         return pa.table(
             {
                 "table": pa.array(tables_col),
                 "bucket": pa.array(buckets.T.reshape(-1).view(np.int64)),
-                self.id_column: pa.array(ids * n_tables),
-                "vec": pa.array(vec_bytes * n_tables, pa.binary()),
-                "patterns": pa.array(pat_bytes * n_tables, pa.binary()),
+                self.id_column: pa.array(np.tile(ids, self.n_tables)),
             }
         )
 
@@ -339,16 +366,26 @@ def cosine_near_duplicates(
         [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     )
 
-    # task-based: planes are ~16KB, cheap to ship per task; avoids pool startup
-    exploded = ds.map_batches(
-        LSHBucketStage(planes=planes, vec_column=vec_column, id_column=id_column),
-        batch_format="pyarrow",
-    )
-
+    # task-based: planes are ~16KB, cheap to ship per task; avoids pool
+    # startup. The normalized vectors + sign patterns land in a compact
+    # 1-row-per-vector table; the explosion ships (table, bucket, id) only.
     from fdpg_query_data_validation_ray.stages.dedup import (
+        _attach_payload,
         _empty_pairs_arrow,
         _first_per_sorted_id,
         _sieve_multi_buckets,
+    )
+
+    sign_schema = pa.schema(
+        [(id_column, pa.int64()), ("vec", pa.binary()), ("patterns", pa.binary())]
+    )
+    signs = ds.map_batches(
+        LSHSignStage(planes=planes, vec_column=vec_column, id_column=id_column),
+        batch_format="pyarrow",
+    ).materialize()
+    exploded = signs.map_batches(
+        TableExplodeStage(n_tables=n_tables, id_column=id_column),
+        batch_format="pyarrow",
     )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
@@ -387,4 +424,8 @@ def cosine_near_duplicates(
         import ray.data as rd
 
         return rd.from_arrow(_empty_pairs_arrow("cosine", pa.float64()))
+    sieved = _attach_payload(
+        sieved, signs, key=id_column, payload_columns=["vec", "patterns"],
+        payload_schema=sign_schema, payload_width=4 * dim + 8 * n_tables + 8,
+    )
     return sieved.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")

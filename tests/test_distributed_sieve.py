@@ -256,3 +256,61 @@ def test_legacy_union_keyhash_artifacts_still_resume(ray_session, force_mode, tm
         v = _uniqueness_from_artifacts(m, ["k", "n"])
         got = sorted((x["row_key"], x["actual"]) for x in v)
         assert got == [("a|1", "2"), ("b|2", "3")], (mode, got)
+
+
+def test_minhash_and_cosine_pairs_mode_parity(ray_session, force_mode):
+    """The compact-explode + _attach_payload rework must yield an identical
+    pair set whether the survivor payload is broadcast (sieve) or re-joined
+    with the native hash join (shuffle)."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.dedup import minhash_near_duplicates
+    from fdpg_query_data_validation_ray.stages.similarity import (
+        cosine_near_duplicates,
+    )
+
+    rng = np.random.default_rng(23)
+    words = [f"w{i}" for i in range(400)]
+    texts, ids = [], []
+    nid = 0
+    for j in range(30):
+        base = rng.choice(words, 40, replace=True).tolist()
+        copies = 4 if j % 3 == 0 else 1
+        for c in range(copies):
+            t = list(base)
+            if c:
+                t[c] = "mut%d" % c  # near (not exact) duplicates
+            texts.append(" ".join(t))
+            ids.append(nid)
+            nid += 1
+    docs = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+
+    base_vecs = rng.standard_normal((20, 16)).astype(np.float32)
+    vecs, vids = [], []
+    nid = 0
+    for j in range(20):
+        copies = 3 if j % 2 == 0 else 1
+        for c in range(copies):
+            v = base_vecs[j] + (0.01 * c) * rng.standard_normal(16).astype(np.float32)
+            vecs.append(v.tolist())
+            vids.append(nid)
+            nid += 1
+    emb = pa.table({"vec_id": pa.array(vids, pa.int64()), "embedding": vecs})
+
+    got = {}
+    for mode in ("sieve", "shuffle"):
+        force_mode(mode)
+        mh = minhash_near_duplicates(
+            rd.from_arrow(docs), "text", "doc_id", threshold=0.6
+        ).to_pandas()
+        cs = cosine_near_duplicates(
+            rd.from_arrow(emb), threshold=0.95, dim=16
+        ).to_pandas()
+        got[mode] = (
+            sorted(map(tuple, mh[["id_a", "id_b"]].to_numpy())),
+            sorted(map(tuple, cs[["id_a", "id_b"]].to_numpy())),
+        )
+    assert got["sieve"][0] == got["shuffle"][0]
+    assert got["sieve"][1] == got["shuffle"][1]
+    assert len(got["sieve"][0]) >= 10  # the cliques actually collided
+    assert len(got["sieve"][1]) >= 10
