@@ -10,8 +10,10 @@ Two physical plans, chosen by dimension size:
   array ONCE, each checker actor `ray.get`s it in __init__ (zero per-batch
   re-shipping) and filters with a vectorized `pc.is_in` — no shuffle at all;
 - hash-partitioned (both sides large): project both sides to their key
-  columns, pre-dedup per batch, tag by side, and resolve existence with ONE
-  groupby(fk_key) aggregation. Only (key, count, tag) triples ever move.
+  columns, pre-dedup per batch, tag by side, route by a COARSE key-hash
+  partition id, and resolve existence per partition with one vectorized
+  anti-join. Only (key, count, tag, part) rows ever move, and the one
+  exchange sorts a small int32 partition column instead of per-key strings.
 """
 
 from __future__ import annotations
@@ -208,13 +210,21 @@ def dangling_keys_hash(
     ONE shuffle total: both sides are projected to their key columns and
     pre-deduplicated per batch (bounds skew exactly like the uniqueness
     pre-aggregate — a hot key contributes ≤ 1 row per batch per side), tagged
-    fact=0 / dim=1, then a single groupby(fk_key) computes
-    (Sum(fact count), Max(side)); keys the dim never touched (max side = 0)
-    are dangling. The shuffle key is the FK itself — high cardinality, even
-    distribution — and only (key, count, tag) triples ever move.
-    """
-    from ray.data.aggregate import Max, Sum
+    fact=0 / dim=1 and routed by `part = hash64(key) mod P` (P coarse
+    hash-range partitions, ~8× cluster CPUs). A groupby(part).map_groups then
+    resolves each partition with ONE vectorized kernel: C-level group_by to
+    finish the fact counts, `pc.is_in` against the partition's dim keys to
+    drop matched keys. Keys the dim never touched are dangling.
 
+    vs the previous per-key Sum/Max groupby: the exchange volume is the same
+    (key, count, tag rows), but Ray's sort-aggregate now orders a small int32
+    partition column instead of every key string, and the per-key aggregation
+    happens inside Arrow kernels — the "Ray sort-aggregate constant" (~8-20 s
+    per 1M shuffled rows, NOTES.md #1) no longer scales with key width or
+    per-group machinery. hash64 is deterministic across processes, so the
+    same key always lands in the same partition; the result stays distributed
+    (one output block per partition).
+    """
     dim_columns = list(dim_columns or columns)
 
     # single-column FKs shuffle in a NATIVE numeric type (int sort ≪ string
@@ -260,32 +270,56 @@ def dangling_keys_hash(
         if sieved is not None:
             return sieved
 
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+
+    n_parts = _verify_parts()
+
+    def _with_part(t: pa.Table) -> pa.Table:
+        part = (hash64(t["fk_key"]) & np.uint64(n_parts - 1)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
     def fact_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"fk_key": _key(batch, list(columns))})
         t = t.group_by(["fk_key"]).aggregate([([], "count_all")])
-        return t.append_column("side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        t = t.append_column("side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        return _with_part(t)
 
     def dim_partial(batch: pa.Table) -> pa.Table:
         key = pc.unique(_key(batch, dim_columns))
-        return pa.table(
+        t = pa.table(
             {
                 "fk_key": key,
                 "count_all": pa.array(np.zeros(len(key), dtype=np.int64)),
                 "side": pa.array(np.ones(len(key), dtype=np.int8)),
             }
         )
+        return _with_part(t)
 
     fact_keys = fact_ds.map_batches(fact_partial, batch_format="pyarrow")
     dim_keys = dim_ds.map_batches(dim_partial, batch_format="pyarrow")
     tagged = fact_keys.union(dim_keys)
 
-    totals = tagged.groupby("fk_key").aggregate(
-        Sum("count_all", alias_name="n_rows"), Max("side", alias_name="_in_dim")
+    empty = pa.table(
+        {"fk_key": pa.array([], pa.string()), "n_rows": pa.array([], pa.int64())}
     )
-    def finish(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["_in_dim"], 0)).drop_columns(["_in_dim"])
-        return t.set_column(
-            t.schema.get_field_index("fk_key"), "fk_key", pc.cast(t["fk_key"], pa.string())
+
+    def resolve_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return empty
+        side = part["side"]
+        dim = pc.unique(pc.filter(part["fk_key"], pc.equal(side, 1)))
+        fact = part.filter(pc.equal(side, 0)).select(["fk_key", "count_all"])
+        if len(dim):
+            fact = fact.filter(pc.invert(pc.is_in(fact["fk_key"], value_set=dim)))
+        if fact.num_rows == 0:
+            return empty
+        g = fact.group_by(["fk_key"]).aggregate([("count_all", "sum")])
+        return pa.table(
+            {
+                "fk_key": pc.cast(g["fk_key"], pa.string()),
+                "n_rows": g["count_all_sum"],
+            }
         )
 
-    return totals.map_batches(finish, batch_format="pyarrow")
+    return tagged.groupby("part").map_groups(resolve_part, batch_format="pyarrow")

@@ -8,16 +8,20 @@ partitioning (the reference's "first page order" is server-dependent; ours is
 total-ordered).
 
 Shape: per-batch local cap (each batch contributes ≤ n rows per key it
-contains — vectorized pandas groupby-head after a stable sort) → global
-groupby(key).map_groups final cap. The exchange moves O(n · keys · blocks)
-rows, never the table.
+contains — vectorized pandas groupby-head after a stable sort) → key-hash
+COARSE-partition final cap: one groupby(part) co-locates all of a key's
+surviving rows and a single pandas sort + groupby-head caps EVERY key in the
+part at once (pandas' groupby.head/cumcount are C-level across keys — no
+per-key Ray group machinery, same plan as stages/temporal.py). The exchange
+moves O(n · keys · blocks) rows, never the table.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
+
+from fdpg_query_data_validation_ray.functions.hashing import hash64
 
 
 def first_n_per_key(
@@ -29,19 +33,35 @@ def first_n_per_key(
 ):
     """First `n` rows per `key_column` value, ordered by `order_columns`
     ascending. Optionally appends a 1-based `rank_column` within each key."""
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+
+    n_parts = _verify_parts()
 
     def local_cap(batch: pd.DataFrame) -> pd.DataFrame:
-        return (
+        out = (
             batch.sort_values(order_columns, kind="mergesort")
             .groupby(key_column, sort=False)
             .head(n)
         )
+        part = (hash64(out[key_column].to_numpy()) & np.uint64(n_parts - 1)).astype(
+            np.int32
+        )
+        return out.assign(__part=part)
 
-    def final_cap(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(order_columns, kind="mergesort").head(n)
+    def final_cap_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.sort_values([key_column] + order_columns, kind="mergesort")
+            .groupby(key_column, sort=False)
+            .head(n)
+            .drop(columns=["__part"])
+        )
         if rank_column:
-            g = g.assign(**{rank_column: np.arange(1, len(g) + 1)})
-        return g
+            out = out.assign(
+                **{
+                    rank_column: out.groupby(key_column, sort=False).cumcount() + 1
+                }
+            )
+        return out
 
     pruned = ds.map_batches(local_cap, batch_format="pandas")
-    return pruned.groupby(key_column).map_groups(final_cap, batch_format="pandas")
+    return pruned.groupby("__part").map_groups(final_cap_part, batch_format="pandas")

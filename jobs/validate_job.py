@@ -103,9 +103,52 @@ def build_plan(cfg: dict):
     )
 
 
+def stage_ndjson(files: list[str], out_dir: str) -> list[str]:
+    """Stage NDJSON inputs to `{out}/_staged_parquet` exactly once.
+
+    The conversion is itself checkpointed: `_staging_manifest.json` records
+    the input files' (path, size, mtime); a re-submit with an unchanged input
+    set reuses the staged parquet (the validation pass then resumes off its
+    own per-partition checkpoints as usual), while ANY input change triggers
+    a full restage — staged parquet must never silently diverge from the
+    NDJSON it claims to represent (mirrors the resume plan guard,
+    state/checkpoint.py)."""
+    import shutil
+
+    from fdpg_query_data_validation_ray.sources.ndjson import ndjson_to_parquet
+
+    staged = os.path.join(out_dir, "_staged_parquet")
+    manifest_path = os.path.join(out_dir, "_staging_manifest.json")
+    fingerprint = [
+        {"path": f, "size": os.path.getsize(f), "mtime": os.path.getmtime(f)}
+        for f in files
+    ]
+    if os.path.exists(manifest_path) and os.path.isdir(staged):
+        if json.load(open(manifest_path)) == fingerprint:
+            return sorted(glob.glob(os.path.join(staged, "*.parquet")))
+        shutil.rmtree(staged)
+        os.remove(manifest_path)
+    os.makedirs(out_dir, exist_ok=True)
+    if os.path.isdir(staged):
+        shutil.rmtree(staged)
+    ndjson_to_parquet(files, staged)
+    with open(manifest_path, "w") as f:
+        json.dump(fingerprint, f)
+    return sorted(glob.glob(os.path.join(staged, "*.parquet")))
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help="parquet path or glob")
+    p.add_argument("--input", required=True, help="input path or glob")
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "ndjson"],
+        default="parquet",
+        help="ndjson (incl. .gz) inputs are staged ONCE to "
+        "{out}/_staged_parquet (zstd) so the checked pass gets storage-level "
+        "column pruning; a staging manifest makes the conversion resumable — "
+        "re-submitting with unchanged inputs skips it",
+    )
     p.add_argument("--out", required=True, help="checkpointed output directory")
     p.add_argument("--config", required=True, help="plan config JSON file")
     p.add_argument("--partitions", type=int, default=64)
@@ -120,7 +163,8 @@ def main(argv=None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         # under `ray job submit` RAY_ADDRESS points at the cluster; standalone
         # falls back to a local session. PYTHONPATH must reach the WORKERS
         # (the driver-side sys.path edit does not propagate), so ship it via
@@ -143,6 +187,8 @@ def main(argv=None) -> int:
     from fdpg_query_data_validation_ray.pipelines.validate import run_validation
 
     files = sorted(glob.glob(args.input)) or [args.input]
+    if args.input_format == "ndjson":
+        files = stage_ndjson(files, args.out)
     plan = build_plan(json.load(open(args.config)))
     report = run_validation(
         files, args.out, plan,
@@ -163,7 +209,8 @@ def main(argv=None) -> int:
             }
         )
     )
-    ray.shutdown()
+    if owns_ray:  # under a caller-owned session (tests) the session survives
+        ray.shutdown()
     return 0 if report["passed"] else 1
 
 

@@ -314,3 +314,44 @@ def test_minhash_and_cosine_pairs_mode_parity(ray_session, force_mode):
     assert got["sieve"][1] == got["shuffle"][1]
     assert len(got["sieve"][0]) >= 10  # the cliques actually collided
     assert len(got["sieve"][1]) >= 10
+
+
+def test_fk_partitioned_shuffle_composite_string_keys(ray_session, force_mode):
+    """The partitioned shuffle plan routes by hash64(fk_key) over COARSE
+    partitions; composite (string-joined) keys must land identically to the
+    sieve plan — same dangling keys, same per-key row counts."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.fk import dangling_keys_hash
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    a = rng.integers(0, 400, n)
+    b = rng.integers(0, 50, n)
+    fact = pa.table(
+        {
+            "ka": pa.array([f"r{v}" for v in a]),
+            "kb": pa.array([f"p{v}" for v in b]),
+        }
+    )
+    # dim covers only ka < 380 → every composite with ka >= 380 dangles
+    da, db = np.meshgrid(np.arange(380), np.arange(50))
+    dim = pa.table(
+        {
+            "ka": pa.array([f"r{v}" for v in da.ravel()]),
+            "kb": pa.array([f"p{v}" for v in db.ravel()]),
+        }
+    )
+    got = {}
+    for mode in ("sieve", "shuffle"):
+        force_mode(mode)
+        out = dangling_keys_hash(
+            rd.from_arrow(fact).repartition(8),
+            ["ka", "kb"],
+            rd.from_arrow(dim).repartition(4),
+        ).to_pandas().sort_values("fk_key").reset_index(drop=True)
+        got[mode] = out
+    assert got["sieve"].equals(got["shuffle"])
+    assert (got["sieve"]["n_rows"] >= 1).all()
+    expect = {(f"r{x}", f"p{y}") for x, y in zip(a, b) if x >= 380}
+    assert len(got["sieve"]) == len(expect)

@@ -57,3 +57,59 @@ def test_ndjson_roundtrip_and_validation_parity(ray_session, tmp_path):
     ragged = read_ndjson([f3], schema=schema).to_pandas()
     assert list(ragged.columns) == [f.name for f in schema]
     assert ragged["content"].isna().all()
+
+
+def test_job_cli_from_ndjson_gz(ray_session, tmp_path):
+    """Flagship job CLI end-to-end from a gzipped NDJSON input: staging to
+    parquet (manifest-checkpointed), full validation, and a re-submit that
+    reuses the staged parquet."""
+    import gzip
+    import json as json_mod
+
+    from fdpg_query_data_validation_ray.sources.corpus import (
+        DefectSpec,
+        generate_corpus,
+    )
+    from jobs.validate_job import main as job_main
+
+    t = generate_corpus(400, seed=13, defects=DefectSpec(null_content=5, bad_commit=3))
+    # two gz shards, like a real paged export
+    half = t.num_rows // 2
+    for i, part in enumerate((t.slice(0, half), t.slice(half))):
+        with gzip.open(tmp_path / f"shard{i}.ndjson.gz", "wt") as f:
+            for row in part.to_pylist():
+                f.write(json_mod.dumps(row) + "\n")
+    out = tmp_path / "out"
+    rc = job_main(
+        [
+            "--input", str(tmp_path / "shard*.ndjson.gz"),
+            "--input-format", "ndjson",
+            "--out", str(out),
+            "--config", "configs/code_suite.json",
+            "--partitions", "2",
+        ]
+    )
+    assert rc == 1  # defects injected → failed verdict
+    report = json_mod.load(open(out / "report.json"))
+    assert report["total_rows_checked"] == 400
+    # every route checks not_null(content); bad commits only surface in
+    # routes that carry the regex rule, so 5 is the guaranteed floor
+    assert report["total_violations"] >= 5
+    staged = sorted((out / "_staged_parquet").glob("*.parquet"))
+    assert staged
+    mtimes = [p.stat().st_mtime_ns for p in staged]
+
+    # unchanged inputs → staging skipped (same parquet files), run resumes
+    rc2 = job_main(
+        [
+            "--input", str(tmp_path / "shard*.ndjson.gz"),
+            "--input-format", "ndjson",
+            "--out", str(out),
+            "--config", "configs/code_suite.json",
+            "--partitions", "2",
+        ]
+    )
+    assert rc2 == 1
+    assert [p.stat().st_mtime_ns for p in staged] == mtimes
+    report2 = json_mod.load(open(out / "report.json"))
+    assert report2 == report

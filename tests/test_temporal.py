@@ -183,3 +183,128 @@ def test_temporal_partition_invariance(ray_session):
     assert a1.equals(a2)
     assert s1.equals(s2)
     assert r1.equals(r2)
+
+
+def _synthetic_stream(n_users, events_per_user, seed=3, hot_user=None, hot_rows=0):
+    rng = np.random.default_rng(seed)
+    users = np.repeat(np.arange(n_users, dtype=np.int64), events_per_user)
+    if hot_user is not None:
+        users = np.concatenate([users, np.full(hot_rows, hot_user, np.int64)])
+    n = len(users)
+    ts = rng.integers(0, 10_000_000, n)
+    ids = np.arange(n, dtype=np.int64)
+    perm = rng.permutation(n)
+    return pa.table(
+        {
+            "event_id": pa.array(ids[perm]),
+            "user_id": pa.array(users[perm]),
+            "ts": pa.array(ts[perm], pa.int64()),
+        }
+    )
+
+
+def test_range_join_presplit_matches_unsplit(ray_session):
+    """Time-range pre-split of a hot key (ghost-margin mirroring) must give
+    exactly the unsplit plan's neighbor counts — for every row, including
+    rows at chunk boundaries."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import range_join_count
+
+    t = _synthetic_stream(40, 30, hot_user=7, hot_rows=2_000)
+    ds = rd.from_arrow(t).repartition(8)
+    base = (
+        range_join_count(ds, "user_id", "ts", "event_id", -5_000, 5_000)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    split = (
+        range_join_count(
+            ds, "user_id", "ts", "event_id", -5_000, 5_000,
+            presplit={7: 100_000},
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert base.equals(split)
+    assert (base[base["user_id"] == 7]["n_neighbors"] > 0).any()
+
+
+def test_range_join_presplit_rejects_narrow_span(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import range_join_count
+
+    ds = rd.from_arrow(_synthetic_stream(4, 4))
+    with pytest.raises(ValueError, match="presplit chunk spans"):
+        range_join_count(
+            ds, "user_id", "ts", "event_id", -5_000, 5_000, presplit={1: 1_000}
+        )
+
+
+def test_hot_key_guard_error_policy(ray_session):
+    """A key whose rows exceed hot_key_limit must raise under
+    policy='error' and still compute exact results under policy='warn'."""
+    import pytest
+    import ray
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import (
+        range_join_count,
+        sessionize,
+    )
+
+    t = _synthetic_stream(5, 10, hot_user=2, hot_rows=500)
+    ds = rd.from_arrow(t)
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        sessionize(
+            ds, "user_id", "ts", "event_id",
+            hot_key_limit=100, hot_key_policy="error",
+        ).to_pandas()
+    # warn policy: exact results, job completes
+    out = sessionize(
+        ds, "user_id", "ts", "event_id", hot_key_limit=100, hot_key_policy="warn"
+    ).to_pandas()
+    assert int(out[out["user_id"] == 2]["n_events"].iloc[0]) == 510
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        range_join_count(
+            ds, "user_id", "ts", "event_id", -5_000, 5_000,
+            hot_key_limit=100, hot_key_policy="error",
+        ).to_pandas()
+
+
+def test_pathological_single_user_stream(ray_session):
+    """The documented hot-key behavior end-to-end: EVERY row belongs to one
+    user (the partitioning assumption is maximally violated). The coarse-part
+    kernels must still complete with exact results (vectorized, no per-key
+    frames) — the guard warns, nothing OOMs, nothing drops."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import (
+        detect_hot_keys,
+        sessionize,
+    )
+
+    n = 200_000
+    rng = np.random.default_rng(9)
+    ts = np.sort(rng.integers(0, 10_000_000_000, n))
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(np.full(n, 42, np.int64)),
+            "ts": pa.array(ts, pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(16)
+    hot = detect_hot_keys(ds, "user_id", limit_rows=50_000)
+    assert hot == {42: n}
+    out = sessionize(
+        ds, "user_id", "ts", "event_id", gap_seconds=1, hot_key_limit=50_000
+    ).to_pandas()
+    assert len(out) == 1 and int(out["n_events"].iloc[0]) == n
+    # cross-check session count against a direct numpy computation
+    expect_sessions = 1 + int((np.diff(ts) > 1_000_000).sum())
+    assert int(out["n_sessions"].iloc[0]) == expect_sessions

@@ -162,3 +162,37 @@ def test_knn_ivf_trained_centroids_recall(ray_session):
         hits += len(exp & got)
         total += len(exp)
     assert hits / total >= 0.6  # clustered data, trained buckets: high recall
+
+
+def test_knn_ivf_pinned_recall_bar(ray_session):
+    """Regression-guards the measured recall/probe trade-off (NOTES.md):
+    8/64 trained probes on clustered data measured 0.925 recall@10 at 20k
+    vectors; this pins recall >= 0.85 at a 5k-vector version of the same
+    fixture so a centroid-training or probe-routing regression fails loudly."""
+    from fdpg_query_data_validation_ray.stages.similarity import (
+        knn_cosine,
+        knn_cosine_ivf,
+    )
+
+    rng = np.random.default_rng(33)
+    d, n_clusters, per = 32, 50, 100
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 3
+    m = np.vstack(
+        [c + rng.standard_normal((per, d)).astype(np.float32) for c in centers]
+    )
+    n = len(m)
+    t = pa.table({"vec_id": list(range(n)), "embedding": [r.tolist() for r in m]})
+    qids = list(rng.choice(n, 15, replace=False))
+    qm = m[qids]
+    bf = knn_cosine(_rd().from_arrow(t).repartition(8), (qids, qm), k=10).to_pandas()
+    ivf = knn_cosine_ivf(
+        _rd().from_arrow(t).repartition(8), (qids, qm), k=10,
+        dim=d, n_centroids=64, n_probes=8, train=True,
+    ).to_pandas()
+    hits = total = 0
+    for q in qids:
+        exp = set(bf[bf.query_id == q]["vec_id"])
+        got = set(ivf[ivf.query_id == q]["vec_id"])
+        hits += len(exp & got)
+        total += len(exp)
+    assert hits / total >= 0.85
