@@ -535,12 +535,27 @@ def q_dedup_exact_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = exact_duplicate_groups(ds, "text", "doc_id")
     # materialize with an explicit schema: an empty Dataset loses its schema
-    # through to_pandas, and this result is legitimately empty on clean data
+    # through to_pandas, and this result is legitimately empty on clean data.
+    # The collect is bounded by the dup-GROUP count, not input rows, but a
+    # pathological all-duplicates corpus could still blow the driver — cap it
+    # like _stream_key_array instead of a bare take_all.
     schema = pa.schema(
         [("text_md5", pa.string()), ("keep_id", pa.int64()), ("n_copies", pa.int64())]
     )
-    rows = out.take_all()
-    return pa.Table.from_pylist(rows, schema=schema)
+    cap = 5_000_000
+    parts, total = [], 0
+    for b in out.iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if t.num_rows:
+            parts.append(t.cast(schema))
+            total += t.num_rows
+            if total > cap:
+                raise ValueError(
+                    f"dedup_exact_docs result exceeds the driver cap ({cap} "
+                    "groups); consume the Dataset from exact_duplicate_groups "
+                    "directly (write_parquet) instead of collecting"
+                )
+    return pa.concat_tables(parts) if parts else schema.empty_table()
 
 
 def q_dedup_exact_props(sf_dir: str):
