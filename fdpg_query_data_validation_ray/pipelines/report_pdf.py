@@ -10,7 +10,11 @@ correct xref table are emitted by hand — ~100 lines of struct-free
 byte-bookkeeping, same spirit as the BMP codec (stages/multimodal.py).
 
 The text CONTENT is exactly the markdown report (pipelines/report_md.py), so
-PDF and markdown sinks can never drift.
+PDF and markdown sinks can never drift. Visual parity with the reference's
+severity-colored LongTables (latex_report/report_visualizer.py:450-470, row
+colors keyed on issue severity): issue-table rows get a severity-tinted
+background rectangle and colored text — error red, warning amber, info blue —
+drawn with plain PDF graphics operators, still toolchain-free.
 """
 
 from __future__ import annotations
@@ -29,6 +33,31 @@ _CHAR_MAP = {"✓": "OK", "✗": "FAIL", "—": "-", "–": "-", "…": "...",
              "→": "->", "≤": "<=", "≥": ">="}
 
 
+# severity → (text RGB, background tint RGB); matched on a markdown table
+# row's severity cell, mirroring the reference's per-row LongTable colors
+_SEVERITY_COLORS = {
+    "error": ((0.70, 0.00, 0.00), (1.00, 0.89, 0.89)),
+    "warning": ((0.65, 0.42, 0.00), (1.00, 0.96, 0.84)),
+    "info": ((0.00, 0.00, 0.55), (0.88, 0.92, 1.00)),
+}
+
+
+def _line_severity(line: str) -> str | None:
+    """Severity of a markdown TABLE row (| ... | error | ...): colored like
+    the reference's issue tables; prose mentioning 'error' stays black."""
+    if not line.lstrip().startswith("|"):
+        return None
+    cells = [c.strip().lower() for c in line.split("|")]
+    for sev in _SEVERITY_COLORS:
+        if sev in cells:
+            return sev
+    return None
+
+
+def _rgb(c: tuple[float, float, float]) -> bytes:
+    return (" ".join(f"{v:.2f}" for v in c)).encode()
+
+
 def _pdf_text(line: str) -> bytes:
     for k, v in _CHAR_MAP.items():
         line = line.replace(k, v)
@@ -38,11 +67,30 @@ def _pdf_text(line: str) -> bytes:
 
 
 def _page_stream(lines: list[str]) -> bytes:
-    parts = [b"BT /F1 %d Tf %d %d Td %d TL" % (
-        FONT_SIZE, MARGIN, PAGE_H - MARGIN - FONT_SIZE, LEADING)]
+    severities = [_line_severity(ln) for ln in lines]
+    parts = []
+    # pass 1: background tint rectangles behind severity rows (drawn first
+    # so the text paints over them)
+    for i, sev in enumerate(severities):
+        if sev is None:
+            continue
+        _, bg = _SEVERITY_COLORS[sev]
+        y = PAGE_H - MARGIN - FONT_SIZE - i * LEADING
+        parts.append(
+            b"q " + _rgb(bg) + b" rg %d %d %d %d re f Q"
+            % (MARGIN - 2, y - 2, PAGE_W - 2 * MARGIN + 4, LEADING)
+        )
+    # pass 2: the text, severity rows in their color
+    parts.append(b"BT /F1 %d Tf %d %d Td %d TL" % (
+        FONT_SIZE, MARGIN, PAGE_H - MARGIN - FONT_SIZE, LEADING))
+    color = None
     for i, ln in enumerate(lines):
         if i:
             parts.append(b"T*")
+        want = _SEVERITY_COLORS[severities[i]][0] if severities[i] else None
+        if want != color:
+            parts.append((_rgb(want) if want else b"0 0 0") + b" rg")
+            color = want
         parts.append(b"(" + _pdf_text(ln) + b") Tj")
     parts.append(b"ET")
     return b"\n".join(parts)

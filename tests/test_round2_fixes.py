@@ -202,3 +202,39 @@ def test_decode_key_display():
     assert decode_key_display("repo|path|commit") == "repo|path|commit"
     assert decode_key_display("") == ""
     assert decode_key_display("3:ab") == "3:ab"  # truncated → verbatim
+
+
+def test_pdf_severity_coloring():
+    """Issue-table rows render with severity colors (the reference's colored
+    LongTable rows): tint rectangle + colored text for error/warning rows,
+    black for prose even when it mentions 'error'."""
+    from fdpg_query_data_validation_ray.pipelines.report_pdf import (
+        _line_severity,
+        render_pdf_bytes,
+    )
+
+    assert _line_severity("| 2 | error | not_null(x) | x |") == "error"
+    assert _line_severity("| 1 | warning | in_set(lang) | lang |") == "warning"
+    assert _line_severity("the error count is 2") is None
+    assert _line_severity("| rule mentions error in name | info | r | l |") == "info"
+
+    report = {
+        "passed": False,
+        "total_rows_checked": 10,
+        "total_violations": 2,
+        "config_hash": "h",
+        "verdicts": {},
+        "validation": [
+            {"severity": "error", "rule_id": "not_null(x)", "location": "x",
+             "diagnostics": "d", "count": 1, "sample_row_keys": ["k"]},
+            {"severity": "warning", "rule_id": "in_set(l)", "location": "l",
+             "diagnostics": "d", "count": 1, "sample_row_keys": ["k"]},
+        ],
+        "general": [], "error": [], "distribution": {}, "quantiles_approx": {},
+    }
+    data = render_pdf_bytes(report)
+    assert b"0.70 0.00 0.00 rg" in data      # error text color
+    assert b"0.65 0.42 0.00 rg" in data      # warning text color
+    assert b"1.00 0.89 0.89 rg" in data      # error row tint rect
+    assert b" re f Q" in data
+    assert render_pdf_bytes(report) == data  # still deterministic
