@@ -77,7 +77,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(doc_id AS VARCHAR), source
         FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^(?:src[0-9]+)$')
     """
+    # split/sample thresholds: generated from the SAME arithmetic as the
+    # engine (stages/split.py) so the oracle can never drift from it
+    from fdpg_query_data_validation_ray.stages.split import _SCALE, _thresholds
+
+    _split_names, _split_cum = _thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    _t1, _t2 = int(_split_cum[0]), int(_split_cum[1])
+    _sample_t = int(0.2 * _SCALE)
+    _h60 = "md5_number_lower('{salt}|' || CAST(doc_id AS VARCHAR)) & ((1::UBIGINT << 60) - 1)"
+
     return {
+        "split_docs": f"""
+            SELECT doc_id,
+                   CASE WHEN h < {_t1}::UBIGINT THEN 'train'
+                        WHEN h < {_t2}::UBIGINT THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, {_h60.format(salt="split")} AS h FROM documents)
+        """,
+        "sample_docs": f"""
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang, {_h60.format(salt="sample")} AS h FROM documents
+            ) WHERE h < {_sample_t}::UBIGINT
+        """,
         "row_checks_documents": row_checks_union,
         "issue_dedup_counts": f"""
             SELECT rule_id, severity, location, diagnostics, COUNT(*) AS n_issues

@@ -796,6 +796,29 @@ def q_cosine_near_dup(sf_dir: str):
     return cosine_near_duplicates(ds, threshold=0.9, n_planes=8, dim=64)
 
 
+def q_cosine_dedup_keep(sf_dir: str):
+    """Materializing embedding dedup: cosine-LSH near-dup pairs → connected
+    components → keep min-id representative per cluster (the embedding
+    analog of dedup_minhash_keep; same cluster machinery). Rows-only (LSH
+    isn't SQL-expressible); the resolution step itself is oracle-checked via
+    dedup_clusters / dedup_jaccard_keep, and the recall test bounds the pair
+    stage."""
+    from fdpg_query_data_validation_ray.stages.cluster import (
+        dedup_keep_representative,
+    )
+    from fdpg_query_data_validation_ray.stages.similarity import (
+        cosine_near_duplicates,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    pairs = cosine_near_duplicates(ds, threshold=0.9, n_planes=8, dim=64)
+    kept = dedup_keep_representative(ds, pairs, "vec_id")
+    return kept.map_batches(
+        lambda t: t.select(["vec_id"]).cast(pa.schema([("vec_id", pa.int64())])),
+        batch_format="pyarrow",
+    )
+
+
 def q_top_words(sf_dir: str):
     """Corpus vocabulary: explode text → words (vectorized pandas split +
     explode), pre-aggregate INSIDE each batch (a raw word explosion would
@@ -1050,7 +1073,42 @@ def q_events_range_neighbors(sf_dir: str):
 
 
 
+def q_split_docs(sf_dir: str):
+    """Deterministic train/val/test assignment by id hash (stages/split.py):
+    stable under re-runs, partitioning, and corpus growth; oracle reproduces
+    the exact md5_number_lower threshold arithmetic in SQL."""
+    from fdpg_query_data_validation_ray.stages.split import assign_split
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = assign_split(
+        ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "split"]).cast(
+            pa.schema([("doc_id", pa.int64()), ("split", pa.string())])
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic Bernoulli(0.2) sample keyed on the doc id hash — same
+    rows on every run and any partitioning (stages/split.py)."""
+    from fdpg_query_data_validation_ray.stages.split import sample_fraction
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = sample_fraction(ds, "doc_id", 0.2)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang"]).cast(
+            pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+        ),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
+    "split_docs": q_split_docs,
+    "sample_docs": q_sample_docs,
     "row_checks_documents": q_row_checks_documents,
     "events_asof_purchase": q_events_asof_purchase,
     "events_sessionize": q_events_sessionize,
@@ -1087,6 +1145,7 @@ QUERIES = {
     "parts_by_brand_size": q_parts_by_brand_size,
     "knn_cosine": q_knn_cosine,
     "cosine_near_dup": q_cosine_near_dup,
+    "cosine_dedup_keep": q_cosine_dedup_keep,
     "top_words": q_top_words,
     "token_count_docs": q_token_count_docs,
     "lang_id_docs": q_lang_id_docs,

@@ -1,0 +1,85 @@
+"""Deterministic dataset splitting / sampling by key hash.
+
+The training-data op every corpus pipeline needs before anything trains:
+assign each row to train/val/test (or keep a p-fraction sample) so that the
+assignment is (a) a pure function of the row's id — stable under re-runs,
+re-partitioning, and incremental corpus growth (a doc keeps its split when
+new docs arrive, unlike `ds.random_shuffle().split()`), (b) exactly
+reproducible in SQL for the oracle gate.
+
+Mechanism: `md5_low60(salt | id)` (stages/text.py — DuckDB-vectorized,
+bit-identical to `md5_number_lower(s) & ((1<<60)-1)`) scaled against
+cumulative fraction thresholds over 2^60. No shuffle, no state: one
+`map_batches` column append; composes with any downstream stage.
+
+Reference analog: none (the reference validates, it does not split); this is
+prompt-mandated LLM-pipeline breadth alongside dedup/quality (SURVEY.md §2.6
+sampling family).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fdpg_query_data_validation_ray.stages.text import md5_low60
+
+_SCALE = 1 << 60
+
+
+def _thresholds(fractions: dict[str, float]) -> tuple[list[str], np.ndarray]:
+    names = list(fractions)
+    fracs = np.array([float(fractions[n]) for n in names])
+    if (fracs < 0).any() or not np.isclose(fracs.sum(), 1.0, atol=1e-9):
+        raise ValueError(f"fractions must be >= 0 and sum to 1: {fractions}")
+    # cumulative upper bounds in hash space; the last bucket absorbs the
+    # rounding remainder so every hash value lands somewhere
+    cum = np.floor(np.cumsum(fracs) * _SCALE).astype(np.uint64)
+    cum[-1] = _SCALE
+    return names, cum
+
+
+def _row_hashes(batch: pa.Table, id_column: str, salt: str) -> np.ndarray:
+    ids = pc.cast(batch[id_column], pa.string()).to_pylist()
+    return md5_low60([f"{salt}|{v}" for v in ids])
+
+
+def assign_split(
+    ds,
+    id_column: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    out_column: str = "split",
+):
+    """Append `out_column` with the split name per row. `salt` derives
+    independent splits from the same ids (e.g. a second holdout). Exact SQL
+    equivalent (the oracle):
+
+        CASE WHEN md5_number_lower(salt || '|' || id) & ((1<<60)-1) < t1
+             THEN 'train' WHEN ... END
+    """
+    names, cum = _thresholds(fractions)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = _row_hashes(batch, id_column, salt)
+        ix = np.searchsorted(cum, h, side="right")
+        arr = pa.array(np.array(names, dtype=object)[ix], pa.string())
+        return batch.append_column(out_column, arr)
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def sample_fraction(ds, id_column: str, fraction: float, salt: str = "sample"):
+    """Deterministic Bernoulli(p) row sample keyed on the id hash — the same
+    rows survive on every run and on any partitioning. SQL equivalent:
+    `WHERE md5_number_lower(...) & ((1<<60)-1) < floor(p * 2^60)`."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    threshold = np.uint64(int(fraction * _SCALE))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = _row_hashes(batch, id_column, salt)
+        return batch.filter(pa.array(h < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

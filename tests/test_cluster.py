@@ -176,3 +176,40 @@ def test_empty_pairs_passthrough(ray_session):
         rd.from_arrow(rows), rd.from_arrow(empty), "doc_id"
     )
     assert sorted(out.to_pandas()["doc_id"].tolist()) == [5, 6]
+
+
+def test_cosine_dedup_keep_drops_planted_duplicates(ray_session):
+    """Embedding dedup keep-one: planted near-identical vector groups must
+    collapse to exactly one representative (the min id) while singletons
+    survive untouched — the embedding analog of the minhash cross-check."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.cluster import (
+        dedup_keep_representative,
+    )
+    from fdpg_query_data_validation_ray.stages.similarity import (
+        cosine_near_duplicates,
+    )
+
+    rng = np.random.default_rng(17)
+    d = 32
+    base = rng.standard_normal((30, d)).astype(np.float32)
+    vecs, ids = [], []
+    nid = 0
+    expect_keep = set()
+    for j in range(30):
+        copies = 4 if j % 3 == 0 else 1
+        first = nid
+        for c in range(copies):
+            v = base[j] + (1e-3 * c) * rng.standard_normal(d).astype(np.float32)
+            vecs.append(v.tolist())
+            ids.append(nid)
+            nid += 1
+        expect_keep.add(first)  # min id of each group survives
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()), "embedding": vecs})
+    ds = rd.from_arrow(t).repartition(4).materialize()
+    pairs = cosine_near_duplicates(ds, threshold=0.98, dim=d)
+    kept = dedup_keep_representative(ds, pairs, "vec_id").to_pandas()
+    got = set(kept["vec_id"])
+    # every clique collapsed to its min id; no singleton lost
+    assert got == expect_keep

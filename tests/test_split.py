@@ -1,0 +1,91 @@
+"""Deterministic split/sample operator tests (stages/split.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fdpg_query_data_validation_ray.stages.split import (
+    _thresholds,
+    assign_split,
+    sample_fraction,
+)
+
+
+def _docs(n=5_000, seed=1):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "doc_id": pa.array(rng.permutation(n).astype(np.int64)),
+            "lang": pa.array(rng.choice(["en", "de", "fr"], n)),
+        }
+    )
+
+
+def test_split_deterministic_and_partition_invariant(ray_session):
+    import ray.data as rd
+
+    t = _docs()
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = (
+        assign_split(rd.from_arrow(t).repartition(3), "doc_id", fr)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        assign_split(rd.from_arrow(t).repartition(17), "doc_id", fr)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a["split"].equals(b["split"])
+    # proportions within sampling noise
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # stable under corpus growth: the first half's assignment is unchanged
+    # when computed on the full corpus (pure function of the id)
+    half = pa.table({"doc_id": t["doc_id"].slice(0, 2500), "lang": t["lang"].slice(0, 2500)})
+    c = (
+        assign_split(rd.from_arrow(half), "doc_id", fr)
+        .to_pandas().set_index("doc_id")["split"]
+    )
+    full = a.set_index("doc_id")["split"]
+    assert (full.loc[c.index] == c).all()
+
+
+def test_split_salt_derives_independent_assignment(ray_session):
+    import ray.data as rd
+
+    t = _docs(2_000)
+    fr = {"a": 0.5, "b": 0.5}
+    s1 = assign_split(rd.from_arrow(t), "doc_id", fr, salt="s1").to_pandas()
+    s2 = assign_split(rd.from_arrow(t), "doc_id", fr, salt="s2").to_pandas()
+    m = s1.merge(s2, on="doc_id", suffixes=("_1", "_2"))
+    agree = (m["split_1"] == m["split_2"]).mean()
+    assert 0.4 < agree < 0.6  # independent hashes: ~50% agreement
+
+
+def test_sample_fraction_subset_semantics(ray_session):
+    import ray.data as rd
+
+    t = _docs(4_000)
+    s20 = set(
+        sample_fraction(rd.from_arrow(t), "doc_id", 0.2).to_pandas()["doc_id"]
+    )
+    s10 = set(
+        sample_fraction(rd.from_arrow(t), "doc_id", 0.1).to_pandas()["doc_id"]
+    )
+    # threshold sampling is NESTED: the 10% sample is a subset of the 20%
+    assert s10 <= s20
+    assert abs(len(s20) / 4_000 - 0.2) < 0.03
+    assert sample_fraction(rd.from_arrow(t), "doc_id", 0.0).count() == 0
+    assert sample_fraction(rd.from_arrow(t), "doc_id", 1.0).count() == 4_000
+
+
+def test_split_validation_errors():
+    with pytest.raises(ValueError, match="sum to 1"):
+        _thresholds({"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError, match="fraction"):
+        import ray.data as rd  # noqa: F401
+
+        sample_fraction(None, "id", 1.5)
