@@ -99,6 +99,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang, {_h60.format(salt="sample")} AS h FROM documents
             ) WHERE h < {_sample_t}::UBIGINT
         """,
+        "normalize_docs": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '[ \t\n\r]+', ' ', 'g'), ' ') AS text_norm
+            FROM documents
+        """,
         "row_checks_documents": row_checks_union,
         "issue_dedup_counts": f"""
             SELECT rule_id, severity, location, diagnostics, COUNT(*) AS n_issues

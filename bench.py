@@ -71,6 +71,16 @@ HEADLINE = [
     "quality_docs",
     "fingerprint_docs",
     "multimodal_decode",
+    # round 3 additions: pair→cluster dedup resolution (LSH scale path),
+    # embedding keep-one, deterministic split/sample, normalization.
+    # dedup_clusters / dedup_jaccard_keep stay OUT of the headline: their
+    # pair stage is the O(n²) exact verifier by design (~16-20 s at sf0.1),
+    # correctness-gated via the oracle, not benched.
+    "dedup_minhash_keep",
+    "cosine_dedup_keep",
+    "split_docs",
+    "sample_docs",
+    "normalize_docs",
 ]
 
 

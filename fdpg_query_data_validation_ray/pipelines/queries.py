@@ -819,6 +819,24 @@ def q_cosine_dedup_keep(sf_dir: str):
     )
 
 
+def q_normalize_docs(sf_dir: str):
+    """Canonical text normalization (NFC + lower + whitespace collapse +
+    strip) — hash-checked against DuckDB's nfc_normalize/lower/
+    regexp_replace/trim composition (stages/text.py:NormalizeTextStage)."""
+    from fdpg_query_data_validation_ray.stages.text import NormalizeTextStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        NormalizeTextStage(text_column="text"), batch_format="pyarrow"
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "text_norm"]).cast(
+            pa.schema([("doc_id", pa.int64()), ("text_norm", pa.string())])
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_top_words(sf_dir: str):
     """Corpus vocabulary: explode text → words (vectorized pandas split +
     explode), pre-aggregate INSIDE each batch (a raw word explosion would
@@ -1148,6 +1166,7 @@ QUERIES = {
     "cosine_dedup_keep": q_cosine_dedup_keep,
     "top_words": q_top_words,
     "token_count_docs": q_token_count_docs,
+    "normalize_docs": q_normalize_docs,
     "lang_id_docs": q_lang_id_docs,
     "quality_docs": q_quality_docs,
     "fingerprint_docs": q_fingerprint_docs,

@@ -434,3 +434,29 @@ class FingerprintStage:
         batch["fingerprint_min"] = fp_min.view(np.int64)
         batch["n_fingerprints"] = n_unique
         return batch
+
+
+class NormalizeTextStage:
+    """Canonical text normalization for training corpora: Unicode NFC,
+    lowercase, collapse runs of ASCII whitespace to one space, strip. All
+    pandas C-level string kernels (no Python per-row work). The whitespace
+    class is pinned to [ \\t\\n\\r] (NOT regex \\s) so the DuckDB oracle —
+    nfc_normalize + lower + regexp_replace + trim — matches byte-for-byte:
+    RE2's \\s is ASCII-only while Python's is Unicode-wide, and that
+    divergence would silently break hash parity on exotic whitespace."""
+
+    def __init__(self, text_column: str, out_column: str = "text_norm"):
+        self.text_column = text_column
+        self.out_column = out_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch.column(self.text_column).to_pandas()
+        norm = (
+            s.str.normalize("NFC")
+            .str.lower()
+            .str.replace(r"[ \t\n\r]+", " ", regex=True)
+            .str.strip(" ")
+        )
+        return batch.append_column(
+            self.out_column, pa.Array.from_pandas(norm, type=pa.string())
+        )
