@@ -402,7 +402,23 @@ def main() -> None:
     if argv and argv[0] == "--queries":
         names = argv[1].split(",")
     out = run_suite(names, SF_DIR, NUM_CPUS)
-    print(json.dumps(out))
+    # The external bench driver keeps only a ~2000-char TAIL of stdout and
+    # parses the last JSON line from it (round 2's line outgrew that and was
+    # recorded as parsed:null). Print a COMPACT line with the spec'd keys
+    # only; the full record (row counts, per-query speedups, prev ref) goes
+    # to BENCH_LOCAL.json next to this script.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "num_cpus": out["num_cpus"],
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     import ray
 
     ray.shutdown()
