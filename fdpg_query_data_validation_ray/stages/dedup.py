@@ -475,18 +475,36 @@ def exact_dedup(ds, text_column: str, id_column: str, num_partitions: int = 16):
     def keep_candidates(batch: pa.Table) -> pa.Table:
         return batch.filter(pa.array(_hit_mask(batch)))
 
-    def pick_winner(group: pa.Table) -> pa.Table:
-        # one representative per md5: min id, then first row in (id) order —
-        # deterministic under shuffle arrival order; duplicate (md5, id)
-        # double-ingest copies collapse here too
-        g = group.sort_by([(id_column, "ascending")])
-        return g.slice(0, 1).drop_columns(["__md5"])
+    # winners resolve per COARSE md5-hash partition, not per md5 group: a
+    # dense-dup corpus (50% dup rate → 500k groups at 1M rows) would pay Ray's
+    # per-group machinery 500k times; one factorize+lexsort per part picks
+    # every group's winner (min id, deterministic under shuffle arrival
+    # order; duplicate (md5, id) double-ingest copies collapse here too)
+    n_parts = _verify_parts()
+
+    def with_part(t: pa.Table) -> pa.Table:
+        part = (hash64(t["__md5"]) & np.uint64(n_parts - 1)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def pick_part(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        part = part.drop_columns(["part"])
+        if part.num_rows == 0:
+            return part.drop_columns(["__md5"])
+        codes, _ = pd.factorize(part["__md5"].to_pandas(), sort=False)
+        ids = part[id_column].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        codes_s = codes[order]
+        first = np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        return part.take(pa.array(order[first])).drop_columns(["__md5"])
 
     clean = hashed.map_batches(keep_unique, batch_format="pyarrow")
     winners = (
         hashed.map_batches(keep_candidates, batch_format="pyarrow")
-        .groupby("__md5")
-        .map_groups(pick_winner, batch_format="pyarrow")
+        .map_batches(with_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pick_part, batch_format="pyarrow")
     )
     # map_groups emits schema-less empty blocks for empty shuffle partitions;
     # strip them (winners are rare → the materialize is tiny) or a downstream

@@ -372,8 +372,10 @@ def cosine_near_duplicates(
     from fdpg_query_data_validation_ray.stages.dedup import (
         _attach_payload,
         _empty_pairs_arrow,
-        _first_per_sorted_id,
+        _iter_bucket_groups,
         _sieve_multi_buckets,
+        _verify_parts,
+        _with_part,
     )
 
     sign_schema = pa.schema(
@@ -388,34 +390,50 @@ def cosine_near_duplicates(
         batch_format="pyarrow",
     )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids_all = group[id_column].to_numpy()
-        sel = _first_per_sorted_id(ids_all)
-        if len(sel) < 2:
+    def part_pairs(part: pa.Table) -> pa.Table:
+        # one part = many buckets (same coarse-partition verify as minhash —
+        # per-bucket map_groups paid Ray's per-group machinery once per
+        # bucket): decode vecs/patterns ONCE for the part, then slice
+        # arithmetic per bucket
+        n = part.num_rows
+        if n == 0:
             return _empty_pairs_arrow("cosine", pa.float64())
-        table_ix = int(group["table"][0].as_py())
-        vec_col = group["vec"].combine_chunks()
-        m = np.stack(
-            [np.frombuffer(vec_col[int(i)].as_py(), dtype=np.float32) for i in sel]
+        ids_all = part[id_column].to_numpy()
+        bucket = part["bucket"].to_numpy()
+        table_all = part["table"].to_numpy()
+        vec_col = part["vec"].combine_chunks()
+        m_all = np.frombuffer(b"".join(vec_col.to_pylist()), dtype=np.float32).reshape(
+            n, dim
         )
-        ids = ids_all[sel]
-        ia, ib = np.triu_indices(len(sel), k=1)
-        if table_ix > 0:
-            pat_col = group["patterns"].combine_chunks()
-            pats = np.stack(
-                [np.frombuffer(pat_col[int(i)].as_py(), dtype=np.uint64) for i in sel]
-            )[:, :table_ix]
-            fresh = ~(pats[ia] == pats[ib]).any(axis=1)
-            ia, ib = ia[fresh], ib[fresh]
-        if len(ia) == 0:
+        pat_col = part["patterns"].combine_chunks()
+        pats_all = np.frombuffer(
+            b"".join(pat_col.to_pylist()), dtype=np.uint64
+        ).reshape(n, -1)
+        out_a, out_b, out_s = [], [], []
+        for rows in _iter_bucket_groups(bucket, ids_all):
+            table_ix = int(table_all[rows[0]])
+            ia, ib = np.triu_indices(len(rows), k=1)
+            if table_ix > 0:
+                pats = pats_all[rows][:, :table_ix]
+                fresh = ~(pats[ia] == pats[ib]).any(axis=1)
+                ia, ib = ia[fresh], ib[fresh]
+            if len(ia) == 0:
+                continue
+            m = m_all[rows]
+            s = np.einsum("ij,ij->i", m[ia], m[ib])
+            keep = s >= threshold
+            if keep.any():
+                ids = ids_all[rows]
+                out_a.append(ids[ia[keep]])
+                out_b.append(ids[ib[keep]])
+                out_s.append(s[keep])
+        if not out_a:
             return _empty_pairs_arrow("cosine", pa.float64())
-        s = np.einsum("ij,ij->i", m[ia], m[ib])
-        keep = s >= threshold
         return pa.table(
             {
-                "id_a": pa.array(ids[ia[keep]].astype(np.int64)),
-                "id_b": pa.array(ids[ib[keep]].astype(np.int64)),
-                "cosine": pa.array(s[keep].astype(np.float64)),
+                "id_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                "id_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                "cosine": pa.array(np.concatenate(out_s).astype(np.float64)),
             }
         )
 
@@ -428,4 +446,9 @@ def cosine_near_duplicates(
         sieved, signs, key=id_column, payload_columns=["vec", "patterns"],
         payload_schema=sign_schema, payload_width=4 * dim + 8 * n_tables + 8,
     )
-    return sieved.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    n_parts = _verify_parts()
+    return (
+        sieved.map_batches(lambda t: _with_part(t, n_parts), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pyarrow")
+    )
