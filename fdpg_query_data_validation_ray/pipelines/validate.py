@@ -404,6 +404,7 @@ def _run_one_partition(
     batch_size: int,
     concurrency,
     check_fn=None,
+    read_blocks: int | None = None,
 ) -> None:
     import ray.data as rd
 
@@ -420,7 +421,8 @@ def _run_one_partition(
     # partition would silently diverge the keyhash rows from the rows checked
     stamps = _file_stamps(files)
 
-    ds = rd.read_parquet(files)
+    rb = {"override_num_blocks": read_blocks} if read_blocks else {}
+    ds = rd.read_parquet(files, **rb)
     if concurrency is None:
         # default: task-based stage (see make_check_and_profile_fn) — fluid
         # CPU packing across concurrently-running partitions
@@ -464,7 +466,7 @@ def _run_one_partition(
                 f"input files changed mid-partition before keyhash pass: {changed}"
             )
         uk = list(plan.unique_keys)
-        rd.read_parquet(files, columns=uk).map_batches(
+        rd.read_parquet(files, columns=uk, **rb).map_batches(
             lambda t: _keyrec_table(t, uk), batch_format="pyarrow"
         ).write_parquet(
             os.path.join(tmp_dir, "keyhash"),
@@ -478,17 +480,47 @@ def _run_one_partition(
 
     if plan.unique_keys:
         # the two pipelines are independent Ray datasets — overlap them so
-        # the keyhash pass fills the union write's scheduling bubbles instead
-        # of adding a full pipeline latency per partition
+        # the second pass fills the union write's scheduling bubbles instead
+        # of adding a full pipeline latency per partition.
+        #
+        # Two uniqueness-evidence modes (QDV_KEYHASH_MODE=auto|partial|
+        # artifact): within the per-partition driver budget the second pass
+        # produces ONLY the compact khash sieve partial (sorted unique
+        # hashes + counts → khash_partial.npz, committed atomically with the
+        # partition) — no per-row keyhash parquet is persisted, and the
+        # global exact verify re-reads the INPUT key columns of just the
+        # candidate partitions. Beyond the budget the per-row keyhash
+        # artifact is written as before (the distributed shuffle verify
+        # consumes it), and the npz partial is derived from it.
+        use_partial = _keyhash_partial_mode(files)
+        second = (
+            (lambda: _khash_partial_via_scan(files, list(plan.unique_keys), rb, tmp_dir, stamps))
+            if use_partial
+            else write_keyhash
+        )
         from concurrent.futures import ThreadPoolExecutor as _TPE
 
         with _TPE(max_workers=2) as _ex:
             fc = _ex.submit(write_combined)
-            fk = _ex.submit(write_keyhash)
+            fk = _ex.submit(second)
             fc.result()
             fk.result()
+        if not use_partial:
+            # best-effort cache: the global pass A falls back to scanning
+            # any partition without a (row-count-consistent) partial
+            try:
+                _write_khash_partial(os.path.join(tmp_dir, "keyhash"), tmp_dir)
+            except Exception:
+                pass
     else:
         write_combined()
+    if os.environ.get("QDV_TIMING"):
+        import sys as _sys
+
+        print(
+            f"[qdv-timing] partition[{pid}].pipelines: {time.monotonic() - t0:.3f}s",
+            file=_sys.stderr,
+        )
 
     # schema-level dtype rules: one check per input FILE (footer schema read,
     # no data IO) — deterministic under any batch size / parallelism
@@ -525,7 +557,14 @@ def _run_one_partition(
         "rows_checked": rows_checked,
         "violation_count": n_err,
         "warning_count": n_warn,
-        "lineage": {"input_files": files, "config_hash": cfg_hash},
+        "lineage": {
+            "input_files": files,
+            "config_hash": cfg_hash,
+            # identity of the exact bytes this verdict was computed from —
+            # the global uniqueness verify re-reads input key columns for
+            # candidate partitions and must refuse silently-changed files
+            "file_stamps": {f: list(s) for f, s in stamps.items()},
+        },
         "metrics": {"wall_s": round(time.monotonic() - t0, 3)},
         "stats_partials": _encode_partials(partials),
     }
@@ -577,22 +616,29 @@ def run_validation(
     )
 
     todo = [pid for pid in sorted(partitions) if not manifest.is_complete(pid)]
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
     if partition_threads is None:
         # each concurrent partition needs headroom for its actor pool PLUS its
         # read/write tasks; on small clusters run sequentially or the pools'
         # reserved actors starve the task stages (classic deadlock)
-        import ray
-
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
         partition_threads = min(4, max(1, cpus // 8), max(1, len(todo)))
+    # read-task granularity: with concurrent partitions each pipeline should
+    # produce ~its CPU share of blocks — inheriting the files' raw row-group
+    # fragmentation either caps parallelism (1 fat row group per file) or
+    # shatters the partition into tiny blocks (tiny row groups → one small
+    # zstd output file + scan-tail open per block)
+    read_blocks = max(2, cpus // max(1, partition_threads))
     # concurrency=None (default) → task-based check stage: the compiled plan
     # is broadcast once and cached per worker; partitions share the whole
     # cluster fluidly. An explicit concurrency tuple restores the actor pool
     # (_default_pool sizes it when callers want that path).
     check_fn = make_check_and_profile_fn(plan) if concurrency is None and todo else None
+    t_part = time.monotonic()
     if todo:
         with ThreadPoolExecutor(max_workers=partition_threads) as pool:
             futures = {
@@ -607,6 +653,7 @@ def run_validation(
                     batch_size,
                     concurrency,
                     check_fn,
+                    read_blocks,
                 )
                 for pid in todo
             }
@@ -661,12 +708,24 @@ def run_validation(
         except (OSError, json.JSONDecodeError):
             pass
 
+    def _tmark(label: str, since: float) -> float:
+        now = time.monotonic()
+        if os.environ.get("QDV_TIMING"):
+            import sys as _sys
+
+            print(f"[qdv-timing] {label}: {now - since:.3f}s", file=_sys.stderr)
+        return now
+
+    _tmark("partitions.total", t_part)
+    tg = time.monotonic()
     global_violations: list[dict] = []
     if plan.unique_keys:
         global_violations.extend(
             _uniqueness_from_artifacts(manifest, list(plan.unique_keys))
         )
+    tg = _tmark("global.uniqueness", tg)
     merged_partials = _merge_all_partials(manifest)
+    tg = _tmark("global.merge_partials", tg)
     if plan.drift_rules and plan.snapshot_json:
         global_violations.extend(
             drift_violations(
@@ -683,6 +742,7 @@ def run_validation(
         manifest, merged_partials, global_violations, cfg_hash,
         code_systems=plan.code_systems,
     )
+    tg = _tmark("global.build_report", tg)
     RunManifest._atomic_json(report_path, report)
     RunManifest._atomic_json(
         meta_path, {"config_hash": cfg_hash, "partitions_hash": partitions_hash}
@@ -691,6 +751,7 @@ def run_validation(
     from fdpg_query_data_validation_ray.pipelines.report_pdf import write_pdf_report
 
     write_pdf_report(report, os.path.join(out_dir, "report.pdf"))
+    _tmark("global.write_reports", tg)
     return report
 
 
@@ -886,6 +947,123 @@ def _uniqueness_violation_rows(g: pa.Table, unique_keys: list[str]) -> list[dict
     ]
 
 
+def _write_khash_partial(keyhash_dir: str, out_dir: str) -> None:
+    """Collapse a partition's keyhash records to (sorted unique khash, count)
+    arrays and persist them as khash_partial.npz (committed atomically with
+    the partition — written into the pre-commit tmp dir). n_rows is stored so
+    readers can reject a partial that does not account for every row."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(_glob.escape(keyhash_dir), "*.parquet")))
+    if not files:
+        return
+    chunks = [pq.read_table(f, columns=["khash"])["khash"].to_numpy() for f in files]
+    h = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+    uniq, counts = np.unique(h, return_counts=True)
+    np.savez(
+        os.path.join(out_dir, "khash_partial.npz"),
+        uniq=uniq,
+        counts=counts.astype(np.int64),
+        n_rows=np.int64(len(h)),
+    )
+
+
+def _keyhash_partial_mode(files: list[str]) -> bool:
+    """True → this partition persists only the compact khash partial (no
+    per-row keyhash parquet). Auto mode keeps the per-partition driver cost
+    bounded: the partial is O(distinct keys) × 16 B at the driver, so it is
+    used only when the partition's row count (exact, from parquet footers)
+    fits a quarter of the global sieve budget — beyond that the per-row
+    artifact is written and the distributed shuffle verify consumes it."""
+    mode = os.environ.get("QDV_KEYHASH_MODE", "auto")
+    if mode == "artifact":
+        return False
+    if mode == "partial":
+        return True
+    import pyarrow.parquet as pq
+
+    from fdpg_query_data_validation_ray.stages.unique import SIEVE_MAX_DRIVER_ROWS
+
+    try:
+        est = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return False
+    return est <= SIEVE_MAX_DRIVER_ROWS // 4
+
+
+def _khash_partial_via_scan(
+    files: list[str], uk: list[str], rb: dict, tmp_dir: str, stamps: dict
+) -> None:
+    """Build khash_partial.npz from a column-pruned input scan: per-block
+    np.unique partials stream back to the driver (≤ 16 B per DISTINCT key —
+    gated by _keyhash_partial_mode) and merge with one argsort+reduceat."""
+    import numpy as np
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.unique import key_hash
+
+    changed = [f for f, s in _file_stamps(files).items() if stamps.get(f) != s]
+    if changed:
+        raise RuntimeError(
+            f"input files changed mid-partition before keyhash pass: {changed}"
+        )
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        kh = key_hash(t, uk).view(np.int64)
+        u, c = np.unique(kh, return_counts=True)
+        return pa.table({"uniq": pa.array(u), "counts": pa.array(c.astype(np.int64))})
+
+    us, cs = [], []
+    for b in (
+        rd.read_parquet(files, columns=uk, **rb)
+        .map_batches(block_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        if b.num_rows:
+            us.append(b["uniq"].to_numpy())
+            cs.append(b["counts"].to_numpy())
+    if us:
+        u0 = np.concatenate(us)
+        c0 = np.concatenate(cs)
+        order = np.argsort(u0, kind="stable")
+        u0, c0 = u0[order], c0[order]
+        starts = np.flatnonzero(np.r_[True, u0[1:] != u0[:-1]])
+        uniq = u0[starts]
+        counts = np.add.reduceat(c0, starts)
+        n = int(c0.sum())
+    else:
+        uniq = np.array([], np.int64)
+        counts = np.array([], np.int64)
+        n = 0
+    np.savez(
+        os.path.join(tmp_dir, "khash_partial.npz"),
+        uniq=uniq,
+        counts=counts.astype(np.int64),
+        n_rows=np.int64(n),
+    )
+
+
+def _load_khash_partial(pdir: str):
+    """Return (uniq, counts) from a partition's cached sieve partial, or None
+    when absent/inconsistent (reader falls back to scanning the artifact)."""
+    import numpy as np
+
+    p = os.path.join(pdir, "khash_partial.npz")
+    if not os.path.exists(p):
+        return None
+    try:
+        z = np.load(p)
+        uniq, counts = z["uniq"], z["counts"]
+        if int(counts.sum()) != int(z["n_rows"]):
+            return None
+        return uniq, counts
+    except Exception:
+        return None
+
+
 def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) -> list[dict]:
     """Cross-partition uniqueness from the persisted per-row
     (row_key, key_enc, khash) records — the input is never re-scanned (the
@@ -921,25 +1099,61 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
     if mode == "shuffle":
         return _uniqueness_from_artifacts_distributed(manifest, unique_keys)
 
-    # Both passes run as RAY TASKS over the artifact files (parquet decode
-    # parallelized across every core — a driver thread pool caps at ~8 GIL
-    # -sharing threads and was the flagship's Amdahl bottleneck: ~5-11 s of
-    # the 3M-row run was this serial phase); the driver only merges
-    # pre-collapsed partials with vectorized numpy.
-    # pass A: hashes only (8 B/row at the driver — the documented envelope);
-    # per-FILE thread-pool scan of the compact keyhash artifacts (parquet
-    # decode releases the GIL; file-level parallelism beats a Ray pipeline
-    # here — Dataset construction alone costs seconds over many files)
-    hash_chunks = _keyhash_scan_threaded(
-        manifest, ["khash"], lambda t: t["khash"].to_numpy()
-    )
-    hash_chunks = [c for c in hash_chunks if len(c)]
-    if not hash_chunks:
+    # pass A: merge per-partition sieve partials (sorted unique hashes +
+    # counts, cached at commit time INSIDE the parallel partition phase —
+    # this pass used to re-decode every keyhash file serially after the last
+    # partition finished, pure Amdahl tail at high CPU counts). Partitions
+    # without a consistent cached partial (legacy artifacts) are scanned on
+    # the spot by a thread pool (parquet decode releases the GIL).
+    part_uniq: dict[str, np.ndarray] = {}
+    partials: list[tuple[np.ndarray, np.ndarray]] = []
+    fallback_pids: list[str] = []
+    for pid in manifest.completed_partitions():
+        got = _load_khash_partial(manifest.partition_dir(pid))
+        if got is None:
+            fallback_pids.append(pid)
+        else:
+            partials.append(got)
+            part_uniq[pid] = got[0]
+    if fallback_pids:
+        chunks = [
+            c
+            for c in _keyhash_scan_threaded(
+                manifest,
+                ["khash"],
+                lambda t: t["khash"].to_numpy(),
+                pids=fallback_pids,
+                unique_keys=unique_keys,
+            )
+            if len(c)
+        ]
+        if chunks:
+            partials.append(np.unique(np.concatenate(chunks), return_counts=True))
+    if not partials:
         return []
-    uniq, counts = np.unique(np.concatenate(hash_chunks), return_counts=True)
-    cand = uniq[counts > 1]
+    # candidate set only — pass B recounts candidates exactly from the
+    # artifact rows, so the merge needs no count arithmetic: a hash is a
+    # candidate iff duplicated WITHIN one partial (count>1) or present in
+    # ≥2 partials (adjacent equal after a value sort — np.sort on int64 is
+    # ~20x cheaper than the argsort/np.unique gather path at these sizes)
+    cand_within = [u[c > 1] for u, c in partials]
+    s = np.sort(np.concatenate([u for u, _ in partials]))
+    cand_cross = s[:-1][s[1:] == s[:-1]] if len(s) > 1 else s[:0]
+    cand = np.unique(np.concatenate(cand_within + [cand_cross]))
     if len(cand) == 0:
         return []
+
+    def _shares_hash(sorted_uniq: np.ndarray) -> bool:
+        ix = np.searchsorted(cand, sorted_uniq)
+        ix[ix == len(cand)] = len(cand) - 1
+        return bool(np.any(cand[ix] == sorted_uniq))
+
+    # pass B only needs partitions that can actually hold a candidate key:
+    # ones whose partial intersects the candidate set, plus every partition
+    # we could not prove anything about
+    passb_pids = fallback_pids + [
+        pid for pid, u in part_uniq.items() if _shares_hash(u)
+    ]
 
     # pass B: re-scan, keep ONLY candidate rows' key strings, per-file exact
     # grouping partials → tiny driver merge
@@ -957,7 +1171,10 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
 
     picked_parts = [
         p
-        for p in _keyhash_scan_threaded(manifest, ["key_enc", "khash"], pick)
+        for p in _keyhash_scan_threaded(
+            manifest, ["key_enc", "khash"], pick, pids=passb_pids,
+            unique_keys=unique_keys,
+        )
         if p is not None
     ]
     if not picked_parts:
@@ -972,24 +1189,42 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
     return _uniqueness_violation_rows(g, unique_keys)
 
 
-def _keyhash_scan_threaded(manifest: RunManifest, columns: list[str], transform):
+def _keyhash_scan_threaded(
+    manifest: RunManifest,
+    columns: list[str],
+    transform,
+    pids: list[str] | None = None,
+    unique_keys: list[str] | None = None,
+):
     """Thread-pool scan of keyhash records: one task per compact
-    `keyhash/*.parquet` file (this version's layout), one per legacy
-    partition's union dir (filtered; key_enc padded null when the old schema
-    predates it). `transform(table) -> Any` runs inside the worker thread."""
+    `keyhash/*.parquet` file (this version's layout); partitions that carry
+    only the khash sieve partial re-derive the records from a column-pruned
+    read of their INPUT files (stamp-checked against the verdict lineage —
+    the verify must refuse bytes that differ from what the check pass saw);
+    one task per legacy partition's union dir (filtered; key_enc padded null
+    when the old schema predates it). `transform(table) -> Any` runs inside
+    the worker thread. `pids` restricts the scan (default: all completed)."""
     import glob
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
-    work: list[tuple[str, str]] = []
-    for pid in manifest.completed_partitions():
+    work: list[tuple[str, object]] = []
+    for pid in (pids if pids is not None else manifest.completed_partitions()):
         pdir = manifest.partition_dir(pid)
         kf = sorted(
             glob.glob(os.path.join(glob.escape(os.path.join(pdir, "keyhash")), "*.parquet"))
         )
         if kf:
             work.extend(("compact", f) for f in kf)
+        elif (
+            unique_keys
+            and os.path.exists(os.path.join(pdir, "khash_partial.npz"))
+        ):
+            lin = manifest.load_verdict(pid).get("lineage", {})
+            st = lin.get("file_stamps") or {}
+            for f in lin.get("input_files", []):
+                work.append(("input", (f, st.get(f))))
         elif os.path.isdir(os.path.join(pdir, "combined")):
             work.append(("legacy", os.path.join(pdir, "combined")))
     if not work:
@@ -999,6 +1234,18 @@ def _keyhash_scan_threaded(manifest: RunManifest, columns: list[str], transform)
         kind, p = item
         if kind == "compact":
             t = pq.read_table(p, columns=columns)
+        elif kind == "input":
+            f, stamp = p
+            if stamp is not None:
+                cur = list(_file_stamps([f])[f])
+                if cur != list(stamp):
+                    raise RuntimeError(
+                        f"input file changed since its partition was checked; "
+                        f"uniqueness cannot be verified from a re-read: {f}"
+                    )
+            t = _keyrec_table(
+                pq.read_table(f, columns=list(unique_keys)), list(unique_keys)
+            ).select(columns)
         else:
             # legacy union artifacts: also read row_key so _grouping_key can
             # fall back when key_enc is null/absent (round-1 schema)
@@ -1019,28 +1266,43 @@ def _keyhash_scan_threaded(manifest: RunManifest, columns: list[str], transform)
         return list(pool.map(one, work))
 
 
-def _keyhash_dataset(manifest: RunManifest, columns: list[str]):
+def _keyhash_dataset(
+    manifest: RunManifest, columns: list[str], unique_keys: list[str] | None = None
+):
     """Ray Dataset over every committed partition's keyhash records,
     projected to `columns` (subset of row_key / key_enc / khash).
 
-    Partitions written by this version carry a compact 3-column
-    `keyhash/*.parquet` (fast: no union padding, no digest-row decode);
-    legacy partitions fall back to filtering the tagged union (key_enc
-    synthesized as null when the old schema predates it). Returns None when
-    no partition has keyhash records."""
+    Partitions written by this version carry either a compact 3-column
+    `keyhash/*.parquet` (fast: no union padding, no digest-row decode) or
+    only the khash sieve partial — the latter re-derive their records from a
+    column-pruned read of their INPUT files (stamp-checked); legacy
+    partitions fall back to filtering the tagged union (key_enc synthesized
+    as null when the old schema predates it). Returns None when no partition
+    has keyhash records."""
     import glob
 
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    compact_files, union_files = [], []
+    compact_files, union_files, input_files = [], [], []
     for pid in manifest.completed_partitions():
         pdir = manifest.partition_dir(pid)
         kd = os.path.join(pdir, "keyhash")
         kf = sorted(glob.glob(os.path.join(glob.escape(kd), "*.parquet")))
         if kf:
             compact_files.extend(kf)
+            continue
+        if unique_keys and os.path.exists(os.path.join(pdir, "khash_partial.npz")):
+            lin = manifest.load_verdict(pid).get("lineage", {})
+            st = lin.get("file_stamps") or {}
+            for f in lin.get("input_files", []):
+                if f in st and list(_file_stamps([f])[f]) != list(st[f]):
+                    raise RuntimeError(
+                        "input file changed since its partition was checked; "
+                        f"uniqueness cannot be verified from a re-read: {f}"
+                    )
+                input_files.append(f)
             continue
         d = os.path.join(pdir, "combined")
         if not os.path.isdir(d):
@@ -1049,6 +1311,22 @@ def _keyhash_dataset(manifest: RunManifest, columns: list[str]):
             if "record_type" in pq.read_schema(f).names:
                 union_files.append(f)
     parts = []
+    if input_files:
+        uk = list(unique_keys)
+
+        def rederive(t: pa.Table) -> pa.Table:
+            rec = _keyrec_table(t, uk).select(columns)
+            if "key_enc" in columns:
+                rec = rec.append_column(
+                    "genc", pa.array(np.ones(rec.num_rows, dtype=np.int8))
+                )
+            return rec
+
+        parts.append(
+            rd.read_parquet(input_files, columns=uk).map_batches(
+                rederive, batch_format="pyarrow"
+            )
+        )
     if compact_files:
         compact = rd.read_parquet(compact_files, columns=columns)
         if "key_enc" in columns:
@@ -1114,7 +1392,7 @@ def _uniqueness_from_artifacts_distributed(
     import ray
     from ray.data.aggregate import Max, Sum
 
-    ds = _keyhash_dataset(manifest, ["key_enc", "khash"])
+    ds = _keyhash_dataset(manifest, ["key_enc", "khash"], unique_keys)
     if ds is None:
         return []
 

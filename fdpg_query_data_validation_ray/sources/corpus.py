@@ -155,10 +155,15 @@ def repo_dim(corpus: pa.Table, drop: tuple[str, ...] = ("ghost/never-registered"
 
 
 def write_corpus_partitioned(
-    table: pa.Table, out_dir: str, n_files: int, overwrite: bool = True
+    table: pa.Table, out_dir: str, n_files: int, overwrite: bool = True,
+    row_group_size: int = 16384,
 ) -> list[str]:
     """Write the corpus as n_files parquet files (partition = file; the unit of
-    checkpoint/resume). Returns the file paths, lexically ordered."""
+    checkpoint/resume). Returns the file paths, lexically ordered.
+
+    row_group_size: real lakehouse writers emit multiple row groups per file;
+    a single whole-file row group is the degenerate case that caps any
+    reader's intra-file split parallelism at 1 task per file."""
     import os
     import shutil
 
@@ -172,7 +177,10 @@ def write_corpus_partitioned(
     bounds = np.linspace(0, n, n_files + 1).astype(int)
     for i in range(n_files):
         p = os.path.join(out_dir, f"part-{i:05d}.parquet")
-        pq.write_table(table.slice(bounds[i], bounds[i + 1] - bounds[i]), p)
+        pq.write_table(
+            table.slice(bounds[i], bounds[i + 1] - bounds[i]), p,
+            row_group_size=row_group_size,
+        )
         paths.append(p)
     return paths
 
