@@ -106,6 +106,12 @@ UNION_SCHEMA = pa.schema(
         ("cat_counts", pa.binary()),
         ("content_sha256", pa.string()),
         ("khash", pa.int64()),
+        # per-batch khash sieve partials (record_type="khashagg"): one row
+        # per checked batch carrying np.unique(key hashes) + counts as packed
+        # bytes — the partition's npz sieve partial derives from these in the
+        # commit tail, so uniqueness evidence costs NO extra input scan
+        ("khash_uniq", pa.binary()),
+        ("khash_counts", pa.binary()),
         # unambiguous composite-key encoding (length-prefixed; see
         # row_checks.key_encode_array) — the exact uniqueness-verify grouping
         # key; row_key stays the human-readable display form
@@ -210,7 +216,9 @@ class CheckAndProfile:
 
     def __init__(self, plan: ValidationPlan):
         from fdpg_query_data_validation_ray.stages.fk import BroadcastFKChecker
+        from fdpg_query_data_validation_ray.stages.unique import key_hash
 
+        self._key_hash = key_hash
         self.plan = plan
         self.checker = (
             RowChecker(suite=plan.suite)
@@ -249,6 +257,27 @@ class CheckAndProfile:
                 }
             )
             parts.append(_pad_to_union(digest, "digest"))
+        if self.plan.unique_keys:
+            # khash sieve partial for this batch: unique 64-bit key hashes +
+            # counts, packed — rides the union so the partition's uniqueness
+            # evidence needs no second input scan (n_rows cross-checks
+            # coverage at commit time)
+            kh = self._key_hash(batch, list(self.plan.unique_keys)).view(np.int64)
+            u, c = np.unique(kh, return_counts=True)
+            parts.append(
+                _pad_to_union(
+                    pa.table(
+                        {
+                            "khash_uniq": pa.array([u.tobytes()], pa.binary()),
+                            "khash_counts": pa.array(
+                                [c.astype(np.int64).tobytes()], pa.binary()
+                            ),
+                            "n_rows": pa.array([len(kh)], pa.int64()),
+                        }
+                    ),
+                    "khashagg",
+                )
+            )
         return pa.concat_tables(parts)
 
 
@@ -478,40 +507,23 @@ def _run_one_partition(
             compression="zstd",
         )
 
-    if plan.unique_keys:
-        # the two pipelines are independent Ray datasets — overlap them so
-        # the second pass fills the union write's scheduling bubbles instead
-        # of adding a full pipeline latency per partition.
-        #
-        # Two uniqueness-evidence modes (QDV_KEYHASH_MODE=auto|partial|
-        # artifact): within the per-partition driver budget the second pass
-        # produces ONLY the compact khash sieve partial (sorted unique
-        # hashes + counts → khash_partial.npz, committed atomically with the
-        # partition) — no per-row keyhash parquet is persisted, and the
-        # global exact verify re-reads the INPUT key columns of just the
-        # candidate partitions. Beyond the budget the per-row keyhash
-        # artifact is written as before (the distributed shuffle verify
-        # consumes it), and the npz partial is derived from it.
-        use_partial = _keyhash_partial_mode(files)
-        second = (
-            (lambda: _khash_partial_via_scan(files, list(plan.unique_keys), rb, tmp_dir, stamps))
-            if use_partial
-            else write_keyhash
-        )
+    # Two uniqueness-evidence modes (QDV_KEYHASH_MODE=auto|partial|artifact):
+    # within the per-partition driver budget the check pass itself carries
+    # the evidence — per-batch khashagg rows in the union collapse to one
+    # compact khash_partial.npz in the commit tail (no second input scan, no
+    # per-row keyhash parquet), and the global exact verify re-reads the
+    # INPUT key columns of just the candidate partitions. Beyond the budget
+    # the per-row keyhash artifact is still written (the distributed shuffle
+    # verify consumes it), overlapped with the union write.
+    use_partial = bool(plan.unique_keys) and _keyhash_partial_mode(files)
+    if plan.unique_keys and not use_partial:
         from concurrent.futures import ThreadPoolExecutor as _TPE
 
         with _TPE(max_workers=2) as _ex:
             fc = _ex.submit(write_combined)
-            fk = _ex.submit(second)
+            fk = _ex.submit(write_keyhash)
             fc.result()
             fk.result()
-        if not use_partial:
-            # best-effort cache: the global pass A falls back to scanning
-            # any partition without a (row-count-consistent) partial
-            try:
-                _write_khash_partial(os.path.join(tmp_dir, "keyhash"), tmp_dir)
-            except Exception:
-                pass
     else:
         write_combined()
     if os.environ.get("QDV_TIMING"):
@@ -540,10 +552,36 @@ def _run_one_partition(
     partial_t = _scan_union(
         os.path.join(tmp_dir, "combined"),
         "partial",
-        [f.name for f in UNION_SCHEMA if f.name not in ("record_type", *VIOLATION_SCHEMA.names, "content_sha256")],
+        [
+            f.name
+            for f in UNION_SCHEMA
+            if f.name
+            not in (
+                "record_type",
+                *VIOLATION_SCHEMA.names,
+                "content_sha256",
+                "khash_uniq",
+                "khash_counts",
+            )
+        ],
     )
     partials = finalize_partials(_partials_from_table(partial_t))
     rows_checked = max((p.n_rows for p in partials.values()), default=0)
+    if plan.unique_keys:
+        try:
+            _khash_partial_from_union(
+                os.path.join(tmp_dir, "combined"), tmp_dir, expect_rows=rows_checked
+            )
+        except Exception:
+            if use_partial:
+                # the npz IS this partition's only uniqueness evidence in
+                # partial mode — a partition without it must fail (error
+                # channel) rather than silently drop out of the global verify
+                raise
+            # artifact mode: the per-row keyhash parquet remains the
+            # authoritative evidence; the npz is only a pass-A shortcut
+            # (never written on failure — _khash_partial_from_union
+            # validates coverage before persisting)
     n_err = int(
         pc.sum(
             pc.cast(pc.is_in(sev, value_set=pa.array(["fatal", "error"])), pa.int64())
@@ -947,27 +985,42 @@ def _uniqueness_violation_rows(g: pa.Table, unique_keys: list[str]) -> list[dict
     ]
 
 
-def _write_khash_partial(keyhash_dir: str, out_dir: str) -> None:
-    """Collapse a partition's keyhash records to (sorted unique khash, count)
-    arrays and persist them as khash_partial.npz (committed atomically with
-    the partition — written into the pre-commit tmp dir). n_rows is stored so
-    readers can reject a partial that does not account for every row."""
-    import glob as _glob
-
+def _khash_partial_from_union(combined_dir: str, out_dir: str, expect_rows: int) -> None:
+    """Collapse the check pass's per-batch khashagg rows to ONE (sorted
+    unique khash, count) partial and persist it as khash_partial.npz
+    (committed atomically with the partition — written into the pre-commit
+    tmp dir). Coverage is validated against the partition's checked row
+    count BEFORE anything is persisted: a partial that does not account for
+    every row must not exist (pass A would silently under-count with it)."""
     import numpy as np
-    import pyarrow.parquet as pq
 
-    files = sorted(_glob.glob(os.path.join(_glob.escape(keyhash_dir), "*.parquet")))
-    if not files:
-        return
-    chunks = [pq.read_table(f, columns=["khash"])["khash"].to_numpy() for f in files]
-    h = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
-    uniq, counts = np.unique(h, return_counts=True)
+    t = _scan_union(
+        combined_dir, "khashagg", ["khash_uniq", "khash_counts", "n_rows"]
+    )
+    n = int(pc.sum(t["n_rows"]).as_py() or 0)
+    if n != expect_rows:
+        raise RuntimeError(
+            f"khash sieve partial covers {n} rows but the check pass saw "
+            f"{expect_rows} — refusing inconsistent uniqueness evidence"
+        )
+    us = [np.frombuffer(b.as_py(), np.int64) for b in t["khash_uniq"]]
+    cs = [np.frombuffer(b.as_py(), np.int64) for b in t["khash_counts"]]
+    if us:
+        u0 = np.concatenate(us)
+        c0 = np.concatenate(cs)
+        order = np.argsort(u0, kind="stable")
+        u0, c0 = u0[order], c0[order]
+        starts = np.flatnonzero(np.r_[True, u0[1:] != u0[:-1]])
+        uniq = u0[starts]
+        counts = np.add.reduceat(c0, starts)
+    else:
+        uniq = np.array([], np.int64)
+        counts = np.array([], np.int64)
     np.savez(
         os.path.join(out_dir, "khash_partial.npz"),
         uniq=uniq,
         counts=counts.astype(np.int64),
-        n_rows=np.int64(len(h)),
+        n_rows=np.int64(n),
     )
 
 
@@ -992,58 +1045,6 @@ def _keyhash_partial_mode(files: list[str]) -> bool:
     except Exception:
         return False
     return est <= SIEVE_MAX_DRIVER_ROWS // 4
-
-
-def _khash_partial_via_scan(
-    files: list[str], uk: list[str], rb: dict, tmp_dir: str, stamps: dict
-) -> None:
-    """Build khash_partial.npz from a column-pruned input scan: per-block
-    np.unique partials stream back to the driver (≤ 16 B per DISTINCT key —
-    gated by _keyhash_partial_mode) and merge with one argsort+reduceat."""
-    import numpy as np
-    import ray.data as rd
-
-    from fdpg_query_data_validation_ray.stages.unique import key_hash
-
-    changed = [f for f, s in _file_stamps(files).items() if stamps.get(f) != s]
-    if changed:
-        raise RuntimeError(
-            f"input files changed mid-partition before keyhash pass: {changed}"
-        )
-
-    def block_partial(t: pa.Table) -> pa.Table:
-        kh = key_hash(t, uk).view(np.int64)
-        u, c = np.unique(kh, return_counts=True)
-        return pa.table({"uniq": pa.array(u), "counts": pa.array(c.astype(np.int64))})
-
-    us, cs = [], []
-    for b in (
-        rd.read_parquet(files, columns=uk, **rb)
-        .map_batches(block_partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-    ):
-        if b.num_rows:
-            us.append(b["uniq"].to_numpy())
-            cs.append(b["counts"].to_numpy())
-    if us:
-        u0 = np.concatenate(us)
-        c0 = np.concatenate(cs)
-        order = np.argsort(u0, kind="stable")
-        u0, c0 = u0[order], c0[order]
-        starts = np.flatnonzero(np.r_[True, u0[1:] != u0[:-1]])
-        uniq = u0[starts]
-        counts = np.add.reduceat(c0, starts)
-        n = int(c0.sum())
-    else:
-        uniq = np.array([], np.int64)
-        counts = np.array([], np.int64)
-        n = 0
-    np.savez(
-        os.path.join(tmp_dir, "khash_partial.npz"),
-        uniq=uniq,
-        counts=counts.astype(np.int64),
-        n_rows=np.int64(n),
-    )
 
 
 def _load_khash_partial(pdir: str):
@@ -1105,6 +1106,17 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
     # partition finished, pure Amdahl tail at high CPU counts). Partitions
     # without a consistent cached partial (legacy artifacts) are scanned on
     # the spot by a thread pool (parquet decode releases the GIL).
+    _tt = time.monotonic()
+
+    def _umark(label: str) -> None:
+        nonlocal _tt
+        now = time.monotonic()
+        if os.environ.get("QDV_TIMING"):
+            import sys as _sys
+
+            print(f"[qdv-timing] uniq.{label}: {now - _tt:.3f}s", file=_sys.stderr)
+        _tt = now
+
     part_uniq: dict[str, np.ndarray] = {}
     partials: list[tuple[np.ndarray, np.ndarray]] = []
     fallback_pids: list[str] = []
@@ -1129,6 +1141,7 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
         ]
         if chunks:
             partials.append(np.unique(np.concatenate(chunks), return_counts=True))
+    _umark("passA.load")
     if not partials:
         return []
     # candidate set only — pass B recounts candidates exactly from the
@@ -1140,6 +1153,7 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
     s = np.sort(np.concatenate([u for u, _ in partials]))
     cand_cross = s[:-1][s[1:] == s[:-1]] if len(s) > 1 else s[:0]
     cand = np.unique(np.concatenate(cand_within + [cand_cross]))
+    _umark("passA.merge")
     if len(cand) == 0:
         return []
 
@@ -1177,6 +1191,7 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
         )
         if p is not None
     ]
+    _umark(f"passB.scan({len(passb_pids)} pids)")
     if not picked_parts:
         return []
     picked = pa.concat_tables(picked_parts).combine_chunks()
