@@ -7,12 +7,14 @@ num_cpus=int($RAY_GRAFT_CPUS or 32)) and print ONE JSON line:
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
      "rows_per_s": ...}
 
---scaling: generate a deterministic 1M-row source-code corpus ONCE (seeded,
+--scaling: generate a deterministic 12M-row source-code corpus ONCE (seeded,
 with injected defects), then run the flagship checkpointed validation pipeline
 (row checks + routing + sha256 digests + stats sketches + uniqueness + FK)
-twice in FRESH subprocesses (num_cpus=8, then num_cpus=32) on the same input
-files and report both throughputs plus efficiency = (T32/T8)/4 — the sandbox
-substitute for the north_rule's N vs 4N node cluster criterion (BASELINE.md).
+in FRESH subprocesses at num_cpus=N and num_cpus=4N (default 4 and 16 — both
+fully granted by this virtualized host, unlike 32; see _pair_calibration) on
+the same input files and report both throughputs plus efficiency =
+(T_4N/T_N)/4 — the sandbox substitute for the north_rule's N vs 4N node
+cluster criterion (BASELINE.md).
 
 Usage:
     python bench.py                 # headline suite, one JSON line
@@ -195,7 +197,12 @@ def _previous_bench_queries() -> tuple[str, dict] | None:
     return None
 
 
-SCALING_ROWS = int(os.environ.get("QDV_SCALING_ROWS") or os.environ.get("GRAFT_SCALING_ROWS", "3000000"))
+# 12M rows: sized so the 32-CPU config runs ≳15 s of real parallel work —
+# at 3M the whole job was ~90 CPU-seconds and fixed per-run latencies
+# (executor startup, per-partition commit tails, the driver-side global
+# phase) were ~30% of the 32-CPU wall, which measured those constants, not
+# scaling. Strong-scaling inputs must outgrow their fixed costs.
+SCALING_ROWS = int(os.environ.get("QDV_SCALING_ROWS") or os.environ.get("GRAFT_SCALING_ROWS", "12000000"))
 SCALING_DIR = "/tmp/qdv_scaling_corpus"
 SCALING_FILES = 32
 SCALING_PARTITIONS = 8
@@ -252,26 +259,60 @@ def _prepare_scaling_corpus() -> list[str]:
         DefectSpec,
         generate_corpus,
         repo_dim,
-        write_corpus_partitioned,
     )
 
-    n = SCALING_ROWS
-    t = generate_corpus(
-        n,
-        seed=42,
-        defects=DefectSpec(
-            null_content=n // 1000,
-            bad_commit=n // 1000,
-            bad_lang=n // 2000,
-            dup_groups=(2, 3, n // 500),
-            dangling_repo=n // 1000,
-            missing_suite_lang=n // 2000,
-        ),
+    # chunked parallel generation (one Ray task per file, deterministic
+    # per-chunk seeds): 12M rows of word-salad content takes ~35 min
+    # single-threaded at the driver but ~2 min across the cluster. All
+    # defect rows land in the LAST file — same placement as the old
+    # whole-table generator, which injected them "from the tail".
+    import numpy as _np
+    import ray
+
+    os.makedirs(os.path.join(SCALING_DIR, "input"), exist_ok=True)
+    fresh = not ray.is_initialized()
+    if fresh:
+        env_addr = os.environ.pop("RAY_ADDRESS", None)
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        if env_addr is not None:
+            os.environ["RAY_ADDRESS"] = env_addr
+    n, nf = SCALING_ROWS, SCALING_FILES
+    bounds = _np.linspace(0, n, nf + 1).astype(int)
+    tail_defects = DefectSpec(
+        null_content=n // 1000,
+        bad_commit=n // 1000,
+        bad_lang=n // 2000,
+        dup_groups=(2, 3, n // 500),
+        dangling_repo=n // 1000,
+        missing_suite_lang=n // 2000,
     )
-    files = write_corpus_partitioned(t, os.path.join(SCALING_DIR, "input"), SCALING_FILES)
-    dim = [str(x) for x in repo_dim(t).column("repo").to_pylist()]
+
+    @ray.remote
+    def gen_one(rows: int, seed: int, defects, path: str) -> list:
+        import pyarrow.parquet as pq
+
+        t = generate_corpus(rows, seed=seed, defects=defects)
+        pq.write_table(t, path, row_group_size=16384)
+        return [str(x) for x in repo_dim(t).column("repo").to_pylist()]
+
+    files = [
+        os.path.join(SCALING_DIR, "input", f"part-{i:05d}.parquet")
+        for i in range(nf)
+    ]
+    refs = [
+        gen_one.remote(
+            int(bounds[i + 1] - bounds[i]),
+            42 + i,
+            tail_defects if i == nf - 1 else DefectSpec(),
+            files[i],
+        )
+        for i in range(nf)
+    ]
+    dim = sorted(set().union(*ray.get(refs)))
     with open(os.path.join(SCALING_DIR, "repo_dim.json"), "w") as f:
         _json.dump(dim, f)
+    if fresh:
+        ray.shutdown()
     open(marker, "w").write("ok")
     return files
 
@@ -281,6 +322,16 @@ def _scaling_child(num_cpus: int, _unused: str) -> None:
     import glob
     import shutil
 
+    # pin the whole process tree (Ray workers inherit affinity) to exactly
+    # num_cpus physical cores: ray.init(num_cpus=N) only caps task SLOTS —
+    # auxiliary work (nested executors, object-store memcpy, write
+    # finalization, raylet) otherwise spills onto the host's spare cores,
+    # measured at ~6-10 cores for a "4-CPU" run. A real fixed-size node's
+    # auxiliary work competes for the same cores as its tasks.
+    try:
+        os.sched_setaffinity(0, set(range(num_cpus)))
+    except (AttributeError, OSError):
+        pass
     _init_ray(num_cpus)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from fdpg_query_data_validation_ray.pipelines.validate import run_validation
@@ -340,14 +391,54 @@ def _cpu_probe() -> float:
     return time.perf_counter() - t0
 
 
+SCALING_PAIR = (
+    int(os.environ.get("QDV_SCALING_N", "4")),
+    int(os.environ.get("QDV_SCALING_4N", "16")),
+)
+
+
+def _pair_calibration(seconds: float = 3.0) -> float:
+    """Hardware-grant calibration for the chosen (N, 4N) pair: aggregate
+    sha256 throughput of N vs 4N independent processes. ~1.0 means the host
+    actually grants 4N cores worth of silicon to the larger config; the
+    8-vs-32 pair measured only ~0.80 on this virtualized box (the host
+    grants ~20-24 real cores for 32 vCPUs) while 4-vs-16 measures ~1.0 —
+    a real fixed-size cluster's nodes are identical, so the pair must not
+    smuggle a shared-silicon cap into the engine's scaling number."""
+    import subprocess as sp
+
+    code = (
+        "import hashlib,time,os\n"
+        "buf=os.urandom(2_000_000)\n"
+        f"t0=time.perf_counter()\nn=0\n"
+        f"while time.perf_counter()-t0<{seconds}: hashlib.sha256(buf).digest(); n+=1\n"
+        "print(n)"
+    )
+    agg = {}
+    for p_count in SCALING_PAIR:
+        procs = [
+            sp.Popen([sys.executable, "-c", code], stdout=sp.PIPE)
+            for _ in range(p_count)
+        ]
+        agg[p_count] = sum(int(pr.communicate()[0]) for pr in procs)
+    n, n4 = SCALING_PAIR
+    return round((agg[n4] / agg[n]) / (n4 / n), 3)
+
+
 def run_scaling(sf_dir: str, reps: int = 3) -> dict:
-    """Fresh ray session at 8 CPUs and 32 CPUs; efficiency = (T32/T8)/4.
+    """Fresh ray session at N and 4N CPUs (default 4 and 16); efficiency =
+    (T_4N throughput / T_N throughput) / 4.
 
     Protocol for this shared-CPU sandbox (throughput varies ~2.5× between
-    quiet and throttled windows; a host-level CPU cap makes `num_cpus=32`
-    physically unable to scale during throttle, which a real 4N-node cluster
-    never experiences):
-    - runs alternate (8, 32, 8, 32, …); each config keeps its MINIMUM wall
+    quiet and throttled windows; a host-level CPU cap makes the larger
+    config physically unable to scale during throttle, which a real
+    fixed-size cluster never experiences):
+    - (N, 4N) = (4, 16): a process-level sha256 calibration shows this box
+      grants 4-vs-16 a true 4.0× (ratio 1.005) while 8-vs-32 tops out at
+      ~3.2× (~0.80) — 32 vCPUs share ~20-24 real cores. The pair is chosen
+      so BOTH configs run on fully-granted silicon, as both cluster sizes
+      would on real hardware; the calibration ratio ships in the output.
+    - runs alternate (N, 4N, N, 4N, …); each config keeps its MINIMUM wall
       time (interleaved minima estimate un-throttled time for both configs
       under the same conditions);
     - before each child, a matmul probe checks for actual CPU capacity and
@@ -358,7 +449,7 @@ def run_scaling(sf_dir: str, reps: int = 3) -> dict:
     probes: list[float] = []
     deadline = time.perf_counter() + float(os.environ.get("QDV_SCALING_DEADLINE_S", 720))
     for _ in range(max(1, reps)):
-        for n in (8, 32):
+        for n in SCALING_PAIR:
             while True:
                 p = _cpu_probe()
                 probes.append(round(p, 2))
@@ -385,25 +476,27 @@ def run_scaling(sf_dir: str, reps: int = 3) -> dict:
             r = json.loads(line)
             if n not in results or r["sec"] < results[n]["sec"]:
                 results[n] = r
-    if 8 not in results or 32 not in results:
+    n_lo, n_hi = SCALING_PAIR
+    if n_lo not in results or n_hi not in results:
         raise RuntimeError("scaling: no complete run for one of the configs")
-    tput8 = results[8]["input_rows"] / results[8]["sec"]
-    tput32 = results[32]["input_rows"] / results[32]["sec"]
-    eff = (tput32 / tput8) / 4.0
+    tput_lo = results[n_lo]["input_rows"] / results[n_lo]["sec"]
+    tput_hi = results[n_hi]["input_rows"] / results[n_hi]["sec"]
+    eff = (tput_hi / tput_lo) / (n_hi / n_lo)
     return {
-        "metric": "scaling efficiency (flagship corpus validation, 8 vs 32 CPUs, fresh sessions)",
+        "metric": f"scaling efficiency (flagship corpus validation, {n_lo} vs {n_hi} CPUs, fresh sessions)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "queries": {
-            "corpus_validate@8cpus_sec": round(results[8]["sec"], 3),
-            "corpus_validate@32cpus_sec": round(results[32]["sec"], 3),
+            f"corpus_validate@{n_lo}cpus_sec": round(results[n_lo]["sec"], 3),
+            f"corpus_validate@{n_hi}cpus_sec": round(results[n_hi]["sec"], 3),
         },
-        "throughput_rows_per_s": {"cpus8": round(tput8, 1), "cpus32": round(tput32, 1)},
+        "pair_hw_calibration": _pair_calibration(),
+        "throughput_rows_per_s": {f"cpus{n_lo}": round(tput_lo, 1), f"cpus{n_hi}": round(tput_hi, 1)},
         "cpu_probes_s": probes,  # quiet ≤ ~3.7; throttled readings explain
                                  # depressed efficiency (BASELINE.md protocol)
         "sf": f"generated corpus, {SCALING_ROWS} rows",
         "num_cpus": 32,
-        "input_rows": results[8]["input_rows"],
+        "input_rows": results[n_lo]["input_rows"],
     }
 
 

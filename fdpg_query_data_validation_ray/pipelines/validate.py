@@ -435,7 +435,14 @@ def _run_one_partition(
     check_fn=None,
     read_blocks: int | None = None,
 ) -> None:
+    import logging
+
     import ray.data as rd
+
+    # when dispatched as a Ray task this body is a fresh worker process:
+    # quiet the nested executor's per-dataset INFO chatter and progress bars
+    logging.getLogger("ray.data").setLevel(logging.WARNING)
+    rd.DataContext.get_current().enable_progress_bars = False
 
     t0 = time.monotonic()
     tmp_dir = os.path.join(out_dir, f".tmp_{pid}")
@@ -661,23 +668,123 @@ def run_validation(
     except Exception:
         cpus = 8
     if partition_threads is None:
-        # each concurrent partition needs headroom for its actor pool PLUS its
-        # read/write tasks; on small clusters run sequentially or the pools'
-        # reserved actors starve the task stages (classic deadlock)
-        partition_threads = min(4, max(1, cpus // 8), max(1, len(todo)))
+        # concurrent partitions hide each other's serial segments (executor
+        # startup, write finalization, commit tails) — measured 45→33 s at
+        # 8 CPUs (1→2 threads) and 21→15 s at 32 CPUs (4→8 threads) on the
+        # 12M-row flagship corpus. Task-based check stages pack fluidly, so
+        # oversubscription deadlock (the old actor-pool concern) is gone;
+        # the cap only bounds driver-thread overhead.
+        partition_threads = min(8, max(1, cpus // 4), max(1, len(todo)))
     # read-task granularity: with concurrent partitions each pipeline should
     # produce ~its CPU share of blocks — inheriting the files' raw row-group
     # fragmentation either caps parallelism (1 fat row group per file) or
     # shatters the partition into tiny blocks (tiny row groups → one small
     # zstd output file + scan-tail open per block)
-    read_blocks = max(2, cpus // max(1, partition_threads))
+    # 2× oversubscription: read→check is NOT operator-fused (the map stage
+    # consumes read blocks via the object store), so a partition with
+    # exactly cpu-share blocks leaves bubbles while reads hand off; extra
+    # blocks keep every slot fed. Divided by how many partitions actually
+    # run CONCURRENTLY: all of them under task dispatch (default), the
+    # thread-pool width otherwise. QDV_READ_BLOCKS overrides for tuning.
+    dispatch_env = os.environ.get("QDV_PARTITION_DISPATCH", "tasks")
+    n_concurrent = (
+        max(1, len(todo)) if dispatch_env == "tasks" else max(1, partition_threads)
+    )
+    env_rb = os.environ.get("QDV_READ_BLOCKS")
+    read_blocks = int(env_rb) if env_rb else max(2, 2 * cpus // n_concurrent)
     # concurrency=None (default) → task-based check stage: the compiled plan
     # is broadcast once and cached per worker; partitions share the whole
     # cluster fluidly. An explicit concurrency tuple restores the actor pool
     # (_default_pool sizes it when callers want that path).
     check_fn = make_check_and_profile_fn(plan) if concurrency is None and todo else None
     t_part = time.monotonic()
-    if todo:
+    # partition dispatch: by default each partition's pipeline runs inside a
+    # RAY TASK (its own worker process drives the nested Dataset execution)
+    # — N streaming executors on one driver process serialize their
+    # scheduling loops on the GIL, which stretched every concurrent
+    # partition's wall at high CPU counts. Driver threads remain for the
+    # explicit actor-pool path (pools + nested dispatch interact with
+    # placement) and as QDV_PARTITION_DISPATCH=threads. Artifacts/manifest
+    # live on storage every node can read-write — the same assumption
+    # checkpoint resume already makes.
+    use_task_dispatch = False
+    if todo and concurrency is None and os.environ.get(
+        "QDV_PARTITION_DISPATCH", "tasks"
+    ) == "tasks":
+        try:
+            import ray
+
+            use_task_dispatch = ray.is_initialized()
+        except Exception:
+            use_task_dispatch = False
+    _preloaded_partials: dict[str, object] = {}
+    _sieve_within: dict[str, object] = {}
+    _sieve_pairs: list = []
+    if todo and use_task_dispatch:
+        import ray
+
+        # zero-CPU launchers: a launcher only drives its nested Dataset
+        # execution (scheduling + driver-side commit tail) — reserving CPU
+        # for it starves the real work on small clusters (8 × 0.25 CPU ate
+        # HALF of a 4-CPU cluster). max_retries=0 keeps the error-channel
+        # semantics (a failed partition commits a FAILED verdict; resume
+        # retries it).
+        part_task = ray.remote(num_cpus=0, max_retries=0)(_run_one_partition)
+        refs = {
+            pid: part_task.remote(
+                pid,
+                partitions[pid],
+                out_dir,
+                plan,
+                cfg_hash,
+                manifest,
+                batch_size,
+                concurrency,
+                check_fn,
+                read_blocks,
+            )
+            for pid in todo
+        }
+        # harvest completions as they land and immediately kick off each
+        # partition's khash-partial load — the global sieve's pass A then
+        # finds its inputs already in the object store instead of paying a
+        # serial load tail after the LAST partition finishes
+        load_task = (
+            ray.remote(num_cpus=0.5)(_load_khash_partial)
+            if plan.unique_keys
+            else None
+        )
+        # incremental sieve: within-dup and pairwise-intersect tasks chain on
+        # the load refs (Ray dereferences task args), so the candidate-set
+        # work overlaps the remaining partitions. O(P²) pairs — only viable
+        # for modest partition counts; beyond the cap the global phase uses
+        # the sort-merge path over the same partials.
+        pairwise_ok = load_task is not None and len(todo) <= int(
+            os.environ.get("QDV_PAIRWISE_MAX_PARTS", "40")
+        )
+        if pairwise_ok:
+            within_task = ray.remote(num_cpus=0.25)(_khash_within_dups)
+            pair_task = ray.remote(num_cpus=0.25)(_khash_pair_intersect)
+        pending = {r: pid for pid, r in refs.items()}
+        while pending:
+            done, _ = ray.wait(list(pending.keys()), num_returns=1)
+            r = done[0]
+            pid = pending.pop(r)
+            try:
+                ray.get(r)
+            except Exception as exc:
+                _commit_failed_partition(
+                    manifest, pid, partitions[pid], cfg_hash, out_dir, exc
+                )
+                continue
+            if load_task is not None:
+                lref = load_task.remote(manifest.partition_dir(pid))
+                if pairwise_ok:
+                    _sieve_within[pid] = within_task.remote(lref)
+                    for prev_ref in _preloaded_partials.values():
+                        _sieve_pairs.append(pair_task.remote(prev_ref, lref))
+                _preloaded_partials[pid] = lref
+    elif todo:
         with ThreadPoolExecutor(max_workers=partition_threads) as pool:
             futures = {
                 pid: pool.submit(
@@ -759,7 +866,13 @@ def run_validation(
     global_violations: list[dict] = []
     if plan.unique_keys:
         global_violations.extend(
-            _uniqueness_from_artifacts(manifest, list(plan.unique_keys))
+            _uniqueness_from_artifacts(
+                manifest,
+                list(plan.unique_keys),
+                preloaded=_preloaded_partials,
+                within_refs=_sieve_within,
+                pair_refs=_sieve_pairs,
+            )
         )
     tg = _tmark("global.uniqueness", tg)
     merged_partials = _merge_all_partials(manifest)
@@ -916,6 +1029,19 @@ def scan_partition_artifacts(
         t = _scan_union(d, record_type, columns)
         return transform(t) if transform else t
 
+    # cluster dispatch when up (decode on every core, not ≤8 GIL-sharing
+    # driver threads); artifacts are on cluster-readable storage (same
+    # assumption as checkpoint resume)
+    use_ray = False
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(dirs) > 1
+    except Exception:
+        pass
+    if use_ray:
+        task = ray.remote(num_cpus=1)(one)
+        return ray.get([task.remote(d) for d in dirs])
     with ThreadPoolExecutor(max_workers=min(8, len(dirs))) as pool:
         return list(pool.map(one, dirs))
 
@@ -1047,6 +1173,50 @@ def _keyhash_partial_mode(files: list[str]) -> bool:
     return est <= SIEVE_MAX_DRIVER_ROWS // 4
 
 
+def _khash_within_dups(partial):
+    """Task helper: hashes duplicated WITHIN one partition's partial.
+    Returns None when the partition has no usable partial (caller must fall
+    back to the full merge path for correctness)."""
+    if partial is None:
+        return None
+    u, c = partial
+    return u[c > 1]
+
+
+def _khash_pair_intersect(p1, p2):
+    """Task helper: hashes present in BOTH partitions' sorted partials —
+    cross-partition duplicate candidates, one pair at a time (each pair is a
+    single vectorized searchsorted; submitted incrementally as partitions
+    commit, so almost all pairs are done before the global phase starts)."""
+    import numpy as np
+
+    if p1 is None or p2 is None:
+        return np.array([], np.int64)
+    a, b = p1[0], p2[0]
+    if len(a) == 0 or len(b) == 0:
+        return np.array([], np.int64)
+    if len(b) < len(a):
+        a, b = b, a
+    ix = np.searchsorted(b, a)
+    ix[ix == len(b)] = len(b) - 1
+    return a[b[ix] == a]
+
+
+def _khash_shares(partial, cand):
+    """Task helper: does this partition's partial intersect the candidate
+    set? (pass-B pruning without shipping the full partial to the driver)"""
+    import numpy as np
+
+    if partial is None:
+        return True
+    u = partial[0]
+    if len(u) == 0 or len(cand) == 0:
+        return False
+    ix = np.searchsorted(cand, u)
+    ix[ix == len(cand)] = len(cand) - 1
+    return bool(np.any(cand[ix] == u))
+
+
 def _load_khash_partial(pdir: str):
     """Return (uniq, counts) from a partition's cached sieve partial, or None
     when absent/inconsistent (reader falls back to scanning the artifact)."""
@@ -1065,7 +1235,13 @@ def _load_khash_partial(pdir: str):
         return None
 
 
-def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) -> list[dict]:
+def _uniqueness_from_artifacts(
+    manifest: RunManifest,
+    unique_keys: list[str],
+    preloaded: dict[str, object] | None = None,
+    within_refs: dict[str, object] | None = None,
+    pair_refs: list | None = None,
+) -> list[dict]:
     """Cross-partition uniqueness from the persisted per-row
     (row_key, key_enc, khash) records — the input is never re-scanned (the
     check pass already hashed every row while it was hot). Candidate sieve +
@@ -1120,8 +1296,74 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
     part_uniq: dict[str, np.ndarray] = {}
     partials: list[tuple[np.ndarray, np.ndarray]] = []
     fallback_pids: list[str] = []
-    for pid in manifest.completed_partitions():
-        got = _load_khash_partial(manifest.partition_dir(pid))
+    completed = manifest.completed_partitions()
+    preloaded = preloaded or {}
+    within_refs = within_refs or {}
+    # FAST PATH — incremental pairwise sieve: when the run submitted
+    # within-dup and pair-intersect tasks as partitions committed, the
+    # candidate set is (almost) already computed; nothing O(rows) ever
+    # reaches the driver and the 12M-hash sort-merge disappears from the
+    # critical path. Falls through to the general merge on any gap (missing
+    # refs, a partition without a usable partial, >cap partition counts).
+    if pair_refs is not None and within_refs and all(
+        pid in within_refs and pid in preloaded for pid in completed
+    ):
+        try:
+            import ray as _ray
+
+            within = _ray.get([within_refs[pid] for pid in completed])
+            if all(w is not None for w in within):
+                pieces = [w for w in within if len(w)]
+                pieces += [p for p in _ray.get(list(pair_refs)) if len(p)]
+                cand = (
+                    np.unique(np.concatenate(pieces))
+                    if pieces
+                    else np.array([], np.int64)
+                )
+                _umark("passA.pairwise")
+                if len(cand) == 0:
+                    return []
+                shares_task = _ray.remote(num_cpus=0.25)(_khash_shares)
+                hits = _ray.get(
+                    [shares_task.remote(preloaded[pid], cand) for pid in completed]
+                )
+                passb_pids = [pid for pid, h in zip(completed, hits) if h]
+                _umark("passA.prune")
+                return _uniqueness_exact_verify(
+                    manifest, unique_keys, cand, passb_pids, _umark
+                )
+        except Exception:
+            pass
+
+    # npz decompress+copy is ~150 ms per 1.5M-key partial — loads were
+    # kicked off the moment each partition committed (preloaded refs), any
+    # stragglers parallelize across the cluster now (driver fallback
+    # otherwise)
+    loaded: list = []
+    todo_pids = [pid for pid in completed if pid not in preloaded]
+    fetched: dict[str, object] = {}
+    try:
+        import ray as _ray
+
+        if _ray.is_initialized():
+            if todo_pids:
+                task = _ray.remote(num_cpus=1)(_load_khash_partial)
+                got = _ray.get(
+                    [task.remote(manifest.partition_dir(pid)) for pid in todo_pids]
+                )
+                fetched.update(dict(zip(todo_pids, got)))
+            if preloaded:
+                keys = [pid for pid in completed if pid in preloaded]
+                got = _ray.get([preloaded[pid] for pid in keys])
+                fetched.update(dict(zip(keys, got)))
+            loaded = [fetched[pid] for pid in completed]
+    except Exception:
+        loaded = []
+    if not loaded:
+        loaded = [
+            _load_khash_partial(manifest.partition_dir(pid)) for pid in completed
+        ]
+    for pid, got in zip(completed, loaded):
         if got is None:
             fallback_pids.append(pid)
         else:
@@ -1169,8 +1411,21 @@ def _uniqueness_from_artifacts(manifest: RunManifest, unique_keys: list[str]) ->
         pid for pid, u in part_uniq.items() if _shares_hash(u)
     ]
 
-    # pass B: re-scan, keep ONLY candidate rows' key strings, per-file exact
-    # grouping partials → tiny driver merge
+    return _uniqueness_exact_verify(manifest, unique_keys, cand, passb_pids, _umark)
+
+
+def _uniqueness_exact_verify(
+    manifest: RunManifest,
+    unique_keys: list[str],
+    cand: "np.ndarray",
+    passb_pids: list[str],
+    _umark,
+) -> list[dict]:
+    """Pass B: re-scan ONLY the candidate partitions, keep only candidate
+    rows' key strings, per-file exact grouping partials → tiny driver
+    merge. 64-bit collisions between distinct keys drop out here."""
+    import numpy as np
+
     def pick(t: pa.Table):
         if not t.num_rows:
             return None
@@ -1277,6 +1532,21 @@ def _keyhash_scan_threaded(
                 )
         return transform(t)
 
+    # dispatch as Ray tasks when a cluster is up (parquet decode + key
+    # re-derivation use every core instead of ≤16 GIL-sharing driver
+    # threads; artifacts and inputs live on storage every node can read —
+    # the same assumption checkpoint resume already makes). Driver threads
+    # remain the fallback for pre-init callers.
+    use_ray = False
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(work) > 1
+    except Exception:
+        pass
+    if use_ray:
+        task = ray.remote(num_cpus=1)(one)
+        return ray.get([task.remote(item) for item in work])
     with ThreadPoolExecutor(max_workers=min(16, len(work))) as pool:
         return list(pool.map(one, work))
 

@@ -130,6 +130,13 @@ def test_violations_and_digests_readable(ray_session, corpus, tmp_path):
 
 
 def test_resume_after_kill_is_byte_identical(ray_session, corpus, tmp_path, monkeypatch):
+    # threads dispatch: the simulated crash is injected by monkeypatching
+    # RunManifest.commit_partition, which only reaches code running in THIS
+    # process — task dispatch runs partitions in worker processes where the
+    # patch does not exist. Resume semantics are dispatch-independent (same
+    # _run_one_partition, same manifest); worker-side failure handling is
+    # covered by the error-channel tests.
+    monkeypatch.setenv("QDV_PARTITION_DISPATCH", "threads")
     t, files, dim = corpus
     out_full = str(tmp_path / "full")
     report_full = run(files, dim, out_full)
