@@ -58,6 +58,29 @@ def dedup_issues(violation_rows) -> list[dict]:
     return out
 
 
+def merge_deduped_issues(parts: list[list[dict]]) -> list[dict]:
+    """Merge per-partition dedup_issues partials into the exact global
+    result: counts add, and because each partial keeps its SORTED first
+    MAX_SAMPLE_KEYS row keys, the global sorted-first-K is a subset of the
+    union of the partials' — byte-identical to dedup_issues over all rows."""
+    groups: dict[tuple, dict] = {}
+    for part in parts:
+        for g in part:
+            key = (g["rule_id"], g["severity"], g["location"], g["diagnostics"])
+            acc = groups.get(key)
+            if acc is None:
+                groups[key] = dict(g, sample_row_keys=list(g["sample_row_keys"]))
+            else:
+                acc["count"] += g["count"]
+                acc["sample_row_keys"].extend(g["sample_row_keys"])
+    out = []
+    for g in groups.values():
+        g["sample_row_keys"] = sorted(g["sample_row_keys"])[:MAX_SAMPLE_KEYS]
+        out.append(g)
+    out.sort(key=lambda g: (SEVERITY_RANK[g["severity"]], g["rule_id"], g["location"]))
+    return out
+
+
 def distribution_by_system(
     merged_partials: dict[str, ColumnPartial], code_systems: dict
 ) -> dict:
@@ -116,16 +139,16 @@ def build_report(
             "lineage": v["lineage"],
         }
 
-    per_row: list[dict] = []
-    for rows in scan_partition_artifacts(
+    # per-partition pre-dedup INSIDE the scan tasks (counts + sorted first-K
+    # samples are exactly mergeable), so the driver merges a few groups per
+    # partition instead of deserializing every violation row
+    parts = scan_partition_artifacts(
         manifest,
         "violation",
         ["rule_id", "severity", "location", "diagnostics", "row_key"],
-        transform=lambda t: t.to_pylist(),
-    ):
-        per_row.extend(rows)
-    all_rows = per_row + list(global_violations)
-    issues = dedup_issues(all_rows)
+        transform=lambda t: dedup_issues(t.to_pylist()),
+    )
+    issues = merge_deduped_issues(parts + [dedup_issues(list(global_violations))])
 
     general = [g for g in issues if g["severity"] == "warning"]
     error_channel = [g for g in issues if g["rule_id"].startswith("error:")]

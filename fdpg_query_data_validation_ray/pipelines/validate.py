@@ -691,7 +691,7 @@ def run_validation(
         max(1, len(todo)) if dispatch_env == "tasks" else max(1, partition_threads)
     )
     env_rb = os.environ.get("QDV_READ_BLOCKS")
-    read_blocks = int(env_rb) if env_rb else max(2, 2 * cpus // n_concurrent)
+    read_blocks = int(env_rb) if env_rb else max(2, 4 * cpus // n_concurrent)
     # concurrency=None (default) → task-based check stage: the compiled plan
     # is broadcast once and cached per worker; partitions share the whole
     # cluster fluidly. An explicit concurrency tuple restores the actor pool
@@ -1435,6 +1435,21 @@ def _uniqueness_exact_verify(
         part = t.filter(pa.array(cand[ix] == kh))
         if not part.num_rows:
             return None
+        if "key_enc" not in part.column_names and "row_key" not in part.column_names:
+            # input re-read path defers encoding: build key_enc for only the
+            # surviving candidate rows
+            from fdpg_query_data_validation_ray.stages.row_checks import (
+                key_encode_array,
+            )
+
+            part = pa.table(
+                {
+                    "key_enc": pc.cast(
+                        key_encode_array(part, tuple(unique_keys)), pa.string()
+                    ),
+                    "khash": part["khash"],
+                }
+            )
         gk = _grouping_key(part)
         return gk.group_by(["gkey"]).aggregate([([], "count_all"), ("genc", "max")])
 
@@ -1513,9 +1528,18 @@ def _keyhash_scan_threaded(
                         f"input file changed since its partition was checked; "
                         f"uniqueness cannot be verified from a re-read: {f}"
                     )
-            t = _keyrec_table(
-                pq.read_table(f, columns=list(unique_keys)), list(unique_keys)
-            ).select(columns)
+            from fdpg_query_data_validation_ray.stages.unique import key_hash
+
+            tbl = pq.read_table(f, columns=list(unique_keys))
+            kh = pa.array(key_hash(tbl, list(unique_keys)).view(np.int64))
+            if columns == ["khash"]:
+                t = pa.table({"khash": kh})
+            else:
+                # key_enc is DEFERRED: the consumer filters by khash first
+                # and encodes only the few surviving candidate rows — the
+                # length-prefixed string build over every row was the bulk
+                # of the re-read cost
+                t = tbl.append_column("khash", kh)
         else:
             # legacy union artifacts: also read row_key so _grouping_key can
             # fall back when key_enc is null/absent (round-1 schema)
