@@ -121,6 +121,7 @@ def build_report(
     global_violations: list[dict],
     config_hash: str,
     code_systems: dict | None = None,
+    violation_partials: dict[str, object] | None = None,
 ) -> dict:
 
     from fdpg_query_data_validation_ray.pipelines.validate import (
@@ -139,15 +140,27 @@ def build_report(
             "lineage": v["lineage"],
         }
 
-    # per-partition pre-dedup INSIDE the scan tasks (counts + sorted first-K
+    # per-partition pre-dedup INSIDE scan tasks (counts + sorted first-K
     # samples are exactly mergeable), so the driver merges a few groups per
-    # partition instead of deserializing every violation row
-    parts = scan_partition_artifacts(
-        manifest,
-        "violation",
-        ["rule_id", "severity", "location", "diagnostics", "row_key"],
-        transform=lambda t: dedup_issues(t.to_pylist()),
-    )
+    # partition instead of deserializing every violation row. When the run
+    # kicked those tasks off incrementally at each partition's commit
+    # (violation_partials refs covering every completed pid), the scans are
+    # already done by now; otherwise scan on demand.
+    parts = None
+    if violation_partials and all(pid in violation_partials for pid in pids):
+        try:
+            import ray
+
+            parts = ray.get([violation_partials[pid] for pid in pids])
+        except Exception:
+            parts = None
+    if parts is None:
+        parts = scan_partition_artifacts(
+            manifest,
+            "violation",
+            ["rule_id", "severity", "location", "diagnostics", "row_key"],
+            transform=lambda t: dedup_issues(t.to_pylist()),
+        )
     issues = merge_deduped_issues(parts + [dedup_issues(list(global_violations))])
 
     general = [g for g in issues if g["severity"] == "warning"]

@@ -577,7 +577,14 @@ def _run_one_partition(
     if plan.unique_keys:
         try:
             _khash_partial_from_union(
-                os.path.join(tmp_dir, "combined"), tmp_dir, expect_rows=rows_checked
+                os.path.join(tmp_dir, "combined"),
+                tmp_dir,
+                expect_rows=rows_checked,
+                # partial mode: also resolve within-partition duplicate
+                # groups NOW (pruned page-hot re-read, parallel phase) so the
+                # global verify re-reads only cross-partition candidates
+                input_files=files if use_partial else None,
+                unique_keys=list(plan.unique_keys) if use_partial else None,
             )
         except Exception:
             if use_partial:
@@ -720,6 +727,7 @@ def run_validation(
     _preloaded_partials: dict[str, object] = {}
     _sieve_within: dict[str, object] = {}
     _sieve_pairs: list = []
+    _report_partials: dict[str, object] = {}
     if todo and use_task_dispatch:
         import ray
 
@@ -765,6 +773,7 @@ def run_validation(
         if pairwise_ok:
             within_task = ray.remote(num_cpus=0.25)(_khash_within_dups)
             pair_task = ray.remote(num_cpus=0.25)(_khash_pair_intersect)
+        viol_task = ray.remote(num_cpus=0.5)(_violation_dedup_partial)
         pending = {r: pid for pid, r in refs.items()}
         while pending:
             done, _ = ray.wait(list(pending.keys()), num_returns=1)
@@ -784,6 +793,9 @@ def run_validation(
                     for prev_ref in _preloaded_partials.values():
                         _sieve_pairs.append(pair_task.remote(prev_ref, lref))
                 _preloaded_partials[pid] = lref
+            _report_partials[pid] = viol_task.remote(
+                os.path.join(manifest.partition_dir(pid), "combined")
+            )
     elif todo:
         with ThreadPoolExecutor(max_workers=partition_threads) as pool:
             futures = {
@@ -892,6 +904,7 @@ def run_validation(
     report = build_report(
         manifest, merged_partials, global_violations, cfg_hash,
         code_systems=plan.code_systems,
+        violation_partials=_report_partials,
     )
     tg = _tmark("global.build_report", tg)
     RunManifest._atomic_json(report_path, report)
@@ -1111,13 +1124,26 @@ def _uniqueness_violation_rows(g: pa.Table, unique_keys: list[str]) -> list[dict
     ]
 
 
-def _khash_partial_from_union(combined_dir: str, out_dir: str, expect_rows: int) -> None:
+def _khash_partial_from_union(
+    combined_dir: str,
+    out_dir: str,
+    expect_rows: int,
+    input_files: list[str] | None = None,
+    unique_keys: list[str] | None = None,
+) -> None:
     """Collapse the check pass's per-batch khashagg rows to ONE (sorted
     unique khash, count) partial and persist it as khash_partial.npz
     (committed atomically with the partition — written into the pre-commit
     tmp dir). Coverage is validated against the partition's checked row
     count BEFORE anything is persisted: a partial that does not account for
-    every row must not exist (pass A would silently under-count with it)."""
+    every row must not exist (pass A would silently under-count with it).
+
+    When input_files/unique_keys are given, hashes duplicated WITHIN this
+    partition are also resolved to exact (gkey, count) aggregates right here
+    — a pruned re-read while the files are page-hot, inside the PARALLEL
+    partition phase — and stored as the wd_* sidecar arrays, so the global
+    phase only re-reads partitions for genuinely CROSS-partition
+    candidates."""
     import numpy as np
 
     t = _scan_union(
@@ -1142,11 +1168,74 @@ def _khash_partial_from_union(combined_dir: str, out_dir: str, expect_rows: int)
     else:
         uniq = np.array([], np.int64)
         counts = np.array([], np.int64)
+    wd_gkey = np.array([], dtype=np.str_)
+    wd_count = np.array([], np.int64)
+    wd_khash = np.array([], np.int64)
+    have_sidecar = input_files is not None and unique_keys is not None
+    if have_sidecar:
+        wd = uniq[counts > 1]
+        if len(wd):
+            g = _aggregate_candidate_keys(input_files, list(unique_keys), wd)
+            if g is not None and g.num_rows:
+                wd_gkey = np.array(g["gkey"].to_pylist(), dtype=np.str_)
+                wd_count = g["count_all"].to_numpy().astype(np.int64)
+                wd_khash = g["khash"].to_numpy().astype(np.int64)
     np.savez(
         os.path.join(out_dir, "khash_partial.npz"),
         uniq=uniq,
         counts=counts.astype(np.int64),
         n_rows=np.int64(n),
+        has_sidecar=np.bool_(have_sidecar),
+        wd_gkey=wd_gkey,
+        wd_count=wd_count,
+        wd_khash=wd_khash,
+    )
+
+
+def _aggregate_candidate_keys(
+    files: list[str], unique_keys: list[str], cand: "np.ndarray"
+) -> pa.Table | None:
+    """Exact (gkey, count_all, khash) aggregates for rows whose key hash is
+    in sorted `cand`, from a pruned read of the given input files. key_enc
+    is built only for surviving rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from fdpg_query_data_validation_ray.stages.row_checks import key_encode_array
+    from fdpg_query_data_validation_ray.stages.unique import key_hash
+
+    def one(f: str):
+        tbl = pq.read_table(f, columns=unique_keys)
+        if not tbl.num_rows:
+            return None
+        kh = key_hash(tbl, unique_keys).view(np.int64)
+        ix = np.searchsorted(cand, kh)
+        ix[ix == len(cand)] = 0
+        mask = cand[ix] == kh
+        if not mask.any():
+            return None
+        part = tbl.filter(pa.array(mask))
+        return pa.table(
+            {
+                "gkey": pc.cast(
+                    key_encode_array(part, tuple(unique_keys)), pa.string()
+                ),
+                "khash": pa.array(kh[mask]),
+            }
+        )
+
+    # parquet decode releases the GIL; this runs inside one partition's
+    # launcher so a small pool keeps the pruned re-read off its critical path
+    with ThreadPoolExecutor(max_workers=min(4, len(files))) as pool:
+        parts = [p for p in pool.map(one, files) if p is not None]
+    if not parts:
+        return None
+    allt = pa.concat_tables(parts).combine_chunks()
+    g = allt.group_by(["gkey"]).aggregate([([], "count_all"), ("khash", "max")])
+    return g.select(["gkey", "count_all", "khash_max"]).rename_columns(
+        ["gkey", "count_all", "khash"]
     )
 
 
@@ -1173,13 +1262,27 @@ def _keyhash_partial_mode(files: list[str]) -> bool:
     return est <= SIEVE_MAX_DRIVER_ROWS // 4
 
 
+REPORT_VIOLATION_COLUMNS = ["rule_id", "severity", "location", "diagnostics", "row_key"]
+
+
+def _violation_dedup_partial(combined_dir: str) -> list[dict]:
+    """Task helper: one partition's violations pre-deduped to IssueSet
+    partials (counts + sorted first-K samples — exactly mergeable). Kicked
+    off the moment the partition commits so the report build finds its
+    inputs ready."""
+    from fdpg_query_data_validation_ray.pipelines.report import dedup_issues
+
+    t = _scan_union(combined_dir, "violation", REPORT_VIOLATION_COLUMNS)
+    return dedup_issues(t.to_pylist())
+
+
 def _khash_within_dups(partial):
     """Task helper: hashes duplicated WITHIN one partition's partial.
     Returns None when the partition has no usable partial (caller must fall
     back to the full merge path for correctness)."""
     if partial is None:
         return None
-    u, c = partial
+    u, c = partial[0], partial[1]
     return u[c > 1]
 
 
@@ -1218,8 +1321,11 @@ def _khash_shares(partial, cand):
 
 
 def _load_khash_partial(pdir: str):
-    """Return (uniq, counts) from a partition's cached sieve partial, or None
-    when absent/inconsistent (reader falls back to scanning the artifact)."""
+    """Return (uniq, counts, sidecar) from a partition's cached sieve
+    partial, or None when absent/inconsistent (reader falls back to scanning
+    the artifact). sidecar = (gkey strings, counts, khashes) of rows whose
+    hash duplicates WITHIN this partition — already exactly resolved — or
+    None when the partial predates sidecars."""
     import numpy as np
 
     p = os.path.join(pdir, "khash_partial.npz")
@@ -1230,9 +1336,21 @@ def _load_khash_partial(pdir: str):
         uniq, counts = z["uniq"], z["counts"]
         if int(counts.sum()) != int(z["n_rows"]):
             return None
-        return uniq, counts
+        sidecar = None
+        if "has_sidecar" in z.files and bool(z["has_sidecar"]):
+            sidecar = (z["wd_gkey"], z["wd_count"], z["wd_khash"])
+        return uniq, counts, sidecar
     except Exception:
         return None
+
+
+def _khash_sidecar(partial):
+    """Task helper: extract the (small) within-dup sidecar without shipping
+    the full hash arrays to the driver. None → caller must keep the full
+    candidate set for pass B."""
+    if partial is None or len(partial) < 3:
+        return None
+    return partial[2]
 
 
 def _uniqueness_from_artifacts(
@@ -1313,25 +1431,82 @@ def _uniqueness_from_artifacts(
 
             within = _ray.get([within_refs[pid] for pid in completed])
             if all(w is not None for w in within):
-                pieces = [w for w in within if len(w)]
-                pieces += [p for p in _ray.get(list(pair_refs)) if len(p)]
-                cand = (
-                    np.unique(np.concatenate(pieces))
-                    if pieces
+                pair_vals = [p for p in _ray.get(list(pair_refs)) if len(p)]
+                cross = (
+                    np.unique(np.concatenate(pair_vals))
+                    if pair_vals
                     else np.array([], np.int64)
                 )
+                within_pieces = [w for w in within if len(w)]
+                within_all = (
+                    np.unique(np.concatenate(within_pieces))
+                    if within_pieces
+                    else np.array([], np.int64)
+                )
+                cand = np.union1d(within_all, cross)
                 _umark("passA.pairwise")
                 if len(cand) == 0:
                     return []
-                shares_task = _ray.remote(num_cpus=0.25)(_khash_shares)
-                hits = _ray.get(
-                    [shares_task.remote(preloaded[pid], cand) for pid in completed]
+                # within-partition duplicate groups were exactly resolved at
+                # commit time (sidecars); pass B then only re-reads
+                # partitions holding a genuinely CROSS-partition candidate.
+                # Any partition without a sidecar → full candidate set.
+                sidecar_task = _ray.remote(num_cpus=0.25)(_khash_sidecar)
+                sidecars = _ray.get(
+                    [sidecar_task.remote(preloaded[pid]) for pid in completed]
                 )
-                passb_pids = [pid for pid, h in zip(completed, hits) if h]
-                _umark("passA.prune")
-                return _uniqueness_exact_verify(
-                    manifest, unique_keys, cand, passb_pids, _umark
-                )
+                g_parts: list[pa.Table] = []
+                passb_cand = cand
+                if all(s is not None for s in sidecars):
+                    passb_cand = cross
+                    for gkeys, cnts, khs in sidecars:
+                        if len(gkeys) == 0:
+                            continue
+                        khs = np.asarray(khs, np.int64)
+                        if len(cross):
+                            ix = np.searchsorted(cross, khs)
+                            ix[ix == len(cross)] = len(cross) - 1
+                            keep = cross[ix] != khs
+                        else:
+                            keep = np.ones(len(khs), bool)
+                        keep &= np.asarray(cnts, np.int64) > 1
+                        if not keep.any():
+                            continue
+                        g_parts.append(
+                            pa.table(
+                                {
+                                    "gkey": pa.array(
+                                        [str(x) for x in np.asarray(gkeys)[keep]],
+                                        pa.string(),
+                                    ),
+                                    "count_all": pa.array(
+                                        np.asarray(cnts, np.int64)[keep]
+                                    ),
+                                    "genc": pa.array(
+                                        np.ones(int(keep.sum()), np.int8)
+                                    ),
+                                }
+                            )
+                        )
+                if len(passb_cand):
+                    shares_task = _ray.remote(num_cpus=0.25)(_khash_shares)
+                    hits = _ray.get(
+                        [
+                            shares_task.remote(preloaded[pid], passb_cand)
+                            for pid in completed
+                        ]
+                    )
+                    passb_pids = [pid for pid, h in zip(completed, hits) if h]
+                    _umark("passA.prune")
+                    g_pb = _uniqueness_passb_agg(
+                        manifest, unique_keys, passb_cand, passb_pids, _umark
+                    )
+                    if g_pb is not None and g_pb.num_rows:
+                        g_parts.append(g_pb)
+                if not g_parts:
+                    return []
+                g_all = pa.concat_tables(g_parts).combine_chunks()
+                return _uniqueness_violation_rows(g_all, unique_keys)
         except Exception:
             pass
 
@@ -1382,7 +1557,8 @@ def _uniqueness_from_artifacts(
             if len(c)
         ]
         if chunks:
-            partials.append(np.unique(np.concatenate(chunks), return_counts=True))
+            u_fb, c_fb = np.unique(np.concatenate(chunks), return_counts=True)
+            partials.append((u_fb, c_fb, None))
     _umark("passA.load")
     if not partials:
         return []
@@ -1391,8 +1567,8 @@ def _uniqueness_from_artifacts(
     # candidate iff duplicated WITHIN one partial (count>1) or present in
     # ≥2 partials (adjacent equal after a value sort — np.sort on int64 is
     # ~20x cheaper than the argsort/np.unique gather path at these sizes)
-    cand_within = [u[c > 1] for u, c in partials]
-    s = np.sort(np.concatenate([u for u, _ in partials]))
+    cand_within = [p[0][p[1] > 1] for p in partials]
+    s = np.sort(np.concatenate([p[0] for p in partials]))
     cand_cross = s[:-1][s[1:] == s[:-1]] if len(s) > 1 else s[:0]
     cand = np.unique(np.concatenate(cand_within + [cand_cross]))
     _umark("passA.merge")
@@ -1421,9 +1597,23 @@ def _uniqueness_exact_verify(
     passb_pids: list[str],
     _umark,
 ) -> list[dict]:
+    g = _uniqueness_passb_agg(manifest, unique_keys, cand, passb_pids, _umark)
+    if g is None or not g.num_rows:
+        return []
+    return _uniqueness_violation_rows(g, unique_keys)
+
+
+def _uniqueness_passb_agg(
+    manifest: RunManifest,
+    unique_keys: list[str],
+    cand: "np.ndarray",
+    passb_pids: list[str],
+    _umark,
+):
     """Pass B: re-scan ONLY the candidate partitions, keep only candidate
     rows' key strings, per-file exact grouping partials → tiny driver
-    merge. 64-bit collisions between distinct keys drop out here."""
+    merge. 64-bit collisions between distinct keys drop out here. Returns a
+    (gkey, count_all, genc) table of groups with count > 1, or None."""
     import numpy as np
 
     def pick(t: pa.Table):
@@ -1463,15 +1653,14 @@ def _uniqueness_exact_verify(
     ]
     _umark(f"passB.scan({len(passb_pids)} pids)")
     if not picked_parts:
-        return []
+        return None
     picked = pa.concat_tables(picked_parts).combine_chunks()
     g = picked.group_by(["gkey"]).aggregate(
         [("count_all", "sum"), ("genc_max", "max")]
     )
-    g = g.filter(pc.greater(g["count_all_sum"], 1)).rename_columns(
+    return g.filter(pc.greater(g["count_all_sum"], 1)).rename_columns(
         ["gkey", "count_all", "genc"]
     )
-    return _uniqueness_violation_rows(g, unique_keys)
 
 
 def _keyhash_scan_threaded(

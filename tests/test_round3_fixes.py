@@ -172,3 +172,62 @@ def test_file_stamps_detect_change(tmp_path):
     assert s1 != s2
     os.utime(f, ns=(1, 1))
     assert _file_stamps([str(f)]) != s2
+
+
+def test_uniqueness_sidecar_within_and_cross_partition(ray_session, tmp_path, monkeypatch):
+    """Within-partition dup groups resolve from commit-time sidecars; cross-
+    partition candidates go through pass B's input re-read — and the merged
+    report is byte-identical to the threads-dispatch (sort-merge) path."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    import fdpg_query_data_validation_ray as qdv
+    from fdpg_query_data_validation_ray.pipelines.validate import (
+        ValidationPlan,
+        run_validation,
+    )
+
+    def mk(rows):
+        return pa.table(
+            {
+                "repo": pa.array([r[0] for r in rows]),
+                "path": pa.array([r[1] for r in rows]),
+                "commit": pa.array(["a" * 40] * len(rows)),
+                "lang": pa.array(["python"] * len(rows)),
+                "content": pa.array(["x = 1\n"] * len(rows)),
+            }
+        )
+
+    filler = [(f"org/r{i}", f"src/f{i}.py") for i in range(6)]
+    # file0: key X twice (within-partition dup); file1: key Y once;
+    # file2: key Z three times (within); file3: key Y again (cross-partition)
+    tables = [
+        mk([("org/x", "dup.py"), ("org/x", "dup.py")] + filler[:2]),
+        mk([("org/y", "cross.py")] + filler[2:4]),
+        mk([("org/z", "tri.py")] * 3),
+        mk([("org/y", "cross.py")] + filler[4:]),
+    ]
+    files = []
+    for i, t in enumerate(tables):
+        p = str(tmp_path / f"part-{i}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+
+    suite = qdv.Suite(
+        "code", [qdv.not_null("content")], key_columns=["repo", "path", "commit"]
+    )
+    plan = ValidationPlan(suite=suite, unique_keys=["repo", "path", "commit"])
+
+    rep_tasks = run_validation(files, str(tmp_path / "t"), plan, num_partitions=4)
+    monkeypatch.setenv("QDV_PARTITION_DISPATCH", "threads")
+    rep_threads = run_validation(files, str(tmp_path / "th"), plan, num_partitions=4)
+    monkeypatch.delenv("QDV_PARTITION_DISPATCH")
+
+    uniq = [g for g in rep_tasks["validation"] if g["rule_id"].startswith("unique(")]
+    assert len(uniq) == 1 and uniq[0]["count"] == 3  # X, Y, Z groups
+    keys = " ".join(uniq[0]["sample_row_keys"])
+    assert "org/x|dup.py" in keys and "org/y|cross.py" in keys and "org/z|tri.py" in keys
+    assert json.dumps(rep_tasks, sort_keys=True) == json.dumps(
+        rep_threads, sort_keys=True
+    )
