@@ -1954,8 +1954,33 @@ def _uniqueness_from_artifacts_distributed(
 
 
 def finalize_partials(partials: list[ColumnPartial]) -> dict[str, ColumnPartial]:
+    """Merge per-batch partials per column in a CONTENT-derived order: the
+    KLL merge result depends on merge order, and the natural artifact-scan
+    order follows Ray's per-run write UUID file names — sorting by a content
+    key removes file naming as a nondeterminism source, so quantiles_approx
+    is stable whenever the batch split is too (it remains a rank-error-
+    bounded approximation that varies with the split, per the report
+    contract; resumes reuse persisted partials and stay byte-identical)."""
+
+    def content_key(p: ColumnPartial):
+        return (
+            p.column,
+            p.n_rows,
+            p.n_nulls,
+            repr(p.sum_num),
+            repr(p.sum_sq),
+            repr(p.min_num),
+            repr(p.max_num),
+            repr(p.min_str),
+            repr(p.max_str),
+            hashlib.sha256(p.kll.to_bytes() + p.hll.to_bytes()).hexdigest(),
+            json.dumps(
+                sorted(p.cat_counts.items()) if p.cat_counts is not None else None
+            ),
+        )
+
     by_col: dict[str, ColumnPartial] = {}
-    for p in partials:
+    for p in sorted(partials, key=content_key):
         if p.column in by_col:
             by_col[p.column].merge(p)
         else:
