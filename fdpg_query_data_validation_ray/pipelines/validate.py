@@ -374,13 +374,46 @@ def decode_key_display(enc: str) -> str:
     return "|".join(parts)
 
 
-def _plan_partitions(files: list[str], num_partitions: int) -> dict[str, list[str]]:
+def _plan_partitions(
+    files: list[str], num_partitions: int, pid_offset: int = 0
+) -> dict[str, list[str]]:
     files = sorted(files)
     num_partitions = max(1, min(num_partitions, len(files)))
-    out: dict[str, list[str]] = {f"p{i:05d}": [] for i in range(num_partitions)}
+    out: dict[str, list[str]] = {
+        f"p{i + pid_offset:05d}": [] for i in range(num_partitions)
+    }
     for i, f in enumerate(files):
-        out[f"p{i % num_partitions:05d}"].append(f)
+        out[f"p{(i % num_partitions) + pid_offset:05d}"].append(f)
     return out
+
+
+def _plan_append(
+    old: dict, input_files: list[str], num_partitions: int
+) -> dict[str, list[str]]:
+    """Append-mode plan: existing partitions keep their exact file lists and
+    committed verdicts; files not in the old input set become NEW partitions
+    (numbered after the old ones, same files-per-partition density). Removed
+    files are refused — a shrunk input would silently keep validating rows
+    that no longer exist in the corpus."""
+    import math
+
+    old_parts: dict[str, list[str]] = old.get("partitions", {})
+    old_files = {f for fl in old_parts.values() for f in fl}
+    new_files = sorted(set(input_files) - old_files)
+    removed = sorted(old_files - set(input_files))
+    if removed:
+        raise ValueError(
+            f"append with {len(removed)} input file(s) removed (e.g. "
+            f"{removed[0]}) — delete the output dir to start fresh"
+        )
+    plan = {pid: list(fl) for pid, fl in old_parts.items()}
+    if new_files:
+        per_part = max(
+            1, math.ceil(max(1, len(old_files)) / max(1, len(old_parts)))
+        )
+        n_new = min(max(1, math.ceil(len(new_files) / per_part)), num_partitions)
+        plan.update(_plan_partitions(new_files, n_new, pid_offset=len(old_parts)))
+    return plan
 
 
 def _scan_union(dir_path: str, record_type: str, columns: list[str]) -> pa.Table:
@@ -645,6 +678,7 @@ def run_validation(
     batch_size: int = 4096,
     concurrency=None,
     partition_threads: int | None = None,
+    append: bool = False,
 ) -> dict:
     """Execute (or resume) a checkpointed validation run; returns the merged
     report dict (also written to out_dir/report.json).
@@ -661,11 +695,34 @@ def run_validation(
     import ray.data as rd
 
     manifest = RunManifest(out_dir)
-    partitions = _plan_partitions(list(input_files), num_partitions)
     cfg_hash = plan.config_hash()
-    manifest.write_run_config(
-        {"config_hash": cfg_hash, "partitions": partitions, "input_files": sorted(input_files)}
-    )
+    run_cfg_path = os.path.join(out_dir, "run.json")
+    if append and os.path.exists(run_cfg_path):
+        # incremental validation: new input files become NEW partitions;
+        # committed partitions and their verdicts are untouched (the global
+        # phase re-runs over ALL partitions, so cross old↔new duplicates are
+        # still caught). Same config only — the guard below enforces it.
+        old_cfg = json.load(open(run_cfg_path))
+        if old_cfg.get("config_hash") != cfg_hash:
+            raise ValueError(
+                "append with a different config: "
+                f"{old_cfg.get('config_hash')} != {cfg_hash} "
+                "(delete the output dir to start fresh)"
+            )
+        partitions = _plan_append(old_cfg, list(input_files), num_partitions)
+        RunManifest._atomic_json(
+            run_cfg_path,
+            {
+                "config_hash": cfg_hash,
+                "partitions": partitions,
+                "input_files": sorted(input_files),
+            },
+        )
+    else:
+        partitions = _plan_partitions(list(input_files), num_partitions)
+        manifest.write_run_config(
+            {"config_hash": cfg_hash, "partitions": partitions, "input_files": sorted(input_files)}
+        )
 
     todo = [pid for pid in sorted(partitions) if not manifest.is_complete(pid)]
     import ray
@@ -774,6 +831,26 @@ def run_validation(
             within_task = ray.remote(num_cpus=0.25)(_khash_within_dups)
             pair_task = ray.remote(num_cpus=0.25)(_khash_pair_intersect)
         viol_task = ray.remote(num_cpus=0.5)(_violation_dedup_partial)
+
+        def _sieve_feed(pid: str) -> None:
+            """Chain this partition's sieve/report tasks on its load ref."""
+            if load_task is not None:
+                lref = load_task.remote(manifest.partition_dir(pid))
+                if pairwise_ok:
+                    _sieve_within[pid] = within_task.remote(lref)
+                    for prev_ref in _preloaded_partials.values():
+                        _sieve_pairs.append(pair_task.remote(prev_ref, lref))
+                _preloaded_partials[pid] = lref
+            _report_partials[pid] = viol_task.remote(
+                os.path.join(manifest.partition_dir(pid), "combined")
+            )
+
+        # partitions already committed by an earlier run (resume/append):
+        # feed their partials into the incremental sieve up front so the
+        # global phase stays on the fast path
+        for pid in sorted(partitions):
+            if pid not in refs and manifest.is_complete(pid):
+                _sieve_feed(pid)
         pending = {r: pid for pid, r in refs.items()}
         while pending:
             done, _ = ray.wait(list(pending.keys()), num_returns=1)
@@ -786,16 +863,7 @@ def run_validation(
                     manifest, pid, partitions[pid], cfg_hash, out_dir, exc
                 )
                 continue
-            if load_task is not None:
-                lref = load_task.remote(manifest.partition_dir(pid))
-                if pairwise_ok:
-                    _sieve_within[pid] = within_task.remote(lref)
-                    for prev_ref in _preloaded_partials.values():
-                        _sieve_pairs.append(pair_task.remote(prev_ref, lref))
-                _preloaded_partials[pid] = lref
-            _report_partials[pid] = viol_task.remote(
-                os.path.join(manifest.partition_dir(pid), "combined")
-            )
+            _sieve_feed(pid)
     elif todo:
         with ThreadPoolExecutor(max_workers=partition_threads) as pool:
             futures = {

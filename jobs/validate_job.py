@@ -154,6 +154,16 @@ def main(argv=None) -> int:
     p.add_argument("--partitions", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument(
+        "--append",
+        action="store_true",
+        help="incremental validation: input files not in the existing run's "
+        "plan become NEW partitions (committed partitions and verdicts are "
+        "untouched; the cross-partition phase re-runs over all of them, so "
+        "old-vs-new duplicate keys are still caught). Same config required; "
+        "removed input files are refused. Also use to resume an interrupted "
+        "appended run.",
+    )
+    p.add_argument(
         "--write-snapshot",
         action="store_true",
         help="after the run, write out/snapshot.json from the merged sketches "
@@ -193,6 +203,7 @@ def main(argv=None) -> int:
     report = run_validation(
         files, args.out, plan,
         num_partitions=args.partitions, batch_size=args.batch_size,
+        append=args.append,
     )
     if args.write_snapshot:
         from fdpg_query_data_validation_ray.pipelines.validate import snapshot_from_run

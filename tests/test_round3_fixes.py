@@ -231,3 +231,85 @@ def test_uniqueness_sidecar_within_and_cross_partition(ray_session, tmp_path, mo
     assert json.dumps(rep_tasks, sort_keys=True) == json.dumps(
         rep_threads, sort_keys=True
     )
+
+
+def test_append_mode_incremental_validation(ray_session, tmp_path):
+    """--append: new files become new partitions; committed partitions are
+    untouched; the global phase catches duplicates BETWEEN old and new data;
+    removed files and changed configs are refused."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    import fdpg_query_data_validation_ray as qdv
+    from fdpg_query_data_validation_ray.pipelines.validate import (
+        ValidationPlan,
+        run_validation,
+    )
+
+    def mk(rows):
+        return pa.table(
+            {
+                "repo": pa.array([r[0] for r in rows]),
+                "path": pa.array([r[1] for r in rows]),
+                "commit": pa.array(["b" * 40] * len(rows)),
+                "lang": pa.array(["python"] * len(rows)),
+                "content": pa.array(["y = 2\n"] * len(rows)),
+            }
+        )
+
+    old_files = []
+    for i, rows in enumerate(
+        [[("org/a", "a.py"), ("org/b", "b.py")], [("org/c", "c.py"), ("org/d", "d.py")]]
+    ):
+        p = str(tmp_path / f"old-{i}.parquet")
+        pq.write_table(mk(rows), p)
+        old_files.append(p)
+
+    suite = qdv.Suite(
+        "code", [qdv.not_null("content")], key_columns=["repo", "path", "commit"]
+    )
+    plan = ValidationPlan(suite=suite, unique_keys=["repo", "path", "commit"])
+    out = str(tmp_path / "run")
+    rep1 = run_validation(old_files, out, plan, num_partitions=2)
+    assert rep1["total_rows_checked"] == 4 and rep1["passed"]
+    verdict_mtimes = {
+        pid: os.path.getmtime(os.path.join(out, "partitions", pid, "verdict.json"))
+        for pid in ("p00000", "p00001")
+    }
+
+    # append a file that duplicates org/c (cross old-new) and adds org/e
+    new_file = str(tmp_path / "new-0.parquet")
+    pq.write_table(mk([("org/c", "c.py"), ("org/e", "e.py")]), new_file)
+    rep2 = run_validation(
+        old_files + [new_file], out, plan, num_partitions=2, append=True
+    )
+    assert rep2["total_rows_checked"] == 6
+    uniq = [g for g in rep2["validation"] if g["rule_id"].startswith("unique(")]
+    assert len(uniq) == 1 and uniq[0]["count"] == 1
+    assert "org/c|c.py" in uniq[0]["sample_row_keys"][0]
+    assert not rep2["passed"]
+    # old partitions untouched (no recompute, no re-commit)
+    for pid, mt in verdict_mtimes.items():
+        assert os.path.getmtime(os.path.join(out, "partitions", pid, "verdict.json")) == mt
+    run_cfg = json.load(open(os.path.join(out, "run.json")))
+    assert "p00002" in run_cfg["partitions"]
+    assert run_cfg["partitions"]["p00002"] == [new_file]
+
+    # removed input file → refused
+    with pytest.raises(ValueError, match="removed"):
+        run_validation([old_files[0], new_file], out, plan, num_partitions=2, append=True)
+    # changed config → refused
+    plan2 = ValidationPlan(
+        suite=qdv.Suite("code", [qdv.not_null("commit")], key_columns=["repo", "path", "commit"]),
+        unique_keys=["repo", "path", "commit"],
+    )
+    with pytest.raises(ValueError, match="different config"):
+        run_validation(old_files + [new_file], out, plan2, num_partitions=2, append=True)
+    # idempotent re-append (resume of appended run): byte-identical report
+    rep3 = run_validation(
+        old_files + [new_file], out, plan, num_partitions=2, append=True
+    )
+    assert json.dumps(rep3, sort_keys=True) == json.dumps(rep2, sort_keys=True)
