@@ -287,11 +287,17 @@ def _prepare_scaling_corpus() -> list[str]:
         missing_suite_lang=n // 2000,
     )
 
+    # n_repos is the GLOBAL scaling law (n//200): each chunk must draw from
+    # the full repo id space or the corpus would have chunk-count-times
+    # denser per-repo groups (and a tiny FK dim) than generate_corpus(n)
+    # itself produces
+    n_repos_global = max(4, n // 200)
+
     @ray.remote
     def gen_one(rows: int, seed: int, defects, path: str) -> list:
         import pyarrow.parquet as pq
 
-        t = generate_corpus(rows, seed=seed, defects=defects)
+        t = generate_corpus(rows, seed=seed, n_repos=n_repos_global, defects=defects)
         pq.write_table(t, path, row_group_size=16384)
         return [str(x) for x in repo_dim(t).column("repo").to_pylist()]
 
@@ -477,6 +483,11 @@ def run_scaling(sf_dir: str, reps: int = 3) -> dict:
             if n not in results or r["sec"] < results[n]["sec"]:
                 results[n] = r
     n_lo, n_hi = SCALING_PAIR
+    # the children's artifacts live on RAM-backed tmpfs — release it
+    import shutil as _shutil
+
+    for n in SCALING_PAIR:
+        _shutil.rmtree(f"/dev/shm/qdv_scaling_out_{n}", ignore_errors=True)
     if n_lo not in results or n_hi not in results:
         raise RuntimeError("scaling: no complete run for one of the configs")
     tput_lo = results[n_lo]["input_rows"] / results[n_lo]["sec"]
@@ -495,7 +506,7 @@ def run_scaling(sf_dir: str, reps: int = 3) -> dict:
         "cpu_probes_s": probes,  # quiet ≤ ~3.7; throttled readings explain
                                  # depressed efficiency (BASELINE.md protocol)
         "sf": f"generated corpus, {SCALING_ROWS} rows",
-        "num_cpus": 32,
+        "num_cpus": n_hi,
         "input_rows": results[n_lo]["input_rows"],
     }
 

@@ -467,15 +467,19 @@ def _run_one_partition(
     concurrency,
     check_fn=None,
     read_blocks: int | None = None,
+    in_worker: bool = False,
 ) -> None:
-    import logging
-
     import ray.data as rd
 
-    # when dispatched as a Ray task this body is a fresh worker process:
-    # quiet the nested executor's per-dataset INFO chatter and progress bars
-    logging.getLogger("ray.data").setLevel(logging.WARNING)
-    rd.DataContext.get_current().enable_progress_bars = False
+    if in_worker:
+        # dispatched as a Ray task → this body owns a fresh worker process:
+        # quiet the nested executor's per-dataset INFO chatter and progress
+        # bars. NEVER on the threads path — that would permanently mutate
+        # the embedding application's logging/DataContext.
+        import logging
+
+        logging.getLogger("ray.data").setLevel(logging.WARNING)
+        rd.DataContext.get_current().enable_progress_bars = False
 
     t0 = time.monotonic()
     tmp_dir = os.path.join(out_dir, f".tmp_{pid}")
@@ -585,39 +589,60 @@ def _run_one_partition(
             os.path.join(tmp_dir, "combined", "schema_violations.parquet"),
         )
 
-    # small, column-pruned reads of the partition artifact
-    sev = _scan_union(
-        os.path.join(tmp_dir, "combined"), "violation", ["severity"]
-    )["severity"]
-    partial_t = _scan_union(
-        os.path.join(tmp_dir, "combined"),
-        "partial",
-        [
-            f.name
-            for f in UNION_SCHEMA
-            if f.name
-            not in (
-                "record_type",
-                *VIOLATION_SCHEMA.names,
-                "content_sha256",
-                "khash_uniq",
-                "khash_counts",
-            )
-        ],
-    )
+    # small, column-pruned reads of the partition artifact — three
+    # independent scans (severity, stats partials, khashagg), overlapped: the
+    # commit tail sits on the job's critical path for the last partition
+    combined_dir = os.path.join(tmp_dir, "combined")
+    from concurrent.futures import ThreadPoolExecutor as _TailTPE
+
+    with _TailTPE(max_workers=3) as _tex:
+        f_sev = _tex.submit(_scan_union, combined_dir, "violation", ["severity"])
+        f_part = _tex.submit(
+            _scan_union,
+            combined_dir,
+            "partial",
+            [
+                f.name
+                for f in UNION_SCHEMA
+                if f.name
+                not in (
+                    "record_type",
+                    *VIOLATION_SCHEMA.names,
+                    "content_sha256",
+                    "khash_uniq",
+                    "khash_counts",
+                )
+            ],
+        )
+        f_kh = (
+            _tex.submit(_scan_khashagg, combined_dir) if plan.unique_keys else None
+        )
+        sev = f_sev.result()["severity"]
+        partial_t = f_part.result()
     partials = finalize_partials(_partials_from_table(partial_t))
     rows_checked = max((p.n_rows for p in partials.values()), default=0)
     if plan.unique_keys:
         try:
-            _khash_partial_from_union(
-                os.path.join(tmp_dir, "combined"),
+            uniq_arr, counts_arr, n_agg = f_kh.result()
+            if n_agg != rows_checked:
+                raise RuntimeError(
+                    f"khash sieve partial covers {n_agg} rows but the check "
+                    f"pass saw {rows_checked} — refusing inconsistent "
+                    "uniqueness evidence"
+                )
+            _khash_partial_write(
                 tmp_dir,
-                expect_rows=rows_checked,
+                uniq_arr,
+                counts_arr,
+                n_agg,
                 # partial mode: also resolve within-partition duplicate
                 # groups NOW (pruned page-hot re-read, parallel phase) so the
                 # global verify re-reads only cross-partition candidates
                 input_files=files if use_partial else None,
                 unique_keys=list(plan.unique_keys) if use_partial else None,
+                # the sidecar derives from a RE-READ: it must see the exact
+                # bytes the check pass hashed (same guard as write_keyhash)
+                stamps=stamps if use_partial else None,
             )
         except Exception:
             if use_partial:
@@ -627,8 +652,7 @@ def _run_one_partition(
                 raise
             # artifact mode: the per-row keyhash parquet remains the
             # authoritative evidence; the npz is only a pass-A shortcut
-            # (never written on failure — _khash_partial_from_union
-            # validates coverage before persisting)
+            # (never written on failure — coverage is validated above)
     n_err = int(
         pc.sum(
             pc.cast(pc.is_in(sev, value_set=pa.array(["fatal", "error"])), pa.int64())
@@ -654,6 +678,13 @@ def _run_one_partition(
         "stats_partials": _encode_partials(partials),
     }
     manifest.commit_partition(pid, verdict, tmp_dir)
+    if os.environ.get("QDV_TIMING"):
+        import sys as _sys
+
+        print(
+            f"[qdv-timing] partition[{pid}].total: {time.monotonic() - t0:.3f}s",
+            file=_sys.stderr,
+        )
 
 
 def _default_pool(partition_threads: int) -> tuple[int, int]:
@@ -744,24 +775,6 @@ def run_validation(
     # fragmentation either caps parallelism (1 fat row group per file) or
     # shatters the partition into tiny blocks (tiny row groups → one small
     # zstd output file + scan-tail open per block)
-    # 2× oversubscription: read→check is NOT operator-fused (the map stage
-    # consumes read blocks via the object store), so a partition with
-    # exactly cpu-share blocks leaves bubbles while reads hand off; extra
-    # blocks keep every slot fed. Divided by how many partitions actually
-    # run CONCURRENTLY: all of them under task dispatch (default), the
-    # thread-pool width otherwise. QDV_READ_BLOCKS overrides for tuning.
-    dispatch_env = os.environ.get("QDV_PARTITION_DISPATCH", "tasks")
-    n_concurrent = (
-        max(1, len(todo)) if dispatch_env == "tasks" else max(1, partition_threads)
-    )
-    env_rb = os.environ.get("QDV_READ_BLOCKS")
-    read_blocks = int(env_rb) if env_rb else max(2, 4 * cpus // n_concurrent)
-    # concurrency=None (default) → task-based check stage: the compiled plan
-    # is broadcast once and cached per worker; partitions share the whole
-    # cluster fluidly. An explicit concurrency tuple restores the actor pool
-    # (_default_pool sizes it when callers want that path).
-    check_fn = make_check_and_profile_fn(plan) if concurrency is None and todo else None
-    t_part = time.monotonic()
     # partition dispatch: by default each partition's pipeline runs inside a
     # RAY TASK (its own worker process drives the nested Dataset execution)
     # — N streaming executors on one driver process serialize their
@@ -776,11 +789,27 @@ def run_validation(
         "QDV_PARTITION_DISPATCH", "tasks"
     ) == "tasks":
         try:
-            import ray
-
             use_task_dispatch = ray.is_initialized()
         except Exception:
             use_task_dispatch = False
+    # 2× oversubscription: read→check is NOT operator-fused (the map stage
+    # consumes read blocks via the object store), so a partition with
+    # exactly cpu-share blocks leaves bubbles while reads hand off; extra
+    # blocks keep every slot fed. Divided by how many partitions actually
+    # run CONCURRENTLY — all of them under the dispatch mode that will
+    # really be used, the thread-pool width otherwise.
+    # QDV_READ_BLOCKS overrides for tuning.
+    n_concurrent = (
+        max(1, len(todo)) if use_task_dispatch else max(1, partition_threads)
+    )
+    env_rb = os.environ.get("QDV_READ_BLOCKS")
+    read_blocks = int(env_rb) if env_rb else max(2, 4 * cpus // n_concurrent)
+    # concurrency=None (default) → task-based check stage: the compiled plan
+    # is broadcast once and cached per worker; partitions share the whole
+    # cluster fluidly. An explicit concurrency tuple restores the actor pool
+    # (_default_pool sizes it when callers want that path).
+    check_fn = make_check_and_profile_fn(plan) if concurrency is None and todo else None
+    t_part = time.monotonic()
     _preloaded_partials: dict[str, object] = {}
     _sieve_within: dict[str, object] = {}
     _sieve_pairs: list = []
@@ -807,6 +836,7 @@ def run_validation(
                 concurrency,
                 check_fn,
                 read_blocks,
+                in_worker=True,
             )
             for pid in todo
         }
@@ -824,7 +854,10 @@ def run_validation(
         # work overlaps the remaining partitions. O(P²) pairs — only viable
         # for modest partition counts; beyond the cap the global phase uses
         # the sort-merge path over the same partials.
-        pairwise_ok = load_task is not None and len(todo) <= int(
+        # cap on the TOTAL partition count (todo + already-committed): the
+        # pre-feed loop pairs completed partitions too, so a resume/append
+        # of a large run must not explode into O(P²) pair tasks
+        pairwise_ok = load_task is not None and len(partitions) <= int(
             os.environ.get("QDV_PAIRWISE_MAX_PARTS", "40")
         )
         if pairwise_ok:
@@ -1198,6 +1231,7 @@ def _khash_partial_from_union(
     expect_rows: int,
     input_files: list[str] | None = None,
     unique_keys: list[str] | None = None,
+    stamps: dict | None = None,
 ) -> None:
     """Collapse the check pass's per-batch khashagg rows to ONE (sorted
     unique khash, count) partial and persist it as khash_partial.npz
@@ -1212,17 +1246,27 @@ def _khash_partial_from_union(
     partition phase — and stored as the wd_* sidecar arrays, so the global
     phase only re-reads partitions for genuinely CROSS-partition
     candidates."""
+    uniq, counts, n = _scan_khashagg(combined_dir)
+    if n != expect_rows:
+        raise RuntimeError(
+            f"khash sieve partial covers {n} rows but the check pass saw "
+            f"{expect_rows} — refusing inconsistent uniqueness evidence"
+        )
+    _khash_partial_write(
+        out_dir, uniq, counts, n, input_files, unique_keys, stamps
+    )
+
+
+def _scan_khashagg(combined_dir: str):
+    """Scan + collapse the per-batch khashagg rows: (sorted unique khash,
+    counts, total rows covered). Pure read — safe to overlap with the other
+    commit-tail scans; the coverage check happens at write time."""
     import numpy as np
 
     t = _scan_union(
         combined_dir, "khashagg", ["khash_uniq", "khash_counts", "n_rows"]
     )
     n = int(pc.sum(t["n_rows"]).as_py() or 0)
-    if n != expect_rows:
-        raise RuntimeError(
-            f"khash sieve partial covers {n} rows but the check pass saw "
-            f"{expect_rows} — refusing inconsistent uniqueness evidence"
-        )
     us = [np.frombuffer(b.as_py(), np.int64) for b in t["khash_uniq"]]
     cs = [np.frombuffer(b.as_py(), np.int64) for b in t["khash_counts"]]
     if us:
@@ -1236,6 +1280,19 @@ def _khash_partial_from_union(
     else:
         uniq = np.array([], np.int64)
         counts = np.array([], np.int64)
+    return uniq, counts, n
+
+
+def _khash_partial_write(
+    out_dir: str,
+    uniq,
+    counts,
+    n: int,
+    input_files: list[str] | None = None,
+    unique_keys: list[str] | None = None,
+    stamps: dict | None = None,
+) -> None:
+    import numpy as np
     wd_gkey = np.array([], dtype=np.str_)
     wd_count = np.array([], np.int64)
     wd_khash = np.array([], np.int64)
@@ -1243,11 +1300,33 @@ def _khash_partial_from_union(
     if have_sidecar:
         wd = uniq[counts > 1]
         if len(wd):
+            if stamps is not None:
+                changed = [
+                    f
+                    for f, s in _file_stamps(list(input_files)).items()
+                    if stamps.get(f) != s
+                ]
+                if changed:
+                    # a silently-swapped file would make the sidecar disagree
+                    # with the khashagg hashes — duplicate groups could
+                    # VANISH without error; fail the partition instead
+                    raise RuntimeError(
+                        "input files changed mid-partition before the "
+                        f"within-dup sidecar pass: {changed}"
+                    )
             g = _aggregate_candidate_keys(input_files, list(unique_keys), wd)
-            if g is not None and g.num_rows:
-                wd_gkey = np.array(g["gkey"].to_pylist(), dtype=np.str_)
-                wd_count = g["count_all"].to_numpy().astype(np.int64)
-                wd_khash = g["khash"].to_numpy().astype(np.int64)
+            if g is None or not g.num_rows:
+                # wd hashes came from the check pass over these same bytes —
+                # a re-read that finds NO candidate rows is evidence of
+                # inconsistency, never a valid empty result
+                raise RuntimeError(
+                    "within-dup sidecar re-read found no candidate rows for "
+                    f"{len(wd)} duplicated hashes — refusing inconsistent "
+                    "uniqueness evidence"
+                )
+            wd_gkey = np.array(g["gkey"].to_pylist(), dtype=np.str_)
+            wd_count = g["count_all"].to_numpy().astype(np.int64)
+            wd_khash = g["khash"].to_numpy().astype(np.int64)
     np.savez(
         os.path.join(out_dir, "khash_partial.npz"),
         uniq=uniq,
@@ -1260,44 +1339,72 @@ def _khash_partial_from_union(
     )
 
 
-def _aggregate_candidate_keys(
-    files: list[str], unique_keys: list[str], cand: "np.ndarray"
-) -> pa.Table | None:
-    """Exact (gkey, count_all, khash) aggregates for rows whose key hash is
-    in sorted `cand`, from a pruned read of the given input files. key_enc
-    is built only for surviving rows."""
+def _sidecar_file_agg(f: str, unique_keys: list[str], cand) -> pa.Table | None:
+    """Per-file piece of _aggregate_candidate_keys: rows whose key hash is
+    in sorted `cand` → (gkey, khash) table; key_enc is built only for
+    surviving rows."""
     import numpy as np
     import pyarrow.parquet as pq
-
-    from concurrent.futures import ThreadPoolExecutor
 
     from fdpg_query_data_validation_ray.stages.row_checks import key_encode_array
     from fdpg_query_data_validation_ray.stages.unique import key_hash
 
-    def one(f: str):
-        tbl = pq.read_table(f, columns=unique_keys)
-        if not tbl.num_rows:
-            return None
-        kh = key_hash(tbl, unique_keys).view(np.int64)
-        ix = np.searchsorted(cand, kh)
-        ix[ix == len(cand)] = 0
-        mask = cand[ix] == kh
-        if not mask.any():
-            return None
-        part = tbl.filter(pa.array(mask))
-        return pa.table(
-            {
-                "gkey": pc.cast(
-                    key_encode_array(part, tuple(unique_keys)), pa.string()
-                ),
-                "khash": pa.array(kh[mask]),
-            }
-        )
+    tbl = pq.read_table(f, columns=unique_keys)
+    if not tbl.num_rows:
+        return None
+    kh = key_hash(tbl, unique_keys).view(np.int64)
+    ix = np.searchsorted(cand, kh)
+    ix[ix == len(cand)] = 0
+    mask = cand[ix] == kh
+    if not mask.any():
+        return None
+    part = tbl.filter(pa.array(mask))
+    return pa.table(
+        {
+            "gkey": pc.cast(
+                key_encode_array(part, tuple(unique_keys)), pa.string()
+            ),
+            "khash": pa.array(kh[mask]),
+        }
+    )
 
-    # parquet decode releases the GIL; this runs inside one partition's
-    # launcher so a small pool keeps the pruned re-read off its critical path
-    with ThreadPoolExecutor(max_workers=min(4, len(files))) as pool:
-        parts = [p for p in pool.map(one, files) if p is not None]
+
+def _aggregate_candidate_keys(
+    files: list[str], unique_keys: list[str], cand: "np.ndarray"
+) -> pa.Table | None:
+    """Exact (gkey, count_all, khash) aggregates for rows whose key hash is
+    in sorted `cand`, from a pruned read of the given input files."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    # this runs inside one partition's launcher, usually at the very END of
+    # the job (the defect-heavy partition finishes last) — dispatch per-file
+    # work to the cluster when it is up (cand broadcast once), else a small
+    # thread pool (parquet decode releases the GIL)
+    use_ray = False
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(files) > 1
+    except Exception:
+        pass
+    if use_ray:
+        uk = list(unique_keys)
+        task = ray.remote(num_cpus=1)(_sidecar_file_agg)
+        cref = ray.put(cand)
+        parts = [
+            p
+            for p in ray.get([task.remote(f, uk, cref) for f in files])
+            if p is not None
+        ]
+    else:
+        with ThreadPoolExecutor(max_workers=min(4, len(files))) as pool:
+            parts = [
+                p
+                for p in pool.map(
+                    lambda f: _sidecar_file_agg(f, unique_keys, cand), files
+                )
+                if p is not None
+            ]
     if not parts:
         return None
     allt = pa.concat_tables(parts).combine_chunks()
@@ -1772,7 +1879,7 @@ def _keyhash_scan_threaded(
     if not work:
         return []
 
-    def one(item):
+    def one(item, tf):
         kind, p = item
         if kind == "compact":
             t = pq.read_table(p, columns=columns)
@@ -1811,13 +1918,15 @@ def _keyhash_scan_threaded(
                 t = _scan_union(
                     p, "keyhash", [c for c in want if c != "key_enc"]
                 )
-        return transform(t)
+        return tf(t)
 
     # dispatch as Ray tasks when a cluster is up (parquet decode + key
     # re-derivation use every core instead of ≤16 GIL-sharing driver
     # threads; artifacts and inputs live on storage every node can read —
     # the same assumption checkpoint resume already makes). Driver threads
-    # remain the fallback for pre-init callers.
+    # remain the fallback for pre-init callers. The transform closure can be
+    # fat (pass B's `pick` carries the full candidate array) — ship it to
+    # the object store ONCE and deref per task, never pickle per item.
     use_ray = False
     try:
         import ray
@@ -1827,9 +1936,10 @@ def _keyhash_scan_threaded(
         pass
     if use_ray:
         task = ray.remote(num_cpus=1)(one)
-        return ray.get([task.remote(item) for item in work])
+        tref = ray.put(transform)
+        return ray.get([task.remote(item, tref) for item in work])
     with ThreadPoolExecutor(max_workers=min(16, len(work))) as pool:
-        return list(pool.map(one, work))
+        return list(pool.map(lambda item: one(item, transform), work))
 
 
 def _keyhash_dataset(
