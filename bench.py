@@ -519,6 +519,18 @@ def main() -> None:
     if argv and argv[0] == "--scaling":
         print(json.dumps(run_scaling(SF_DIR)))
         return
+    # probe-gate the headline suite too (same protocol as --scaling): the
+    # shared host throttles ~2.5×, and a suite run landing in a throttled
+    # window reads as a phantom regression. Wait briefly (bounded) for real
+    # CPU capacity; all probe readings go into the local record.
+    gate_deadline = time.perf_counter() + float(os.environ.get("QDV_BENCH_GATE_S", 240))
+    probes = []
+    while True:
+        p = _cpu_probe()
+        probes.append(round(p, 2))
+        if p <= 3.8 or time.perf_counter() > gate_deadline:
+            break
+        time.sleep(20)
     names = HEADLINE
     if argv and argv[0] == "--queries":
         names = argv[1].split(",")
@@ -528,6 +540,7 @@ def main() -> None:
     # recorded as parsed:null). Print a COMPACT line with the spec'd keys
     # only; the full record (row counts, per-query speedups, prev ref) goes
     # to BENCH_LOCAL.json next to this script.
+    out["cpu_probes_s"] = probes
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1)
