@@ -468,6 +468,7 @@ def _run_one_partition(
     check_fn=None,
     read_blocks: int | None = None,
     in_worker: bool = False,
+    keyhash_mode: str | None = None,
 ) -> None:
     import ray.data as rd
 
@@ -559,7 +560,9 @@ def _run_one_partition(
     # INPUT key columns of just the candidate partitions. Beyond the budget
     # the per-row keyhash artifact is still written (the distributed shuffle
     # verify consumes it), overlapped with the union write.
-    use_partial = bool(plan.unique_keys) and _keyhash_partial_mode(files)
+    use_partial = bool(plan.unique_keys) and _keyhash_partial_mode(
+        files, keyhash_mode
+    )
     if plan.unique_keys and not use_partial:
         from concurrent.futures import ThreadPoolExecutor as _TPE
 
@@ -809,6 +812,8 @@ def run_validation(
     # cluster fluidly. An explicit concurrency tuple restores the actor pool
     # (_default_pool sizes it when callers want that path).
     check_fn = make_check_and_profile_fn(plan) if concurrency is None and todo else None
+    # resolved HERE (driver env) — workers' env snapshots predate the caller
+    keyhash_mode = os.environ.get("QDV_KEYHASH_MODE", "auto")
     t_part = time.monotonic()
     _preloaded_partials: dict[str, object] = {}
     _sieve_within: dict[str, object] = {}
@@ -837,6 +842,7 @@ def run_validation(
                 check_fn,
                 read_blocks,
                 in_worker=True,
+                keyhash_mode=keyhash_mode,
             )
             for pid in todo
         }
@@ -912,6 +918,8 @@ def run_validation(
                     concurrency,
                     check_fn,
                     read_blocks,
+                    False,
+                    keyhash_mode,
                 )
                 for pid in todo
             }
@@ -1414,14 +1422,18 @@ def _aggregate_candidate_keys(
     )
 
 
-def _keyhash_partial_mode(files: list[str]) -> bool:
+def _keyhash_partial_mode(files: list[str], mode: str | None = None) -> bool:
     """True → this partition persists only the compact khash partial (no
     per-row keyhash parquet). Auto mode keeps the per-partition driver cost
     bounded: the partial is O(distinct keys) × 16 B at the driver, so it is
     used only when the partition's row count (exact, from parquet footers)
     fits a quarter of the global sieve budget — beyond that the per-row
     artifact is written and the distributed shuffle verify consumes it."""
-    mode = os.environ.get("QDV_KEYHASH_MODE", "auto")
+    # mode is resolved by the DRIVER (run_validation) and passed through:
+    # task-dispatched partitions run in workers whose env snapshot predates
+    # the caller's — a worker-side env read would silently ignore the flag
+    if mode is None:
+        mode = os.environ.get("QDV_KEYHASH_MODE", "auto")
     if mode == "artifact":
         return False
     if mode == "partial":

@@ -313,3 +313,49 @@ def test_append_mode_incremental_validation(ray_session, tmp_path):
         old_files + [new_file], out, plan, num_partitions=2, append=True
     )
     assert json.dumps(rep3, sort_keys=True) == json.dumps(rep2, sort_keys=True)
+
+
+def test_keyhash_mode_equivalence(ray_session, tmp_path, monkeypatch):
+    """partial (default), artifact (per-row keyhash parquet), and
+    artifact+shuffle (distributed verify over compact artifacts) must
+    produce identical reports — artifact mode is the at-scale evidence path
+    and must not rot while partial mode is the small-partition default."""
+    import json
+    import os
+
+    import fdpg_query_data_validation_ray as qdv
+    from fdpg_query_data_validation_ray.pipelines.validate import (
+        ValidationPlan,
+        run_validation,
+    )
+    from fdpg_query_data_validation_ray.sources.corpus import (
+        DefectSpec,
+        generate_corpus,
+        write_corpus_partitioned,
+    )
+
+    t = generate_corpus(3000, seed=11, defects=DefectSpec(dup_groups=(2, 3, 6)))
+    files = write_corpus_partitioned(t, str(tmp_path / "corpus"), 8)
+    suite = qdv.Suite(
+        "code", [qdv.not_null("content")], key_columns=["repo", "path", "commit"]
+    )
+    plan = ValidationPlan(suite=suite, unique_keys=["repo", "path", "commit"])
+
+    reports = {}
+    for tag, env in (
+        ("partial", {}),
+        ("artifact", {"QDV_KEYHASH_MODE": "artifact"}),
+        ("artifact_shuffle", {"QDV_KEYHASH_MODE": "artifact", "QDV_SIEVE_MODE": "shuffle"}),
+    ):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        reports[tag] = json.dumps(
+            run_validation(files, str(tmp_path / tag), plan, num_partitions=4),
+            sort_keys=True,
+        )
+        for k in env:
+            monkeypatch.delenv(k)
+    # artifact mode must really have written per-row keyhash parquet
+    assert os.path.isdir(tmp_path / "artifact" / "partitions" / "p00000" / "keyhash")
+    assert not os.path.isdir(tmp_path / "partial" / "partitions" / "p00000" / "keyhash")
+    assert reports["partial"] == reports["artifact"] == reports["artifact_shuffle"]
