@@ -1,4 +1,5 @@
-"""Mergeable streaming sketches: HyperLogLog (distinct count) and KLL (quantiles).
+"""Mergeable streaming sketches: HyperLogLog (distinct count), KLL and
+DDSketch (quantiles).
 
 Built from the published algorithms only:
 - HLL: Flajolet et al., "HyperLogLog: the analysis of a near-optimal
@@ -6,8 +7,14 @@ Built from the published algorithms only:
   small-range linear-counting correction.
 - KLL: Karnin, Lang, Liberty, "Optimal Quantile Approximation in Streams"
   (FOCS 2016) — compactor hierarchy with exponentially decaying capacities.
+- DDSketch: Masson, Rim, Lee, "DDSketch: A Fast and Fully-Mergeable Quantile
+  Sketch with Relative-Error Guarantees" (VLDB 2019) — log-spaced buckets
+  whose index is a PURE FUNCTION of the value, so the sketch state depends
+  only on the input MULTISET: invariant to batch splits, input order and
+  merge-tree shape (KLL is only merge-ORDER deterministic). This is what
+  makes the report's quantiles_approx section input-deterministic.
 
-Both are:
+All are:
 - mergeable (partial per batch → merge in aggregator actors → final merge at
   the driver; this is the no-shuffle aggregation path for column stats,
   SURVEY.md §2.5 A7),
@@ -191,4 +198,113 @@ class KLL:
         s.n = n
         s._compactions = comps
         s.compactors = [list(map(float, a)) for a in arrays]
+        return s
+
+class DDSketch:
+    """Relative-error quantile sketch with split/order/merge-shape-invariant
+    state (Masson et al., VLDB 2019, the unbounded-store variant).
+
+    Bucket index of a value v>0 is ceil(log(v)/log(gamma)) with
+    gamma=(1+alpha)/(1-alpha); the bucket midpoint 2*gamma^k/(gamma+1)
+    reconstructs v within relative error alpha. Zero and negative values get
+    an exact zero counter and a mirrored negative store. Because the index is
+    a pure function of the value, two sketches built from the same multiset
+    of values are IDENTICAL (bucket-count dicts), however the values were
+    batched, ordered, or merged — unlike KLL, whose compaction history
+    depends on batch boundaries. Serialization is canonical (key-sorted), so
+    equal sketches have equal bytes.
+
+    No bucket collapsing: at alpha=0.01 the entire float64 range spans
+    ~75k buckets (ln-range ±745 / ln(gamma)≈0.02) and real columns span a few
+    hundred, so the paper's lowest-bucket collapse — which would reintroduce
+    order dependence — is deliberately omitted; worst-case memory is ~1.2 MB.
+    """
+
+    __slots__ = ("alpha", "_inv_log_gamma", "_log_gamma", "pos", "neg", "zero", "n")
+
+    # key clip bound: covers every finite float64 (|key| < 40000 at
+    # alpha=0.01) while mapping ±inf to finite sentinel buckets
+    _KEY_CLIP = 1 << 30
+
+    def __init__(self, alpha: float = 0.01):
+        self.alpha = alpha
+        gamma = (1.0 + alpha) / (1.0 - alpha)
+        self._log_gamma = float(np.log(gamma))
+        self._inv_log_gamma = 1.0 / self._log_gamma
+        self.pos: dict[int, int] = {}
+        self.neg: dict[int, int] = {}
+        self.zero = 0
+        self.n = 0
+
+    def _keys_of(self, mag: np.ndarray) -> np.ndarray:
+        raw = np.ceil(np.log(mag) * self._inv_log_gamma)
+        return np.clip(raw, -self._KEY_CLIP, self._KEY_CLIP).astype(np.int64)
+
+    def add_values(self, values: np.ndarray) -> "DDSketch":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return self
+        self.n += len(v)
+        self.zero += int(np.count_nonzero(v == 0.0))
+        for store, mag in ((self.pos, v[v > 0]), (self.neg, -v[v < 0])):
+            if len(mag):
+                keys, counts = np.unique(self._keys_of(mag), return_counts=True)
+                for k, c in zip(keys.tolist(), counts.tolist()):
+                    store[k] = store.get(k, 0) + c
+        return self
+
+    def merge(self, other: "DDSketch") -> "DDSketch":
+        assert self.alpha == other.alpha
+        for mine, theirs in ((self.pos, other.pos), (self.neg, other.neg)):
+            for k, c in theirs.items():
+                mine[k] = mine.get(k, 0) + c
+        self.zero += other.zero
+        self.n += other.n
+        return self
+
+    def _value_of(self, key: int) -> float:
+        # midpoint of (gamma^(k-1), gamma^k]; exp-form avoids gamma**k overflow
+        return 2.0 * np.exp(key * self._log_gamma) / (np.exp(self._log_gamma) + 1.0)
+
+    def quantile(self, q: float) -> float:
+        if self.n == 0:
+            return float("nan")
+        rank = q * (self.n - 1)
+        cum = 0
+        # ascending value order: most-negative first = descending |key| in neg
+        for k in sorted(self.neg, reverse=True):
+            cum += self.neg[k]
+            if cum > rank:
+                return -self._value_of(k)
+        cum += self.zero
+        if cum > rank:
+            return 0.0
+        for k in sorted(self.pos):
+            cum += self.pos[k]
+            if cum > rank:
+                return self._value_of(k)
+        # rank == n-1 falls through on float round-up: max bucket
+        return self._value_of(max(self.pos)) if self.pos else 0.0
+
+    def quantiles(self, qs: list[float]) -> list[float]:
+        return [self.quantile(q) for q in qs]
+
+    def to_bytes(self) -> bytes:
+        def pack(store: dict[int, int]) -> np.ndarray:
+            items = sorted(store.items())
+            return np.asarray(items, dtype=np.int64).reshape(-1, 2)
+
+        return pickle.dumps(
+            (self.alpha, self.zero, self.n, pack(self.pos), pack(self.neg)),
+            protocol=4,
+        )
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "DDSketch":
+        alpha, zero, n, pos, neg = pickle.loads(b)
+        s = DDSketch(alpha)
+        s.zero, s.n = zero, n
+        s.pos = {int(k): int(c) for k, c in pos}
+        s.neg = {int(k): int(c) for k, c in neg}
         return s

@@ -103,6 +103,7 @@ UNION_SCHEMA = pa.schema(
         ("max_str", pa.string()),
         ("hll", pa.binary()),
         ("kll", pa.binary()),
+        ("dd", pa.binary()),
         ("cat_counts", pa.binary()),
         ("content_sha256", pa.string()),
         ("khash", pa.int64()),

@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from fdpg_query_data_validation_ray.functions.hashing import hash64
-from fdpg_query_data_validation_ray.functions.sketches import HLL, KLL
+from fdpg_query_data_validation_ray.functions.sketches import HLL, KLL, DDSketch
 
 # categorical value-count maps larger than this are truncated to the heaviest
 # keys (a column that is effectively an ID is not categorical)
@@ -44,6 +44,10 @@ PARTIAL_SCHEMA = pa.schema(
         ("max_str", pa.string()),
         ("hll", pa.binary()),
         ("kll", pa.binary()),
+        # DDSketch: input-deterministic quantiles (state is a pure function of
+        # the value multiset — invariant to batch splits and merge order; the
+        # KLL column stays for drift KS and for legacy-artifact fallback)
+        ("dd", pa.binary()),
         ("cat_counts", pa.binary()),  # pickled dict[str,int] or None
     ]
 )
@@ -62,6 +66,9 @@ class ColumnPartial:
     max_str: str | None = None
     hll: HLL = field(default_factory=HLL)
     kll: KLL = field(default_factory=KLL)
+    # None (not an empty sketch) when this partial was loaded from a legacy
+    # artifact that predates the dd column — finalize then falls back to KLL
+    dd: DDSketch | None = field(default_factory=DDSketch)
     cat_counts: dict | None = None
     # True once ANY truncation to MAX_CATEGORICAL happened anywhere in this
     # partial's merge lineage — per-value counts downstream are then lower
@@ -78,6 +85,10 @@ class ColumnPartial:
         self.sum_sq += o.sum_sq
         self.hll.merge(o.hll)
         self.kll.merge(o.kll)
+        if self.dd is None or o.dd is None:
+            self.dd = None  # any legacy partial in the lineage poisons dd
+        else:
+            self.dd.merge(o.dd)
         self.cat_overflow = self.cat_overflow or o.cat_overflow
         if o.cat_counts is not None:
             if self.cat_counts is None:
@@ -109,6 +120,7 @@ def _partial_from_array(name: str, col: pa.ChunkedArray, categorical: bool) -> C
         p.sum_num = float(arr.sum())
         p.sum_sq = float((arr * arr).sum())
         p.kll.add_values(arr)
+        p.dd.add_values(arr)
         p.hll.add_hashes(hash64(arr))
     else:
         svals = pc.cast(valid, pa.string())
@@ -116,8 +128,11 @@ def _partial_from_array(name: str, col: pa.ChunkedArray, categorical: bool) -> C
         p.min_str = mm["min"].as_py()
         p.max_str = mm["max"].as_py()
         p.hll.add_hashes(hash64(svals))
-        # string length profile feeds the KLL (content-length drift, SURVEY §2.5 A3)
-        p.kll.add_values(pc.utf8_length(svals).to_numpy(zero_copy_only=False).astype(np.float64))
+        # string length profile feeds the quantile sketches (content-length
+        # drift, SURVEY §2.5 A3)
+        slens = pc.utf8_length(svals).to_numpy(zero_copy_only=False).astype(np.float64)
+        p.kll.add_values(slens)
+        p.dd.add_values(slens)
     if categorical:
         vc = pc.value_counts(pc.cast(valid, pa.string()))
         p.cat_counts = {
@@ -144,6 +159,7 @@ def _partials_to_table(partials: list[ColumnPartial]) -> pa.Table:
             "max_str": [p.max_str for p in partials],
             "hll": [p.hll.to_bytes() for p in partials],
             "kll": [p.kll.to_bytes() for p in partials],
+            "dd": [None if p.dd is None else p.dd.to_bytes() for p in partials],
             # (dict, overflow) tuple — the overflow flag rides inside the
             # existing binary column so legacy artifacts stay readable and the
             # union schema is unchanged; loads handle both forms
@@ -172,6 +188,10 @@ def _partials_from_table(t: pa.Table) -> list[ColumnPartial]:
         p.max_str = row["max_str"]
         p.hll = HLL.from_bytes(row["hll"])
         p.kll = KLL.from_bytes(row["kll"])
+        # legacy artifacts (pre-dd) have no dd column / a null cell: mark the
+        # partial so merge/finalize fall back to KLL instead of understating
+        raw_dd = row.get("dd")
+        p.dd = DDSketch.from_bytes(raw_dd) if raw_dd is not None else None
         if row["cat_counts"] is None:
             p.cat_counts = None
         else:
@@ -250,9 +270,13 @@ def finalize(partials: list[ColumnPartial]) -> dict[str, dict]:
                 stats["std"] = round(float(np.sqrt(var)), 6)
         if p.min_str is not None:
             stats.update(min=p.min_str, max=p.max_str)
-        if p.kll.n:
+        # quantiles come from the DDSketch (input-deterministic: same multiset
+        # → same answer, regardless of batch split / merge order); the KLL is
+        # the fallback for partials loaded from legacy artifacts
+        qsk = p.dd if (p.dd is not None and p.dd.n) else (p.kll if p.kll.n else None)
+        if qsk is not None:
             stats["quantiles"] = {
-                f"p{int(q * 100):02d}": p.kll.quantile(q) for q in QUANTILES
+                f"p{int(q * 100):02d}": round(qsk.quantile(q), 6) for q in QUANTILES
             }
         if p.cat_counts is not None:
             stats["value_counts"] = dict(
