@@ -375,6 +375,151 @@ def decode_key_display(enc: str) -> str:
     return "|".join(parts)
 
 
+def decode_key_display_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized decode_key_display over a string array — same semantics,
+    element for element (fuzz-tested against the scalar parser), but numpy
+    over the flat Arrow char buffer instead of a Python char loop per key.
+    Dense-duplicate corpora hit this with one key per duplicate GROUP
+    (500k+ rows), where the scalar parse dominated the report tail.
+
+    The loop count is data-bound, not row-bound: one iteration per key PART
+    (= len(unique_keys)) plus one per digit of the longest length prefix —
+    every iteration is a full-array numpy op."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.string())
+    if arr.null_count:  # callers never pass nulls; "" → 0 parts → verbatim ""
+        arr = pc.fill_null(arr, "")
+    arr = arr.cast(pa.large_string())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=arr.offset + n + 1)
+    base = arr.offset  # slice-safety: logical element 0 may not be buffer 0
+    starts_all = off[base : base + n].copy()
+    ends_all = off[base + 1 : base + n + 1]
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    valid = np.ones(n, dtype=bool)
+
+    cur = starts_all.copy()
+    ok = valid.copy()
+    active = valid & (cur < ends_all)  # empty string → 0 parts → verbatim
+    SEMI, COLON, CHAR_N, D0, D9 = (
+        np.uint8(ord(";")), np.uint8(ord(":")), np.uint8(ord("N")),
+        np.uint8(ord("0")), np.uint8(ord("9")),
+    )
+    part_starts: list[np.ndarray] = []  # per part-index: src start (int64)
+    part_lens: list[np.ndarray] = []    # per part-index: length, -1 = absent
+    while active.any():
+        ps = np.full(n, 0, dtype=np.int64)
+        pl = np.full(n, -1, dtype=np.int64)
+        a = active.copy()
+        c = cur
+        nxt = np.minimum(c + 1, ends_all - 1)
+        is_null_part = a & (buf[np.minimum(c, len(buf) - 1)] == CHAR_N) & (
+            (c + 1 == ends_all) | (buf[nxt] == SEMI)
+        )
+        # null part: empty display text, cursor skips "N;"
+        pl[is_null_part] = 0
+        cur = np.where(is_null_part, c + 2, cur)
+        lp = a & ~is_null_part  # rows that must parse a length prefix here
+        # digit run: ln accumulates; rows whose first char isn't a digit fail
+        ln = np.zeros(n, dtype=np.int64)
+        dcount = np.zeros(n, dtype=np.int64)
+        run = lp.copy()
+        while run.any():
+            p = np.minimum(cur + dcount, ends_all - 1)
+            ch = buf[p]
+            isd = run & (cur + dcount < ends_all) & (ch >= D0) & (ch <= D9)
+            ln[isd] = ln[isd] * 10 + (ch[isd] - D0)
+            dcount[isd] += 1
+            run = isd
+        bad = lp & (dcount == 0)
+        colon_at = np.minimum(cur + dcount, ends_all - 1)
+        bad |= lp & ~bad & ~((cur + dcount < ends_all) & (buf[colon_at] == COLON))
+        dstart = cur + dcount + 1
+        bad |= lp & ~bad & (dstart + ln > ends_all)
+        good = lp & ~bad
+        ps[good] = dstart[good]
+        pl[good] = ln[good]
+        cur = np.where(good, dstart + ln, cur)
+        # separator after a length-prefixed part: required unless at end;
+        # trailing separator (";$") is invalid
+        more = good & (cur < ends_all)
+        sep_at = np.minimum(cur, len(buf) - 1)
+        bad |= more & (buf[sep_at] != SEMI)
+        cur = np.where(more & ~bad, cur + 1, cur)
+        bad |= more & ~bad & (cur == ends_all)
+        ok &= ~(active & bad)
+        part_starts.append(ps)
+        part_lens.append(pl)
+        active = ok & valid & (cur < ends_all) & (pl >= 0) & active
+        # null-part rows whose "N" was the last char: cursor overshot to end+1
+        active &= cur < ends_all
+
+    nparts = sum((pl >= 0).astype(np.int64) for pl in part_lens) if part_lens else np.zeros(n, np.int64)
+    decoded = ok & valid & (nparts > 0)
+    # output text: decoded rows → parts joined by '|'; everything else (bad
+    # parse, zero parts) → the original string verbatim; nulls stay null
+    lens_mat = (
+        np.stack([np.maximum(pl, 0) for pl in part_lens])
+        if part_lens
+        else np.zeros((0, n), np.int64)
+    )
+    out_len = np.where(
+        decoded,
+        lens_mat.sum(axis=0) + nparts - 1,
+        np.where(valid, ends_all - starts_all, 0),
+    )
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_len, out=out_off[1:])
+    out_buf = np.full(int(out_off[-1]), ord("|"), dtype=np.uint8)
+
+    seg_dst, seg_src, seg_len = [], [], []
+    # verbatim rows: one segment each
+    verb = valid & ~decoded
+    if verb.any():
+        seg_dst.append(out_off[:-1][verb])
+        seg_src.append(starts_all[verb])
+        seg_len.append((ends_all - starts_all)[verb])
+    # decoded rows: one segment per non-empty part; separators are already
+    # in the buffer (prefilled '|'), parts land between them
+    dst_cursor = out_off[:-1].copy()
+    for k in range(len(part_lens)):
+        pl, ps = part_lens[k], part_starts[k]
+        has = decoded & (pl >= 0)
+        nz = has & (pl > 0)
+        if nz.any():
+            seg_dst.append(dst_cursor[nz])
+            seg_src.append(ps[nz])
+            seg_len.append(pl[nz])
+        dst_cursor[has] += np.maximum(pl[has], 0) + 1  # +1 skips the '|'
+    if seg_dst:
+        d = np.concatenate(seg_dst)
+        s = np.concatenate(seg_src)
+        L = np.concatenate(seg_len)
+        keep = L > 0
+        d, s, L = d[keep], s[keep], L[keep]
+        if len(L):
+            tot = int(L.sum())
+            # int32 index math when it fits (always, for <2 GB buffers):
+            # int64 arange/repeat/cumsum are ~20-30x slower on this host
+            # class (first-touch cost scales with bytes)
+            idt = np.int32 if max(tot, len(buf), len(out_buf)) < 2**31 - 1 else np.int64
+            d, s, L = d.astype(idt), s.astype(idt), L.astype(idt)
+            cs = np.zeros(len(L), dtype=idt)
+            np.cumsum(L[:-1], out=cs[1:])
+            within = np.arange(tot, dtype=idt) - np.repeat(cs, L)
+            out_buf[np.repeat(d, L) + within] = buf[np.repeat(s, L) + within]
+
+    return pa.Array.from_buffers(
+        pa.large_string(),
+        n,
+        [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(out_buf.tobytes())],
+    ).cast(pa.string())
+
+
 def _plan_partitions(
     files: list[str], num_partitions: int, pid_offset: int = 0
 ) -> dict[str, list[str]]:
@@ -1203,21 +1348,16 @@ def _uniqueness_violation_rows(g: pa.Table, unique_keys: list[str]) -> list[dict
     parse as an encoding. Sorted deterministically by (row_key, gkey)."""
     from fdpg_query_data_validation_ray.rules import DIAGNOSTICS
 
-    genc = (
-        g["genc"].to_pylist()
-        if "genc" in g.column_names
-        else [1] * g.num_rows  # pre-provenance callers: all keys are key_enc
-    )
-    g = g.append_column(
-        "row_key",
-        pa.array(
-            [
-                decode_key_display(k) if e else k
-                for k, e in zip(g["gkey"].to_pylist(), genc)
-            ],
-            pa.string(),
-        ),
-    )
+    gkey = g["gkey"]
+    decoded = decode_key_display_array(gkey)
+    if "genc" in g.column_names:
+        # provenance: decode ONLY key_enc-sourced keys (genc=1); legacy raw
+        # row_keys pass through verbatim even when they parse as an encoding
+        is_enc = pc.cast(pc.equal(g["genc"], 1), pa.bool_())
+        row_key = pc.if_else(is_enc, decoded, gkey)
+    else:
+        row_key = decoded  # pre-provenance callers: all keys are key_enc
+    g = g.append_column("row_key", row_key)
     g = g.sort_by([("row_key", "ascending"), ("gkey", "ascending")])
     rule_id = f"unique({','.join(unique_keys)})"
     location = ",".join(unique_keys)
@@ -1694,7 +1834,9 @@ def _uniqueness_from_artifacts(
                 if not g_parts:
                     return []
                 g_all = pa.concat_tables(g_parts).combine_chunks()
-                return _uniqueness_violation_rows(g_all, unique_keys)
+                rows = _uniqueness_violation_rows(g_all, unique_keys)
+                _umark(f"passB.rows({len(rows)} groups)")
+                return rows
         except Exception:
             pass
 
@@ -1788,7 +1930,9 @@ def _uniqueness_exact_verify(
     g = _uniqueness_passb_agg(manifest, unique_keys, cand, passb_pids, _umark)
     if g is None or not g.num_rows:
         return []
-    return _uniqueness_violation_rows(g, unique_keys)
+    rows = _uniqueness_violation_rows(g, unique_keys)
+    _umark(f"passB.rows({len(rows)} groups)")
+    return rows
 
 
 def _uniqueness_passb_agg(

@@ -359,3 +359,47 @@ def test_keyhash_mode_equivalence(ray_session, tmp_path, monkeypatch):
     assert os.path.isdir(tmp_path / "artifact" / "partitions" / "p00000" / "keyhash")
     assert not os.path.isdir(tmp_path / "partial" / "partitions" / "p00000" / "keyhash")
     assert reports["partial"] == reports["artifact"] == reports["artifact_shuffle"]
+
+
+def test_decode_key_display_array_matches_scalar_fuzz():
+    """The vectorized flat-buffer decoder must agree with the scalar parser
+    byte-for-byte on valid encodings, garbage, and truncations (incl. on a
+    sliced array, whose logical element 0 is not buffer offset 0)."""
+    import random
+    import string
+
+    from fdpg_query_data_validation_ray.pipelines.validate import (
+        decode_key_display,
+        decode_key_display_array,
+    )
+
+    rng = random.Random(1234)
+    alphabet = string.printable[:70] + ";:|N"
+    cases = [
+        "", "N", "N;", "3:abc", "3:abc;2:xy", "3:abc;N;2:xy", "1:N", "0:;0:",
+        "5:a;b:c;1:d", "repo|path|commit", "3:ab", "3:abc;", "3:abc;;",
+        "03:abc", "0:", "N;N", "NN", "N:x", "2:ab3:cd", "3:abc;2:xy;",
+    ]
+    for _ in range(1500):
+        parts = []
+        for _ in range(rng.randint(1, 4)):
+            if rng.random() < 0.15:
+                parts.append("N")
+            else:
+                data = "".join(rng.choices(alphabet, k=rng.randint(0, 12)))
+                parts.append(f"{len(data)}:{data}")
+        cases.append(";".join(parts))
+    for _ in range(1500):
+        cases.append("".join(rng.choices(alphabet + "0123456789", k=rng.randint(0, 15))))
+    for c in cases[:100]:
+        for i in range(len(c)):
+            cases.append(c[:i])
+
+    expected = [decode_key_display(c) for c in cases]
+    got = decode_key_display_array(pa.array(cases, pa.string())).to_pylist()
+    assert got == expected
+
+    sl = pa.array(cases, pa.string()).slice(7, 900)
+    assert decode_key_display_array(sl).to_pylist() == [
+        decode_key_display(c) for c in sl.to_pylist()
+    ]
