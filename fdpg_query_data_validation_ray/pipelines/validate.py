@@ -963,7 +963,11 @@ def run_validation(
     t_part = time.monotonic()
     _preloaded_partials: dict[str, object] = {}
     _sieve_within: dict[str, object] = {}
-    _sieve_pairs: list = []
+    # pairwise mode: list of pair-intersect refs; tree mode (beyond the
+    # pairwise cap): _sieve_pairs becomes None and _sieve_tree holds the
+    # binary counter's level → node refs
+    _sieve_pairs: list | None = []
+    _sieve_tree: dict[int, object] = {}
     _report_partials: dict[str, object] = {}
     if todo and use_task_dispatch:
         import ray
@@ -1012,19 +1016,34 @@ def run_validation(
         pairwise_ok = load_task is not None and len(partitions) <= int(
             os.environ.get("QDV_PAIRWISE_MAX_PARTS", "40")
         )
-        if pairwise_ok:
+        if load_task is not None:
             within_task = ray.remote(num_cpus=0.25)(_khash_within_dups)
-            pair_task = ray.remote(num_cpus=0.25)(_khash_pair_intersect)
+            if pairwise_ok:
+                pair_task = ray.remote(num_cpus=0.25)(_khash_pair_intersect)
+            else:
+                _sieve_pairs = None
+                # beyond the O(P²) pairwise cap: incremental binary-counter
+                # merge tree — O(P) tasks, O(total·log P) work, still fully
+                # overlapped with the partition phase; the global phase folds
+                # the ≤log₂(P) counter nodes in one root task
+                tree_leaf = ray.remote(num_cpus=0.25)(_khash_tree_leaf)
+                tree_merge = ray.remote(num_cpus=0.5)(_khash_tree_merge)
         viol_task = ray.remote(num_cpus=0.5)(_violation_dedup_partial)
 
         def _sieve_feed(pid: str) -> None:
             """Chain this partition's sieve/report tasks on its load ref."""
             if load_task is not None:
                 lref = load_task.remote(manifest.partition_dir(pid))
+                _sieve_within[pid] = within_task.remote(lref)
                 if pairwise_ok:
-                    _sieve_within[pid] = within_task.remote(lref)
                     for prev_ref in _preloaded_partials.values():
                         _sieve_pairs.append(pair_task.remote(prev_ref, lref))
+                else:
+                    node, level = tree_leaf.remote(lref), 0
+                    while level in _sieve_tree:
+                        node = tree_merge.remote(_sieve_tree.pop(level), node)
+                        level += 1
+                    _sieve_tree[level] = node
                 _preloaded_partials[pid] = lref
             _report_partials[pid] = viol_task.remote(
                 os.path.join(manifest.partition_dir(pid), "combined")
@@ -1139,6 +1158,7 @@ def run_validation(
                 preloaded=_preloaded_partials,
                 within_refs=_sieve_within,
                 pair_refs=_sieve_pairs,
+                tree_refs=list(_sieve_tree.values()) or None,
             )
         )
     tg = _tmark("global.uniqueness", tg)
@@ -1633,6 +1653,62 @@ def _khash_pair_intersect(p1, p2):
     return a[b[ix] == a]
 
 
+def _khash_tree_leaf(partial):
+    """Tree-sieve leaf: (sorted unique hashes, empty candidate set), or None
+    when the partition has no usable partial (poisons the tree → the global
+    phase falls back to the general merge)."""
+    import numpy as np
+
+    if partial is None:
+        return None
+    return partial[0], np.array([], np.int64)
+
+
+def _khash_tree_merge(n1, n2):
+    """Tree-sieve internal node: merge two (uniq, cand) nodes. uniq arrays
+    are sorted-unique per node, so cross-partition duplicate candidates are
+    exactly the adjacent-equal values of the merged sort (np.sort value sort
+    — the argsort/np.unique gather path is ~20x slower at these sizes).
+    O(total·log P) work across the tree, but each merge is its own Ray task
+    chained on its inputs, so the tree builds INCREMENTALLY as partitions
+    commit — the root is one small task by the time the global phase runs.
+    Replaces the O(P²) pairwise sieve beyond QDV_PAIRWISE_MAX_PARTS."""
+    import numpy as np
+
+    if n1 is None or n2 is None:
+        return None
+    u1, c1 = n1
+    u2, c2 = n2
+    s = np.sort(np.concatenate([u1, u2]))
+    dup = s[:-1][s[1:] == s[:-1]] if len(s) > 1 else s[:0]
+    cand = np.sort(np.concatenate([c1, c2, dup]))
+    if len(cand) > 1:
+        keep = np.ones(len(cand), bool)
+        keep[1:] = cand[1:] != cand[:-1]
+        cand = cand[keep]
+    if len(s) > 1:
+        keep = np.ones(len(s), bool)
+        keep[1:] = s[1:] != s[:-1]
+        s = s[keep]
+    return s, cand
+
+
+def _khash_tree_root(*nodes):
+    """Fold the binary counter's remaining ≤log₂(P) nodes and return ONLY
+    the cross-partition candidate array (result-bound — the big unions never
+    reach the driver). None when any subtree was poisoned."""
+    import numpy as np
+
+    acc = None
+    for nd in nodes:
+        if nd is None:
+            return None
+        acc = nd if acc is None else _khash_tree_merge(acc, nd)
+        if acc is None:
+            return None
+    return acc[1] if acc is not None else np.array([], np.int64)
+
+
 def _khash_shares(partial, cand):
     """Task helper: does this partition's partial intersect the candidate
     set? (pass-B pruning without shipping the full partial to the driver)"""
@@ -1687,6 +1763,7 @@ def _uniqueness_from_artifacts(
     preloaded: dict[str, object] | None = None,
     within_refs: dict[str, object] | None = None,
     pair_refs: list | None = None,
+    tree_refs: list | None = None,
 ) -> list[dict]:
     """Cross-partition uniqueness from the persisted per-row
     (row_key, key_enc, khash) records — the input is never re-scanned (the
@@ -1751,7 +1828,7 @@ def _uniqueness_from_artifacts(
     # reaches the driver and the 12M-hash sort-merge disappears from the
     # critical path. Falls through to the general merge on any gap (missing
     # refs, a partition without a usable partial, >cap partition counts).
-    if pair_refs is not None and within_refs and all(
+    if (pair_refs is not None or tree_refs) and within_refs and all(
         pid in within_refs and pid in preloaded for pid in completed
     ):
         try:
@@ -1759,12 +1836,21 @@ def _uniqueness_from_artifacts(
 
             within = _ray.get([within_refs[pid] for pid in completed])
             if all(w is not None for w in within):
-                pair_vals = [p for p in _ray.get(list(pair_refs)) if len(p)]
-                cross = (
-                    np.unique(np.concatenate(pair_vals))
-                    if pair_vals
-                    else np.array([], np.int64)
-                )
+                if pair_refs is not None:
+                    pair_vals = [p for p in _ray.get(list(pair_refs)) if len(p)]
+                    cross = (
+                        np.unique(np.concatenate(pair_vals))
+                        if pair_vals
+                        else np.array([], np.int64)
+                    )
+                else:
+                    # tree sieve (beyond the pairwise partition cap): one
+                    # root task folds the counter's remaining nodes; only
+                    # the candidate array crosses to the driver
+                    root = _ray.remote(num_cpus=1)(_khash_tree_root)
+                    cross = _ray.get(root.remote(*tree_refs))
+                    if cross is None:  # poisoned leaf → general merge
+                        raise ValueError("tree sieve gap")
                 within_pieces = [w for w in within if len(w)]
                 within_all = (
                     np.unique(np.concatenate(within_pieces))

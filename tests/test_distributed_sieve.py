@@ -355,3 +355,71 @@ def test_fk_partitioned_shuffle_composite_string_keys(ray_session, force_mode):
     assert (got["sieve"]["n_rows"] >= 1).all()
     expect = {(f"r{x}", f"p{y}") for x, y in zip(a, b) if x >= 380}
     assert len(got["sieve"]) == len(expect)
+
+
+def test_tree_sieve_units():
+    """Binary-counter tree merge helpers: exact cross-partition candidates."""
+    from fdpg_query_data_validation_ray.pipelines.validate import (
+        _khash_tree_leaf,
+        _khash_tree_merge,
+        _khash_tree_root,
+    )
+
+    def leaf(vals):
+        return _khash_tree_leaf((np.asarray(sorted(vals), np.int64), None))
+
+    a = leaf([1, 2, 3])
+    b = leaf([3, 4, 5])
+    c = leaf([5, 6, 1])
+    ab = _khash_tree_merge(a, b)
+    assert ab[0].tolist() == [1, 2, 3, 4, 5] and ab[1].tolist() == [3]
+    assert _khash_tree_root(ab, c).tolist() == [1, 3, 5]
+    # empty leaves and empty candidates
+    assert _khash_tree_root(leaf([]), leaf([])).tolist() == []
+    # poisoned leaf → None all the way to the root
+    assert _khash_tree_merge(a, _khash_tree_leaf(None)) is None
+    assert _khash_tree_root(ab, None) is None
+
+
+def test_tree_sieve_end_to_end_matches_pairwise(ray_session, tmp_path, monkeypatch):
+    """Forcing the tree path (pairwise cap 1) must give a byte-identical
+    report to the pairwise path on a corpus with within-partition AND
+    cross-partition duplicates."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from fdpg_query_data_validation_ray.pipelines.validate import (
+        ValidationPlan,
+        run_validation,
+    )
+    from fdpg_query_data_validation_ray.rules import Rule, Suite
+
+    files = []
+    for p in range(5):
+        ks = (
+            [f"cross{i}" for i in range(p * 3, p * 3 + 6)]  # overlaps p+1
+            + [f"win{p}"] * 3                                # within-partition
+            + [f"uniq{p}_{i}" for i in range(30)]
+        )
+        t = pa.table({"k": ks, "v": list(range(len(ks)))})
+        f = str(tmp_path / f"in{p}.parquet")
+        pq.write_table(t, f)
+        files.append(f)
+    suite = Suite("s", [Rule("not_null", "v")], key_columns=("k",))
+
+    reports = {}
+    for label, cap in (("pairwise", "40"), ("tree", "1")):
+        monkeypatch.setenv("QDV_PAIRWISE_MAX_PARTS", cap)
+        out = str(tmp_path / label)
+        plan = ValidationPlan(suite=suite, unique_keys=["k"])
+        reports[label] = run_validation(files, out, plan, num_partitions=5)
+    monkeypatch.delenv("QDV_PAIRWISE_MAX_PARTS", raising=False)
+
+    assert json.dumps(reports["pairwise"], sort_keys=True) == json.dumps(
+        reports["tree"], sort_keys=True
+    )
+    uv = [g for g in reports["tree"]["validation"] if g["rule_id"].startswith("unique")]
+    # 5 win keys (3 copies each) + cross keys shared between adjacent
+    # partitions (p*3..p*3+6 overlaps the next partition's start by 3)
+    assert uv and uv[0]["count"] == 5 + 4 * 3
