@@ -387,14 +387,25 @@ def _scaling_child(num_cpus: int, _unused: str) -> None:
 
 def _cpu_probe() -> float:
     """Seconds for 3×2000³ matmuls: ≤ ~3.7 s in a quiet window, ≥ ~4.5 s
-    when the shared host throttles CPU."""
+    when the shared host throttles CPU. A LOAD-AVERAGE penalty is folded in:
+    the single-core matmul misses multi-core contention (measured: probe
+    2.8 s with load1 6.5 still produced a 1.35× suite wall vs the same code
+    minutes later at load1 < 1), so an elevated 1-min load pushes the
+    reading past the gate threshold until the host actually drains."""
     import numpy as np
 
     a = np.random.rand(2000, 2000)
     t0 = time.perf_counter()
     for _ in range(3):
         a @ a
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = 0.0
+    # load1 ≤ 2 (a stray worker draining) costs nothing; beyond that each
+    # loaded core adds 0.5 s — load1 6.5 reads as +2.2 s, failing the gate
+    return dt + max(0.0, load1 - 2.0) * 0.5
 
 
 SCALING_PAIR = (
@@ -517,7 +528,9 @@ def main() -> None:
         _scaling_child(int(argv[1]), argv[2])
         return
     if argv and argv[0] == "--scaling":
-        print(json.dumps(run_scaling(SF_DIR)))
+        # QDV_SCALING_REPS: more interleaved reps tighten the per-config
+        # minima on noisy days (raise QDV_SCALING_DEADLINE_S with it)
+        print(json.dumps(run_scaling(SF_DIR, reps=int(os.environ.get("QDV_SCALING_REPS", "3")))))
         return
     # probe-gate the headline suite too (same protocol as --scaling): the
     # shared host throttles ~2.5×, and a suite run landing in a throttled
