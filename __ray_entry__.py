@@ -53,7 +53,10 @@ def oracle_sql() -> dict[str, str]:
     here (dedup_minhash/simhash, cosine_near_dup, knn_cosine_ivf, drift_docs,
     stats_sketches, multimodal_decode, corpus_validate) are
     non-SQL-expressible (sketch/LSH/IVF/stateful pipelines) → rows-only
-    check; each has a property or cross-check test instead. lang_id, quality,
+    check; each has a property or cross-check test instead. The DDSketch
+    quantile family IS oracle-checked via quantiles_nchars (the bucket math
+    is a pure function of the value, replayed in SQL); stats_sketches stays
+    rows-only for its HLL/KLL columns. lang_id, quality,
     fingerprint and ngram-jaccard ARE oracle-checked: the heuristics are
     re-expressed in pure SQL (stopword IN-lists, md5_number_lower gram
     hashing, list_intersect jaccard) with integer/fixed-point outputs."""
@@ -153,6 +156,38 @@ def oracle_sql() -> dict[str, str]:
         "content_length_hist": """
             SELECT CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket, COUNT(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        # DDSketch quantile replay: the sketch's bucket index is a pure
+        # function of the value (k = ceil(ln(x) * 1/ln(gamma)), gamma from
+        # alpha=0.01 — the SAME float expressions the engine evaluates, so
+        # IEEE doubles agree bit-for-bit), bucket counts are exact, and the
+        # quantile walk is first k (ascending) with cum > q*(n-1). value =
+        # 2*exp(k*lg)/(exp(lg)+1) rounded to 6dp, as in stats finalize.
+        "quantiles_nchars": """
+            WITH p AS (
+                SELECT ln((1.0+0.01)/(1.0-0.01)) AS lg
+            ),
+            v AS (
+                SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+                WHERE n_chars > 0
+            ),
+            b AS (
+                SELECT CAST(ceil(ln(x) * (1.0/(SELECT lg FROM p))) AS BIGINT) AS k,
+                       COUNT(*) AS c
+                FROM v GROUP BY 1
+            ),
+            o AS (
+                SELECT k, SUM(c) OVER (ORDER BY k) AS cum,
+                       (SELECT SUM(c) FROM b) AS n
+                FROM b
+            ),
+            qs(q) AS (VALUES (0.01),(0.25),(0.5),(0.75),(0.9),(0.99))
+            SELECT qs.q AS q,
+                   ROUND(2*exp(MIN(o.k) * (SELECT lg FROM p))
+                         / (exp((SELECT lg FROM p)) + 1), 6) AS value
+            FROM qs JOIN o ON o.cum > qs.q * (o.n - 1)
+            GROUP BY qs.q
+            ORDER BY qs.q
         """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,

@@ -48,6 +48,7 @@ HEADLINE = [
     "fk_lineitem_orders_hash",
     "col_stats_lineitem",
     "stats_sketches",
+    "quantiles_nchars",
     "distinct_exact",
     "lang_distribution",
     "content_length_hist",

@@ -985,6 +985,40 @@ def q_stats_sketches(sf_dir: str):
     )
 
 
+def q_quantiles_nchars(sf_dir: str):
+    """DDSketch quantiles of documents.n_chars (positive values) — the
+    "approximate" sketch that IS oracle-checkable: the bucket index is a
+    pure function of the value (ceil(ln(x)/ln(gamma))), so a DuckDB query
+    that replays the same bucket math over the same rows produces the SAME
+    quantile values, hash-exact. Per-batch sketches merge at the driver
+    (commutative counter addition — nothing O(rows) leaves the workers)."""
+    from fdpg_query_data_validation_ray.functions.sketches import DDSketch
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def part(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = DDSketch()
+        s.add_values(x[x > 0])
+        return pa.table({"dd": pa.array([s.to_bytes()], pa.binary())})
+
+    merged = DDSketch()
+    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for raw in b["dd"]:
+            merged.merge(DDSketch.from_bytes(raw.as_py()))
+    qs = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array([round(merged.quantile(q), 6) for q in qs]),
+        }
+    )
+
+
 def q_corpus_validate(sf_dir: str):
     """Flagship: derive the (repo,path,commit,lang,content) corpus from the
     documents table, run the checkpointed validation pipeline, return the
@@ -1172,6 +1206,7 @@ QUERIES = {
     "fingerprint_docs": q_fingerprint_docs,
     "multimodal_decode": q_multimodal_decode,
     "stats_sketches": q_stats_sketches,
+    "quantiles_nchars": q_quantiles_nchars,
     "corpus_validate": q_corpus_validate,
 }
 

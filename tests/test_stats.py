@@ -73,3 +73,22 @@ def test_column_stats_on_dataset(ray_session):
     exact = t.column("x").drop_null().to_numpy(zero_copy_only=False)
     assert stats["x"]["min"] == pytest.approx(exact.min())
     assert stats["x"]["max"] == pytest.approx(exact.max())
+
+
+def test_quantiles_nchars_matches_dd_sql_replay(ray_session):
+    """quantiles_nchars must be hash-exact against the DuckDB replay of the
+    DDSketch bucket math — the property that makes the 'approximate'
+    quantile family oracle-checkable (same float expressions → same IEEE
+    doubles on both sides)."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    d = "/root/testdata/sf0.001"
+    ray_df = E.queries()["quantiles_nchars"](d).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    ora = con.execute(E.oracle_sql()["quantiles_nchars"]).df().reset_index(drop=True)
+    assert ray_df.equals(ora)
