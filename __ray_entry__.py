@@ -163,6 +163,38 @@ def oracle_sql() -> dict[str, str]:
         # IEEE doubles agree bit-for-bit), bucket counts are exact, and the
         # quantile walk is first k (ascending) with cum > q*(n-1). value =
         # 2*exp(k*lg)/(exp(lg)+1) rounded to 6dp, as in stats finalize.
+        # drift-PSI formula replay: exact integer counts per half + the
+        # engine's per-category term (a-e)*ln(a/e) with the 1e-6 clamp, in
+        # the SAME expression order (per-row terms — no sum-order float
+        # drift). doc_id is non-negative so %2 == bit_wise_and(,1).
+        "psi_terms_lang": """
+            WITH e AS (
+                SELECT lang, COUNT(*) AS c FROM documents
+                WHERE doc_id % 2 = 0 GROUP BY 1
+            ),
+            a AS (
+                SELECT lang, COUNT(*) AS c FROM documents
+                WHERE doc_id % 2 = 1 GROUP BY 1
+            ),
+            keys AS (SELECT lang FROM e UNION SELECT lang FROM a),
+            tot AS (
+                SELECT greatest(1, (SELECT COALESCE(SUM(c), 0) FROM e)) AS et,
+                       greatest(1, (SELECT COALESCE(SUM(c), 0) FROM a)) AS at
+            )
+            SELECT k.lang AS lang,
+                   COALESCE(e.c, 0) AS e_count,
+                   COALESCE(a.c, 0) AS a_count,
+                   ROUND((greatest(COALESCE(a.c, 0) / tot.at, 1e-6)
+                          - greatest(COALESCE(e.c, 0) / tot.et, 1e-6))
+                         * ln(greatest(COALESCE(a.c, 0) / tot.at, 1e-6)
+                              / greatest(COALESCE(e.c, 0) / tot.et, 1e-6)),
+                         6) AS psi_term
+            FROM keys k
+            LEFT JOIN e ON e.lang = k.lang
+            LEFT JOIN a ON a.lang = k.lang
+            CROSS JOIN tot
+            ORDER BY lang
+        """,
         "quantiles_nchars": """
             WITH p AS (
                 SELECT ln((1.0+0.01)/(1.0-0.01)) AS lg

@@ -985,6 +985,59 @@ def q_stats_sketches(sf_dir: str):
     )
 
 
+def q_psi_terms_lang(sf_dir: str):
+    """Per-category PSI terms of the lang histogram, even vs odd doc_ids —
+    the drift PSI formula (stages/drift.py:psi) made oracle-checkable: counts
+    are exact integers and each term is one fixed-order float expression
+    ((a-e)*ln(a/e) with the 1e-6 clamp), replayed verbatim in the DuckDB
+    oracle; terms are per-row so no sum-order float drift is possible.
+    Aggregation is a tiny groupby count per half (nothing O(rows) at the
+    driver)."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    from fdpg_query_data_validation_ray.stages.drift import _EPS
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def half_counts(parity: int) -> dict[str, int]:
+        h = ds.map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
+            ).select(["lang"]),
+            batch_format="pyarrow",
+        )
+        out = {}
+        for b in (
+            h.groupby("lang").aggregate(Count(alias_name="c"))
+            .iter_batches(batch_format="pyarrow")
+        ):
+            for lang, c in zip(b["lang"].to_pylist(), b["c"].to_pylist()):
+                out[lang] = c
+        return out
+
+    expected, actual = half_counts(0), half_counts(1)
+    keys = sorted(set(expected) | set(actual))
+    e_tot = max(1, sum(expected.values()))
+    a_tot = max(1, sum(actual.values()))
+    rows = {"lang": [], "e_count": [], "a_count": [], "psi_term": []}
+    for k in keys:
+        e = max(expected.get(k, 0) / e_tot, _EPS)
+        a = max(actual.get(k, 0) / a_tot, _EPS)
+        rows["lang"].append(k)
+        rows["e_count"].append(expected.get(k, 0))
+        rows["a_count"].append(actual.get(k, 0))
+        rows["psi_term"].append(round(float((a - e) * np.log(a / e)), 6))
+    return pa.table(
+        {
+            "lang": pa.array(rows["lang"], pa.string()),
+            "e_count": pa.array(rows["e_count"], pa.int64()),
+            "a_count": pa.array(rows["a_count"], pa.int64()),
+            "psi_term": pa.array(rows["psi_term"], pa.float64()),
+        }
+    )
+
+
 def q_quantiles_nchars(sf_dir: str):
     """DDSketch quantiles of documents.n_chars (positive values) — the
     "approximate" sketch that IS oracle-checkable: the bucket index is a
@@ -1207,6 +1260,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "stats_sketches": q_stats_sketches,
     "quantiles_nchars": q_quantiles_nchars,
+    "psi_terms_lang": q_psi_terms_lang,
     "corpus_validate": q_corpus_validate,
 }
 

@@ -131,3 +131,26 @@ def test_drift_missing_column_error_channel():
         v = drift_violations(cur, reference, [drift_rule("lang")])
         assert v[0]["rule_id"] == "error:drift(lang)"
         assert v[0]["severity"] == "error"
+
+
+def test_psi_terms_lang_matches_sql_replay(ray_session):
+    """The drift-PSI formula is oracle-checkable per category: exact counts
+    plus one fixed-order float term each, replayed verbatim in DuckDB."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    d = "/root/testdata/sf0.001"
+    ray_df = E.queries()["psi_terms_lang"](d).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    ora = con.execute(E.oracle_sql()["psi_terms_lang"]).df().reset_index(drop=True)
+    assert ray_df.equals(ora)
+    # the summed terms reproduce the engine's psi() (same clamps)
+    from fdpg_query_data_validation_ray.stages.drift import psi
+
+    e = dict(zip(ray_df["lang"], ray_df["e_count"]))
+    a = dict(zip(ray_df["lang"], ray_df["a_count"]))
+    assert abs(sum(ray_df["psi_term"]) - psi(e, a)) < 5e-6
