@@ -1000,23 +1000,23 @@ def q_psi_terms_lang(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
 
-    def half_counts(parity: int) -> dict[str, int]:
-        h = ds.map_batches(
-            lambda t, p=parity: t.filter(
-                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
-            ).select(["lang"]),
+    # ONE pass: group by (lang, parity) — not one filtered pipeline per half
+    counted = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {"lang": t["lang"], "parity": pc.bit_wise_and(t["doc_id"], 1)}
+            ),
             batch_format="pyarrow",
         )
-        out = {}
-        for b in (
-            h.groupby("lang").aggregate(Count(alias_name="c"))
-            .iter_batches(batch_format="pyarrow")
+        .groupby(["lang", "parity"])
+        .aggregate(Count(alias_name="c"))
+    )
+    expected, actual = {}, {}
+    for b in counted.iter_batches(batch_format="pyarrow"):
+        for lang, par, c in zip(
+            b["lang"].to_pylist(), b["parity"].to_pylist(), b["c"].to_pylist()
         ):
-            for lang, c in zip(b["lang"].to_pylist(), b["c"].to_pylist()):
-                out[lang] = c
-        return out
-
-    expected, actual = half_counts(0), half_counts(1)
+            (expected if par == 0 else actual)[lang] = c
     keys = sorted(set(expected) | set(actual))
     e_tot = max(1, sum(expected.values()))
     a_tot = max(1, sum(actual.values()))
