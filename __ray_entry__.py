@@ -162,19 +162,25 @@ def oracle_sql() -> dict[str, str]:
         # alpha=0.01 — the SAME float expressions the engine evaluates, so
         # IEEE doubles agree bit-for-bit), bucket counts are exact, and the
         # quantile walk is first k (ascending) with cum > q*(n-1). value =
-        # 2*exp(k*lg)/(exp(lg)+1) rounded to 6dp, as in stats finalize.
+        # 2*exp(k*lg)/(exp(lg)+1) in fixed-point micro-units
+        # (FLOOR(v*1e6+0.5) — same IEEE ops both sides; ROUND()/round()
+        # disagree at half-grid boundaries).
         # drift-PSI formula replay: exact integer counts per half + the
         # engine's per-category term (a-e)*ln(a/e) with the 1e-6 clamp, in
         # the SAME expression order (per-row terms — no sum-order float
-        # drift). doc_id is non-negative so %2 == bit_wise_and(,1).
+        # drift). Output is fixed-point micro-units via FLOOR(x*1e6 + 0.5):
+        # DuckDB ROUND() and Python round() disagree at half-grid
+        # boundaries, FLOOR of the same IEEE doubles cannot. doc_id is
+        # non-negative so %2 == bit_wise_and(,1); null lang excluded on
+        # both sides.
         "psi_terms_lang": """
             WITH e AS (
                 SELECT lang, COUNT(*) AS c FROM documents
-                WHERE doc_id % 2 = 0 GROUP BY 1
+                WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1
             ),
             a AS (
                 SELECT lang, COUNT(*) AS c FROM documents
-                WHERE doc_id % 2 = 1 GROUP BY 1
+                WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1
             ),
             keys AS (SELECT lang FROM e UNION SELECT lang FROM a),
             tot AS (
@@ -184,11 +190,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.lang AS lang,
                    COALESCE(e.c, 0) AS e_count,
                    COALESCE(a.c, 0) AS a_count,
-                   ROUND((greatest(COALESCE(a.c, 0) / tot.at, 1e-6)
-                          - greatest(COALESCE(e.c, 0) / tot.et, 1e-6))
-                         * ln(greatest(COALESCE(a.c, 0) / tot.at, 1e-6)
-                              / greatest(COALESCE(e.c, 0) / tot.et, 1e-6)),
-                         6) AS psi_term
+                   CAST(FLOOR(
+                       (greatest(COALESCE(a.c, 0) / tot.at, 1e-6)
+                        - greatest(COALESCE(e.c, 0) / tot.et, 1e-6))
+                       * ln(greatest(COALESCE(a.c, 0) / tot.at, 1e-6)
+                            / greatest(COALESCE(e.c, 0) / tot.et, 1e-6))
+                       * 1000000.0 + 0.5) AS BIGINT) AS psi_term_micro
             FROM keys k
             LEFT JOIN e ON e.lang = k.lang
             LEFT JOIN a ON a.lang = k.lang
@@ -215,8 +222,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             qs(q) AS (VALUES (0.01),(0.25),(0.5),(0.75),(0.9),(0.99))
             SELECT qs.q AS q,
-                   ROUND(2*exp(MIN(o.k) * (SELECT lg FROM p))
-                         / (exp((SELECT lg FROM p)) + 1), 6) AS value
+                   CAST(FLOOR(2*exp(MIN(o.k) * (SELECT lg FROM p))
+                              / (exp((SELECT lg FROM p)) + 1)
+                              * 1000000.0 + 0.5) AS BIGINT) AS value_micro
             FROM qs JOIN o ON o.cum > qs.q * (o.n - 1)
             GROUP BY qs.q
             ORDER BY qs.q

@@ -1016,24 +1016,31 @@ def q_psi_terms_lang(sf_dir: str):
         for lang, par, c in zip(
             b["lang"].to_pylist(), b["parity"].to_pylist(), b["c"].to_pylist()
         ):
+            if lang is None:
+                continue  # null lang excluded on both sides (oracle filters)
             (expected if par == 0 else actual)[lang] = c
     keys = sorted(set(expected) | set(actual))
     e_tot = max(1, sum(expected.values()))
     a_tot = max(1, sum(actual.values()))
-    rows = {"lang": [], "e_count": [], "a_count": [], "psi_term": []}
+    rows = {"lang": [], "e_count": [], "a_count": [], "psi_term_micro": []}
     for k in keys:
         e = max(expected.get(k, 0) / e_tot, _EPS)
         a = max(actual.get(k, 0) / a_tot, _EPS)
         rows["lang"].append(k)
         rows["e_count"].append(expected.get(k, 0))
         rows["a_count"].append(actual.get(k, 0))
-        rows["psi_term"].append(round(float((a - e) * np.log(a / e)), 6))
+        # fixed-point micro-units via floor(x*1e6+0.5): the SAME IEEE ops on
+        # both sides — Python round() (half-to-even on exact decimals) and
+        # DuckDB ROUND() (scale-then-half-away) disagree near 5e-7 grid
+        # boundaries, so neither is usable for a hash-exact oracle
+        term = float((a - e) * np.log(a / e))
+        rows["psi_term_micro"].append(int(np.floor(term * 1e6 + 0.5)))
     return pa.table(
         {
             "lang": pa.array(rows["lang"], pa.string()),
             "e_count": pa.array(rows["e_count"], pa.int64()),
             "a_count": pa.array(rows["a_count"], pa.int64()),
-            "psi_term": pa.array(rows["psi_term"], pa.float64()),
+            "psi_term_micro": pa.array(rows["psi_term_micro"], pa.int64()),
         }
     )
 
@@ -1063,11 +1070,19 @@ def q_quantiles_nchars(sf_dir: str):
     ):
         for raw in b["dd"]:
             merged.merge(DDSketch.from_bytes(raw.as_py()))
+    import numpy as np
+
     qs = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+    # fixed-point micro-units (floor(v*1e6+0.5), identical IEEE ops in the
+    # SQL oracle) — Python round() vs DuckDB ROUND() diverge at half-grid
+    # boundaries, which would make the hash-exact check a latent flake
     return pa.table(
         {
             "q": pa.array(qs, pa.float64()),
-            "value": pa.array([round(merged.quantile(q), 6) for q in qs]),
+            "value_micro": pa.array(
+                [int(np.floor(merged.quantile(q) * 1e6 + 0.5)) for q in qs],
+                pa.int64(),
+            ),
         }
     )
 

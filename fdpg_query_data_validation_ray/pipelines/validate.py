@@ -400,6 +400,26 @@ def decode_key_display_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     starts_all = off[base : base + n].copy()
     ends_all = off[base + 1 : base + n + 1]
     buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    # the encoding's length prefixes count CHARACTERS (key_encode_array uses
+    # pc.utf8_length); this parser walks BYTES, so the two agree only for
+    # pure-ASCII rows. Rows containing any multi-byte char (rare in key
+    # columns) are decoded by the scalar parser instead — exact parity at
+    # the cost of a Python call per non-ASCII row.
+    hi = buf >= 0x80
+    if hi.any():
+        hcum = np.zeros(len(buf) + 1, dtype=np.int64)
+        np.cumsum(hi, out=hcum[1:])
+        nonascii = (hcum[ends_all] - hcum[starts_all]) > 0
+        if nonascii.any():
+            ascii_mask = ~nonascii
+            out = [None] * n
+            if ascii_mask.any():
+                sub = decode_key_display_array(arr.filter(pa.array(ascii_mask)))
+                for i, v in zip(np.flatnonzero(ascii_mask), sub.to_pylist()):
+                    out[i] = v
+            for i in np.flatnonzero(nonascii):
+                out[i] = decode_key_display(arr[int(i)].as_py())
+            return pa.array(out, pa.string())
     valid = np.ones(n, dtype=bool)
 
     cur = starts_all.copy()
@@ -428,11 +448,16 @@ def decode_key_display_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
         ln = np.zeros(n, dtype=np.int64)
         dcount = np.zeros(n, dtype=np.int64)
         run = lp.copy()
+        # length cap 2^55: a prefix that big can never satisfy start+len<=end
+        # (buffers are <2^31), so the row lands on the scalar parser's
+        # verbatim outcome — and 10*2^55+9 still fits int64 (no wraparound
+        # into a NEGATIVE cursor, which would crash the gather)
+        LEN_CAP = np.int64(1 << 55)
         while run.any():
             p = np.minimum(cur + dcount, ends_all - 1)
             ch = buf[p]
             isd = run & (cur + dcount < ends_all) & (ch >= D0) & (ch <= D9)
-            ln[isd] = ln[isd] * 10 + (ch[isd] - D0)
+            ln[isd] = np.minimum(ln[isd] * 10 + (ch[isd] - D0), LEN_CAP)
             dcount[isd] += 1
             run = isd
         bad = lp & (dcount == 0)

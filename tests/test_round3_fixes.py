@@ -374,11 +374,16 @@ def test_decode_key_display_array_matches_scalar_fuzz():
     )
 
     rng = random.Random(1234)
-    alphabet = string.printable[:70] + ";:|N"
+    # non-ASCII chars exercise the byte-vs-character length-prefix split
+    # (char-counting prefixes over multi-byte UTF-8 route to the scalar
+    # parser); huge digit runs exercise the int64 length-cap guard
+    alphabet = string.printable[:70] + ";:|Né日ß€"
     cases = [
         "", "N", "N;", "3:abc", "3:abc;2:xy", "3:abc;N;2:xy", "1:N", "0:;0:",
         "5:a;b:c;1:d", "repo|path|commit", "3:ab", "3:abc;", "3:abc;;",
         "03:abc", "0:", "N;N", "NN", "N:x", "2:ab3:cd", "3:abc;2:xy;",
+        "5:héllo", "4:éé;N", "1:é;1:y", "3:日本語", "9:日本語", "N;2:éz", "é",
+        "9999999999999999999:ab", "99999999999999999999999999:x",
     ]
     for _ in range(1500):
         parts = []

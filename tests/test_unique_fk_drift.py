@@ -153,4 +153,4 @@ def test_psi_terms_lang_matches_sql_replay(ray_session):
 
     e = dict(zip(ray_df["lang"], ray_df["e_count"]))
     a = dict(zip(ray_df["lang"], ray_df["a_count"]))
-    assert abs(sum(ray_df["psi_term"]) - psi(e, a)) < 5e-6
+    assert abs(sum(ray_df["psi_term_micro"]) / 1e6 - psi(e, a)) < 5e-6
