@@ -968,8 +968,9 @@ def q_multimodal_decode(sf_dir: str):
 
 
 def q_stats_sketches(sf_dir: str):
-    """HLL distinct + KLL quantiles per documents column (approximate — no
-    SQL oracle; rank-error-bounded)."""
+    """HLL distinct + DDSketch quantiles per documents column (approximate —
+    no SQL oracle for the HLL; the DD quantile math itself IS oracle-checked
+    by quantiles_nchars)."""
     from fdpg_query_data_validation_ray.stages.stats import column_stats
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
