@@ -140,3 +140,42 @@ def test_duplicate_keys_across_null_batches(ray_session):
     ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
     dups = duplicate_keys(ds, ["k"]).to_pandas()
     assert len(dups) == 1 and dups.iloc[0]["dup_count"] == 2
+
+
+# ---------------- DDSketch laws (hypothesis) ----------------
+
+from fdpg_query_data_validation_ray.functions.sketches import DDSketch  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(floats, min_size=1, max_size=400), st.integers(1, 7), st.randoms())
+def test_dd_state_is_pure_function_of_multiset(values, n_splits, rnd):
+    """STRONGER than KLL's law: serialized bytes are IDENTICAL for any
+    batching, any input order, and any merge shuffle of the same multiset."""
+    whole = DDSketch()
+    whole.add_values(np.array(values, dtype=np.float64))
+    shuffled = list(values)
+    rnd.shuffle(shuffled)
+    parts = [DDSketch() for _ in range(n_splits)]
+    for i, v in enumerate(shuffled):
+        parts[i % n_splits].add_values(np.array([v], dtype=np.float64))
+    rnd.shuffle(parts)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.to_bytes() == whole.to_bytes()
+    assert merged.n == len(values)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(min_value=1e-6, max_value=1e9), min_size=5, max_size=400))
+def test_dd_relative_error_law(values):
+    """Every quantile estimate is within alpha (+ rank slack) of a value
+    actually in the data's bucket neighbourhood: |est - true|/true <= ~2a."""
+    arr = np.sort(np.array(values, dtype=np.float64))
+    s = DDSketch(alpha=0.01)
+    s.add_values(arr)
+    for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+        true = arr[int(q * (len(arr) - 1))]
+        est = s.quantile(q)
+        assert abs(est - true) / true < 0.021
