@@ -1001,14 +1001,20 @@ def q_psi_terms_lang(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
 
-    # ONE pass: group by (lang, parity) — not one filtered pipeline per half
-    counted = (
-        ds.map_batches(
-            lambda t: pa.table(
-                {"lang": t["lang"], "parity": pc.bit_wise_and(t["doc_id"], 1)}
-            ),
-            batch_format="pyarrow",
+    # ONE pass: group by (lang, parity) — not one filtered pipeline per half.
+    # Null lang / null doc_id rows are dropped HERE: the oracle's `%2 = p`
+    # and `lang IS NOT NULL` exclude them, and Ray's groupby shuffle cannot
+    # sort null string keys anyway.
+    def keyed(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {"lang": t["lang"], "parity": pc.bit_wise_and(t["doc_id"], 1)}
         )
+        return out.filter(
+            pc.and_(pc.is_valid(out["lang"]), pc.is_valid(out["parity"]))
+        )
+
+    counted = (
+        ds.map_batches(keyed, batch_format="pyarrow")
         .groupby(["lang", "parity"])
         .aggregate(Count(alias_name="c"))
     )
@@ -1017,8 +1023,10 @@ def q_psi_terms_lang(sf_dir: str):
         for lang, par, c in zip(
             b["lang"].to_pylist(), b["parity"].to_pylist(), b["c"].to_pylist()
         ):
-            if lang is None:
-                continue  # null lang excluded on both sides (oracle filters)
+            if lang is None or par is None:
+                # null lang / null doc_id excluded on both sides: the
+                # oracle's `doc_id % 2 = p` and `lang IS NOT NULL` drop them
+                continue
             (expected if par == 0 else actual)[lang] = c
     keys = sorted(set(expected) | set(actual))
     e_tot = max(1, sum(expected.values()))
@@ -1071,9 +1079,13 @@ def q_quantiles_nchars(sf_dir: str):
     ):
         for raw in b["dd"]:
             merged.merge(DDSketch.from_bytes(raw.as_py()))
-    import numpy as np
-
     qs = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+    if merged.n == 0:
+        # no positive values: the oracle's WHERE x>0 leaves nothing to join
+        # against and returns 0 rows — match it (quantile() would be NaN)
+        return pa.table(
+            {"q": pa.array([], pa.float64()), "value_micro": pa.array([], pa.int64())}
+        )
     # fixed-point micro-units (floor(v*1e6+0.5), identical IEEE ops in the
     # SQL oracle) — Python round() vs DuckDB ROUND() diverge at half-grid
     # boundaries, which would make the hash-exact check a latent flake

@@ -411,15 +411,25 @@ def decode_key_display_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
         np.cumsum(hi, out=hcum[1:])
         nonascii = (hcum[ends_all] - hcum[starts_all]) > 0
         if nonascii.any():
+            # merge by permutation take — one scalar decode per non-ASCII
+            # row, the ASCII majority stays Arrow end to end (a 500k-group
+            # report with ONE accented key must not round-trip through
+            # Python lists)
             ascii_mask = ~nonascii
-            out = [None] * n
-            if ascii_mask.any():
-                sub = decode_key_display_array(arr.filter(pa.array(ascii_mask)))
-                for i, v in zip(np.flatnonzero(ascii_mask), sub.to_pylist()):
-                    out[i] = v
-            for i in np.flatnonzero(nonascii):
-                out[i] = decode_key_display(arr[int(i)].as_py())
-            return pa.array(out, pa.string())
+            sub = (
+                decode_key_display_array(arr.filter(pa.array(ascii_mask)))
+                if ascii_mask.any()
+                else pa.array([], pa.string())
+            )
+            hard = pa.array(
+                [decode_key_display(v) for v in arr.filter(pa.array(nonascii)).to_pylist()],
+                pa.string(),
+            )
+            combined = pa.concat_arrays([sub, hard])
+            perm = np.empty(n, dtype=np.int64)
+            perm[ascii_mask] = np.arange(len(sub), dtype=np.int64)
+            perm[nonascii] = len(sub) + np.arange(len(hard), dtype=np.int64)
+            return combined.take(pa.array(perm))
     valid = np.ones(n, dtype=bool)
 
     cur = starts_all.copy()

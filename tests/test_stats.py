@@ -92,3 +92,54 @@ def test_quantiles_nchars_matches_dd_sql_replay(ray_session):
     )
     ora = con.execute(E.oracle_sql()["quantiles_nchars"]).df().reset_index(drop=True)
     assert ray_df.equals(ora)
+
+
+def test_quantiles_nchars_no_positive_values_matches_oracle(ray_session, tmp_path):
+    """No positive n_chars → engine returns 0 rows, exactly like the
+    oracle's WHERE x>0 (previously int(NaN) crashed)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({"n_chars": pa.array([0, 0, None, -3], pa.int64())}),
+        f"{d}/documents.parquet",
+    )
+    ray_df = E.queries()["quantiles_nchars"](d).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    ora = con.execute(E.oracle_sql()["quantiles_nchars"]).df()
+    assert len(ray_df) == 0 == len(ora)
+    assert list(ray_df.columns) == ["q", "value_micro"]
+
+
+def test_psi_terms_lang_null_doc_id_and_lang_match_oracle(ray_session, tmp_path):
+    """Null doc_id / null lang rows are excluded on BOTH sides (the oracle's
+    %2 predicate and IS NOT NULL filter drop them)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, None, 6], pa.int64()),
+                "lang": pa.array(["en", "en", "de", "de", "en", None]),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    ray_df = E.queries()["psi_terms_lang"](d).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    ora = con.execute(E.oracle_sql()["psi_terms_lang"]).df().reset_index(drop=True)
+    assert ray_df.equals(ora)
+    assert ray_df["e_count"].sum() == 2 and ray_df["a_count"].sum() == 2
