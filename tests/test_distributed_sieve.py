@@ -423,3 +423,65 @@ def test_tree_sieve_end_to_end_matches_pairwise(ray_session, tmp_path, monkeypat
     # 5 win keys (3 copies each) + cross keys shared between adjacent
     # partitions (p*3..p*3+6 overlaps the next partition's start by 3)
     assert uv and uv[0]["count"] == 5 + 4 * 3
+
+
+def test_tree_sieve_resume_after_kill_byte_identical(
+    ray_session, tmp_path, monkeypatch
+):
+    """Interrupted run resumed in TREE mode (cap forced below the partition
+    count): pre-committed partitions feed the merge tree up front, new ones
+    as they commit — the merged report must be byte-identical to an
+    uninterrupted tree run and to the pairwise run."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from fdpg_query_data_validation_ray.pipelines.validate import (
+        ValidationPlan,
+        run_validation,
+    )
+    from fdpg_query_data_validation_ray.rules import Rule, Suite
+    from fdpg_query_data_validation_ray.state import checkpoint as cp
+
+    files = []
+    for p in range(6):
+        ks = [f"cross{(p * 2 + i) % 9}" for i in range(4)] + [
+            f"u{p}_{i}" for i in range(40)
+        ]
+        f = str(tmp_path / f"in{p}.parquet")
+        pq.write_table(pa.table({"k": ks, "v": list(range(len(ks)))}), f)
+        files.append(f)
+    suite = Suite("s", [Rule("not_null", "v")], key_columns=("k",))
+
+    def run(out, cap):
+        monkeypatch.setenv("QDV_PAIRWISE_MAX_PARTS", cap)
+        plan = ValidationPlan(suite=suite, unique_keys=["k"])
+        return run_validation(files, str(tmp_path / out), plan, num_partitions=6)
+
+    ref_pair = run("pairwise", "40")
+    ref_tree = run("tree_full", "1")
+    assert json.dumps(ref_pair, sort_keys=True) == json.dumps(ref_tree, sort_keys=True)
+
+    # interrupted run (threads dispatch so the monkeypatched commit is seen),
+    # then a TREE-mode resume under task dispatch
+    monkeypatch.setenv("QDV_PARTITION_DISPATCH", "threads")
+    orig = cp.RunManifest.commit_partition
+    calls = {"n": 0}
+
+    def dying(self, pid, verdict, tmp_dir):
+        if calls["n"] >= 3:
+            raise RuntimeError("simulated crash")
+        calls["n"] += 1
+        return orig(self, pid, verdict, tmp_dir)
+
+    monkeypatch.setattr(cp.RunManifest, "commit_partition", dying)
+    with pytest.raises(RuntimeError):
+        run("resumed", "1")
+    monkeypatch.setattr(cp.RunManifest, "commit_partition", orig)
+    monkeypatch.delenv("QDV_PARTITION_DISPATCH", raising=False)
+    m = cp.RunManifest(str(tmp_path / "resumed"))
+    assert len(m.completed_partitions()) == 3  # partial progress persisted
+
+    resumed = run("resumed", "1")
+    monkeypatch.delenv("QDV_PAIRWISE_MAX_PARTS", raising=False)
+    assert json.dumps(resumed, sort_keys=True) == json.dumps(ref_tree, sort_keys=True)
