@@ -165,6 +165,20 @@ def oracle_sql() -> dict[str, str]:
         # 2*exp(k*lg)/(exp(lg)+1) in fixed-point micro-units
         # (FLOOR(v*1e6+0.5) — same IEEE ops both sides; ROUND()/round()
         # disagree at half-grid boundaries).
+        # frame-sampling replay: the sampled (doc_id, frame_index, width,
+        # height) set is a pure formula of doc_id (1 + doc_id%4 frames,
+        # every 2nd sampled, frame f sized (8+doc_id%8) x (8+f%8)) — the
+        # engine derives it by demuxing + decoding REAL BMP container
+        # bytes; the oracle replays the formula with generate_series.
+        "multimodal_frames": """
+            SELECT doc_id,
+                   unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT), 2))
+                       AS frame_index,
+                   CAST(8 + doc_id % 8 AS BIGINT) AS width,
+                   8 + unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT), 2)) % 8
+                       AS height
+            FROM documents
+        """,
         # drift-PSI formula replay: exact integer counts per half + the
         # engine's per-category term (a-e)*ln(a/e) with the 1e-6 clamp, in
         # the SAME expression order (per-row terms — no sum-order float

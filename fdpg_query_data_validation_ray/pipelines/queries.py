@@ -967,6 +967,57 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Frame-sampling over multi-frame binary payloads (the video-pipeline
+    shape): deterministic fake "videos" — 1 + doc_id%4 concatenated real BMP
+    frames, frame f sized (8 + doc_id%8) × (8 + f%8) — demuxed by
+    split_frames from the container bytes alone, every-2nd-frame sampling,
+    sampled frames decoded in an actor pool. Oracle-checkable because the
+    sampled (doc_id, frame_index, width, height) set is a pure formula of
+    doc_id, replayed with generate_series in SQL — the plumbing (explode
+    layout, batch size, actor signature) is the part under test."""
+    import numpy as np
+
+    from fdpg_query_data_validation_ray.stages.multimodal import (
+        FrameSampleStage,
+        encode_bmp_gray,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def attach_video(t: pa.Table) -> pa.Table:
+        payloads = []
+        for i in t["doc_id"].to_pylist():
+            n_frames = 1 + int(i) % 4
+            w = 8 + int(i) % 8
+            rng = np.random.default_rng(int(i))
+            payloads.append(
+                b"".join(
+                    encode_bmp_gray(
+                        rng.integers(0, 256, (8 + f % 8, w), dtype=np.uint8)
+                    )
+                    for f in range(n_frames)
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return (
+        ds.map_batches(attach_video, batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs=dict(every=2),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+    )
+
+
 def q_stats_sketches(sf_dir: str):
     """HLL distinct + DDSketch quantiles per documents column (approximate —
     no SQL oracle for the HLL; the DD quantile math itself IS oracle-checked
@@ -1289,6 +1340,7 @@ QUERIES = {
     "stats_sketches": q_stats_sketches,
     "quantiles_nchars": q_quantiles_nchars,
     "psi_terms_lang": q_psi_terms_lang,
+    "multimodal_frames": q_multimodal_frames,
     "corpus_validate": q_corpus_validate,
 }
 

@@ -188,3 +188,66 @@ def frame_sample_plan(n_frames: int, every: int) -> list[int]:
     """Deterministic frame-sampling indices for a video payload (plumbing for
     a future ffmpeg-backed stage)."""
     return list(range(0, n_frames, max(1, every)))
+
+
+def split_frames(buf: bytes) -> list[bytes]:
+    """Split a multi-frame payload (concatenated BMP frames — the container
+    seam a real demuxer would replace) into per-frame byte slices, using each
+    frame's own declared file size (bytes 2-6 of the BMP file header). A
+    malformed boundary ends the scan: the frames parsed so far are returned
+    (bad payload tails must not kill the batch)."""
+    frames: list[bytes] = []
+    if buf is None:
+        return frames
+    off, n = 0, len(buf)
+    while off + _BMP_FILE_HDR.size <= n:
+        magic, fsize, _r1, _r2, _do = _BMP_FILE_HDR.unpack_from(buf, off)
+        if magic != b"BM" or fsize <= _BMP_FILE_HDR.size or off + fsize > n:
+            break
+        frames.append(bytes(buf[off : off + fsize]))
+        off += fsize
+    return frames
+
+
+class FrameSampleStage:
+    """Multi-frame binary payload → one row per SAMPLED frame.
+
+    The video-pipeline shape from the mandate: an actor-pool map_batches
+    stage that (a) parses frame boundaries out of the container bytes
+    (split_frames — an ffmpeg demuxer would slot in here), (b) applies the
+    deterministic sampling plan (every Nth frame, frame_sample_plan), and
+    (c) decodes ONLY the sampled frames, emitting
+    (id, frame_index, width, height) rows — a flat_map-shaped explode done
+    inside map_batches so the output stays one Arrow table per batch.
+    Per-row Python iteration is inherent to variable-size binary payloads
+    (same argument as DecodeStage); keep batches small for fat rows."""
+
+    def __init__(self, every: int = 2, binary_column: str = "payload",
+                 id_column: str = "doc_id"):
+        self.every = max(1, every)
+        self.binary_column = binary_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: list = []
+        fidx_out: list[int] = []
+        w_out: list[int | None] = []
+        h_out: list[int | None] = []
+        ids = batch[self.id_column].to_pylist()
+        payloads = batch[self.binary_column].to_pylist()
+        for rid, buf in zip(ids, payloads):
+            frames = split_frames(buf)
+            for fi in frame_sample_plan(len(frames), self.every):
+                dec = decode_bmp(frames[fi])
+                ids_out.append(rid)
+                fidx_out.append(fi)
+                w_out.append(dec[0] if dec else None)
+                h_out.append(dec[1] if dec else None)
+        return pa.table(
+            {
+                self.id_column: pa.array(ids_out, batch[self.id_column].type),
+                "frame_index": pa.array(fidx_out, pa.int64()),
+                "width": pa.array(w_out, pa.int64()),
+                "height": pa.array(h_out, pa.int64()),
+            }
+        )

@@ -295,3 +295,50 @@ def test_fingerprint_batch_matches_per_doc_reference():
         == np.array(mins, dtype=np.uint64).view(np.int64)
     ).all()
     assert (out["n_fingerprints"].to_numpy() == np.array(counts)).all()
+
+
+def test_split_frames_and_frame_sample_stage():
+    """Container split by declared BMP sizes; sampled frames decode; bad
+    tails end the scan without killing the row."""
+    import numpy as np
+
+    from fdpg_query_data_validation_ray.stages.multimodal import (
+        FrameSampleStage,
+        encode_bmp_gray,
+        split_frames,
+    )
+
+    rng = np.random.default_rng(0)
+    frames = [encode_bmp_gray(rng.integers(0, 256, (8 + f, 10), dtype=np.uint8))
+              for f in range(5)]
+    buf = b"".join(frames)
+    assert split_frames(buf) == frames
+    assert split_frames(buf + b"garbage") == frames  # bad tail dropped
+    assert split_frames(b"") == [] and split_frames(None) == []
+
+    t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "payload": pa.array([buf], pa.binary())})
+    out = FrameSampleStage(every=2)(t)
+    assert out["frame_index"].to_pylist() == [0, 2, 4]
+    assert out["width"].to_pylist() == [10, 10, 10]
+    assert out["height"].to_pylist() == [8, 10, 12]
+
+
+def test_multimodal_frames_matches_formula_oracle(ray_session):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    d = "/root/testdata/sf0.001"
+    r = E.queries()["multimodal_frames"](d)
+    ray_df = (r.to_pandas() if hasattr(r, "to_pandas") else r)
+    ray_df = ray_df.sort_values(["doc_id", "frame_index"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    ora = (
+        con.execute(E.oracle_sql()["multimodal_frames"]).df()
+        .sort_values(["doc_id", "frame_index"]).reset_index(drop=True)
+    )
+    assert ray_df.equals(ora)
