@@ -74,6 +74,7 @@ HEADLINE = [
     "quality_docs",
     "fingerprint_docs",
     "multimodal_decode",
+    "multimodal_frames",
     # round 3 additions: pair→cluster dedup resolution (LSH scale path),
     # embedding keep-one, deterministic split/sample, normalization.
     # dedup_clusters / dedup_jaccard_keep stay OUT of the headline: their

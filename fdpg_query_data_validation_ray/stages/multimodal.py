@@ -60,19 +60,42 @@ def encode_bmp_gray(pixels: np.ndarray) -> bytes:
     return fhdr + info + bytes(palette) + data
 
 
+def _bmp_header(buf, off: int = 0):
+    """Validated BMP header parse shared by decode_bmp / split_frames /
+    the header-only dims path: (fsize, data_offset, hdr_size, w, h_signed,
+    bpp, n_colors) or None. Performs exactly decode_bmp's header checks so
+    every consumer agrees on what counts as a BMP."""
+    if buf is None or off + _BMP_FILE_HDR.size + _BMP_INFO_HDR.size > len(buf):
+        return None
+    magic, fsize, _r1, _r2, offset = _BMP_FILE_HDR.unpack_from(buf, off)
+    if magic != b"BM":
+        return None
+    (hdr_size, w, h, planes, bpp, compression, _isize, _xp, _yp, n_colors,
+     _imp) = _BMP_INFO_HDR.unpack_from(buf, off + _BMP_FILE_HDR.size)
+    if hdr_size < 40 or planes != 1 or compression != 0 or w <= 0 or h == 0:
+        return None
+    return fsize, offset, hdr_size, w, h, bpp, n_colors
+
+
+def bmp_dims(buf) -> tuple[int, int] | None:
+    """Header-only (width, height) — no pixel materialization. None exactly
+    when the header checks decode_bmp performs fail (pixel-data bounds are
+    still only checked by the full decode)."""
+    hdr = _bmp_header(buf)
+    if hdr is None:
+        return None
+    _fs, _off, _hs, w, h, _bpp, _nc = hdr
+    return w, abs(h)
+
+
 def decode_bmp(buf: bytes) -> tuple[int, int, np.ndarray] | None:
     """Uncompressed BMP (8-bit palette or 24-bit BI_RGB, bottom-up or
     top-down) → (width, height, grayscale (h × w) float array). None for
     anything that is not a decodable BMP. Pure struct + numpy."""
-    if buf is None or len(buf) < _BMP_FILE_HDR.size + _BMP_INFO_HDR.size:
+    hdr = _bmp_header(buf)
+    if hdr is None:
         return None
-    magic, _fsize, _r1, _r2, offset = _BMP_FILE_HDR.unpack_from(buf, 0)
-    if magic != b"BM":
-        return None
-    (hdr_size, w, h, planes, bpp, compression, _isize, _xp, _yp, n_colors,
-     _imp) = _BMP_INFO_HDR.unpack_from(buf, _BMP_FILE_HDR.size)
-    if hdr_size < 40 or planes != 1 or compression != 0 or w <= 0 or h == 0:
-        return None
+    _fsize, offset, hdr_size, w, h, bpp, n_colors = hdr
     top_down = h < 0
     h = abs(h)
     if bpp == 8:
@@ -200,9 +223,15 @@ def split_frames(buf: bytes) -> list[bytes]:
     if buf is None:
         return frames
     off, n = 0, len(buf)
-    while off + _BMP_FILE_HDR.size <= n:
-        magic, fsize, _r1, _r2, _do = _BMP_FILE_HDR.unpack_from(buf, off)
-        if magic != b"BM" or fsize <= _BMP_FILE_HDR.size or off + fsize > n:
+    while off < n:
+        # full header validation (not just the 'BM' magic): plausible
+        # garbage starting with 'BM' must end the scan, not become a
+        # phantom frame that misaligns every boundary after it
+        hdr = _bmp_header(buf, off)
+        if hdr is None:
+            break
+        fsize = hdr[0]
+        if fsize <= _BMP_FILE_HDR.size + _BMP_INFO_HDR.size or off + fsize > n:
             break
         frames.append(bytes(buf[off : off + fsize]))
         off += fsize
@@ -238,11 +267,15 @@ class FrameSampleStage:
         for rid, buf in zip(ids, payloads):
             frames = split_frames(buf)
             for fi in frame_sample_plan(len(frames), self.every):
-                dec = decode_bmp(frames[fi])
+                # header-only dims: this stage emits metadata, so it must
+                # not materialize each frame's pixel array (chain
+                # DecodeStage on the sampled frames when features are
+                # actually needed)
+                dims = bmp_dims(frames[fi])
                 ids_out.append(rid)
                 fidx_out.append(fi)
-                w_out.append(dec[0] if dec else None)
-                h_out.append(dec[1] if dec else None)
+                w_out.append(dims[0] if dims else None)
+                h_out.append(dims[1] if dims else None)
         return pa.table(
             {
                 self.id_column: pa.array(ids_out, batch[self.id_column].type),

@@ -342,3 +342,20 @@ def test_multimodal_frames_matches_formula_oracle(ray_session):
         .sort_values(["doc_id", "frame_index"]).reset_index(drop=True)
     )
     assert ray_df.equals(ora)
+
+
+def test_split_frames_rejects_plausible_garbage_boundary():
+    """A tail starting with 'BM' but failing the info-header checks must end
+    the scan (no phantom frames, no misaligned real frames)."""
+    import struct
+
+    import numpy as np
+
+    from fdpg_query_data_validation_ray.stages.multimodal import (
+        encode_bmp_gray,
+        split_frames,
+    )
+
+    frame = encode_bmp_gray(np.zeros((8, 8), dtype=np.uint8))
+    garbage = b"BM" + struct.pack("<I", 20) + b"\x00" * 60  # bad info header
+    assert split_frames(frame + garbage) == [frame]
