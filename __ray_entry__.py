@@ -165,6 +165,33 @@ def oracle_sql() -> dict[str, str]:
         # 2*exp(k*lg)/(exp(lg)+1) in fixed-point micro-units
         # (FLOOR(v*1e6+0.5) — same IEEE ops both sides; ROUND()/round()
         # disagree at half-grid boundaries).
+        # sequence-packing replay: concat-and-chunk in doc_id order; each
+        # doc's global token offset is a window cumsum, and it belongs to
+        # every 1024-token window its span [start, start+tokens) overlaps.
+        # The engine computes the same offsets with a range-partitioned
+        # distributed prefix sum (stages/pack.py) — no global sort.
+        "pack_sequences": """
+            WITH d AS (
+                SELECT doc_id, 1 + n_chars // 4 AS tokens
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                  AND 1 + n_chars // 4 > 0
+            ),
+            o AS (
+                SELECT doc_id, tokens,
+                       COALESCE(SUM(tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS start
+                FROM d
+            )
+            SELECT doc_id,
+                   unnest(generate_series(
+                       CAST(start // 1024 AS BIGINT),
+                       CAST((start + tokens - 1) // 1024 AS BIGINT)
+                   )) AS seq_id
+            FROM o
+        """,
         # frame-sampling replay: the sampled (doc_id, frame_index, width,
         # height) set is a pure formula of doc_id (1 + doc_id%4 frames,
         # every 2nd sampled, frame f sized (8+doc_id%8) x (8+f%8)) — the

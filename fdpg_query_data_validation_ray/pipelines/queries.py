@@ -967,6 +967,27 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing of the documents corpus into
+    1024-token training sequences (tokens = 1 + n_chars//4), via the
+    range-partitioned distributed prefix sum in stages/pack.py. Exact SQL
+    oracle: window cumsum + generate_series over each doc's span."""
+    from fdpg_query_data_validation_ray.stages.pack import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "tokens": pc.add(
+                    pc.divide(pc.cast(t["n_chars"], pa.int64()), 4), 1
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return pack_sequences(ds, "doc_id", "tokens", budget=1024, n_ranges=64)
+
+
 def q_multimodal_frames(sf_dir: str):
     """Frame-sampling over multi-frame binary payloads (the video-pipeline
     shape): deterministic fake "videos" — 1 + doc_id%4 concatenated real BMP
@@ -1341,6 +1362,7 @@ QUERIES = {
     "quantiles_nchars": q_quantiles_nchars,
     "psi_terms_lang": q_psi_terms_lang,
     "multimodal_frames": q_multimodal_frames,
+    "pack_sequences": q_pack_sequences,
     "corpus_validate": q_corpus_validate,
 }
 
