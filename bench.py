@@ -75,6 +75,7 @@ HEADLINE = [
     "fingerprint_docs",
     "multimodal_decode",
     "multimodal_frames",
+    "pack_sequences",
     # round 3 additions: pair→cluster dedup resolution (LSH scale path),
     # embedding keep-one, deterministic split/sample, normalization.
     # dedup_clusters / dedup_jaccard_keep stay OUT of the headline: their
