@@ -102,6 +102,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang, {_h60.format(salt="sample")} AS h FROM documents
             ) WHERE h < {_sample_t}::UBIGINT
         """,
+        # weighted mixture replay: per-source-salted md5 Bernoulli filters,
+        # UNION ALL. en rate 1.0 keeps every row (h is 60-bit); rest rate
+        # 0.25 -> threshold 2^58 exactly (int(0.25 * 2^60))
+        "mixture_docs": f"""
+            SELECT doc_id, lang, 'en' AS source FROM documents
+            WHERE lang = 'en'
+            UNION ALL
+            SELECT doc_id, lang, 'rest' AS source FROM (
+                SELECT doc_id, lang, {_h60.format(salt="mix|rest")} AS h
+                FROM documents WHERE lang <> 'en'
+            ) WHERE h < {int(0.25 * _SCALE)}::UBIGINT
+        """,
         "normalize_docs": r"""
             SELECT doc_id,
                    trim(regexp_replace(lower(nfc_normalize(text)),

@@ -1311,9 +1311,35 @@ def q_sample_docs(sf_dir: str):
     )
 
 
+def q_mixture_docs(sf_dir: str):
+    """Weighted corpus mixture (pretraining data mixing, stages/split.py):
+    all English docs (rate 1.0) + a deterministic 25% of the rest, tagged by
+    source and unioned lazily (Dataset.union, no shuffle). Oracle is the
+    UNION ALL of the two md5-predicate selects."""
+    from fdpg_query_data_validation_ray.stages.split import mixture
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    en = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")), batch_format="pyarrow"
+    )
+    rest = ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["lang"], "en")), batch_format="pyarrow"
+    )
+    out = mixture([("en", en, 1.0), ("rest", rest, 0.25)], "doc_id")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang", "source"]).cast(
+            pa.schema(
+                [("doc_id", pa.int64()), ("lang", pa.string()), ("source", pa.string())]
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
+    "mixture_docs": q_mixture_docs,
     "row_checks_documents": q_row_checks_documents,
     "events_asof_purchase": q_events_asof_purchase,
     "events_sessionize": q_events_sessionize,

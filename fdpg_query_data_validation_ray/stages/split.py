@@ -83,3 +83,39 @@ def sample_fraction(ds, id_column: str, fraction: float, salt: str = "sample"):
         return batch.filter(pa.array(h < threshold))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def mixture(
+    sources,
+    id_column: str,
+    salt: str = "mix",
+    source_column: str = "source",
+):
+    """Weighted corpus mixture (the pretraining data-mixing op): each source
+    contributes a deterministic Bernoulli(rate) sample of its rows, tagged
+    with its name, and the tagged streams union into one Dataset.
+
+    `sources` is [(name, ds, rate), ...] with rate in [0, 1]. Sampling is
+    keyed on md5_low60(f"{salt}|{name}|{id}") — per-source-independent,
+    stable under re-runs/repartitioning/corpus growth (same contract as
+    sample_fraction), and exactly replayable in SQL (UNION ALL of
+    md5-predicate selects). `Dataset.union` concatenates lazily — no
+    shuffle; the streaming executor pulls blocks from each operand."""
+    tagged = []
+    for name, ds, rate in sources:
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate must be in [0, 1]: {name}={rate}")
+        threshold = np.uint64(int(rate * _SCALE))
+
+        def keep(batch: pa.Table, _n=name, _t=threshold) -> pa.Table:
+            h = _row_hashes(batch, id_column, f"{salt}|{_n}")
+            out = batch.filter(pa.array(h < _t))
+            return out.append_column(
+                source_column, pa.array([_n] * out.num_rows, pa.string())
+            )
+
+        tagged.append(ds.map_batches(keep, batch_format="pyarrow"))
+    if not tagged:
+        raise ValueError("mixture needs at least one source")
+    out = tagged[0]
+    return out.union(*tagged[1:]) if len(tagged) > 1 else out

@@ -89,3 +89,47 @@ def test_split_validation_errors():
         import ray.data as rd  # noqa: F401
 
         sample_fraction(None, "id", 1.5)
+
+
+def test_mixture_weighted_union(ray_session):
+    """Mixture: rates honored deterministically, source tags correct, rate
+    1.0 keeps everything, repeated runs identical."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.split import mixture
+
+    a = rd.from_items([{"id": i, "src_val": "a"} for i in range(400)])
+    b = rd.from_items([{"id": i, "src_val": "b"} for i in range(400)])
+
+    def run():
+        out = mixture([("a", a, 1.0), ("b", b, 0.3)], "id")
+        return out.to_pandas().sort_values(["source", "id"]).reset_index(drop=True)
+
+    r1, r2 = run(), run()
+    assert r1.equals(r2)  # deterministic
+    na = (r1["source"] == "a").sum()
+    nb = (r1["source"] == "b").sum()
+    assert na == 400  # rate 1.0 keeps all
+    assert 60 <= nb <= 180  # Bernoulli(0.3) of 400, generous bounds
+    # per-source salting: 'b' keeps a DIFFERENT subset than rate-matched 'a'
+    out2 = mixture([("b", b, 0.3)], "id").to_pandas()
+    assert set(out2["id"]) == set(r1[r1["source"] == "b"]["id"])
+
+
+def test_mixture_docs_matches_sql_oracle(ray_session):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    d = "/root/testdata/sf0.001"
+    r = E.queries()["mixture_docs"](d)
+    ray_df = r.to_pandas().sort_values(["doc_id", "source"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    ora = (
+        con.execute(E.oracle_sql()["mixture_docs"]).df()
+        .sort_values(["doc_id", "source"]).reset_index(drop=True)
+    )
+    assert ray_df.equals(ora)
