@@ -86,6 +86,18 @@ HEADLINE = [
     "split_docs",
     "sample_docs",
     "normalize_docs",
+    # late round-3: the remaining cheap oracle-checked queries, so the
+    # headline covers the full surface (only the O(n²)-by-design exact
+    # jaccard family stays out — see the note above).
+    "dedup_exact_props",
+    "dedup_keep_first",
+    "events_hourly_moving",
+    "events_props_k",
+    "mixture_docs",
+    "parts_by_brand_size",
+    "psi_terms_lang",
+    "supplier_balance_by_region",
+    "top_words",
 ]
 
 
