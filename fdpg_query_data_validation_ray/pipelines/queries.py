@@ -592,22 +592,32 @@ def q_dedup_simhash(sf_dir: str):
 
 
 def q_dedup_ngram_jaccard(sf_dir: str):
-    from fdpg_query_data_validation_ray.stages.dedup import ngram_jaccard_pairs
+    """Exact n-gram-Jaccard near-dup pairs via the bucket-scoped scale path
+    (LSH candidates → exact verify inside buckets, stages/dedup.py
+    jaccard_verify_buckets) — the whole-language O(n²) groupby is gone from
+    every shipped query; ngram_jaccard_pairs remains as the small-scale
+    reference verifier used by the parity tests."""
+    from fdpg_query_data_validation_ray.stages.dedup import jaccard_verify_buckets
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    return ngram_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.5)
+    return jaccard_verify_buckets(
+        ds, "text", "doc_id", threshold=0.5, group_column="lang"
+    )
 
 
 def q_dedup_clusters(sf_dir: str):
-    """Near-dup cluster labels: exact n-gram-Jaccard pairs (per-lang) →
-    connected components → (doc_id, cluster_id = min member id). The
-    oracle is a DuckDB recursive-CTE transitive closure over the SAME
-    exact-jaccard pair set, so the component labels are hash-checked."""
+    """Near-dup cluster labels: exact n-gram-Jaccard pairs (bucket-scoped
+    verify, same-lang constraint) → connected components → (doc_id,
+    cluster_id = min member id). The oracle is a DuckDB recursive-CTE
+    transitive closure over the SAME exact-jaccard pair set, so the
+    component labels are hash-checked."""
     from fdpg_query_data_validation_ray.stages.cluster import connected_components
-    from fdpg_query_data_validation_ray.stages.dedup import ngram_jaccard_pairs
+    from fdpg_query_data_validation_ray.stages.dedup import jaccard_verify_buckets
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    pairs = ngram_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.5)
+    pairs = jaccard_verify_buckets(
+        ds, "text", "doc_id", threshold=0.5, group_column="lang"
+    )
     labels = connected_components(pairs)
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_id"]),
@@ -617,15 +627,18 @@ def q_dedup_clusters(sf_dir: str):
 
 def q_dedup_jaccard_keep(sf_dir: str):
     """Materializing fuzzy dedup with an exact verifier: drop every doc that
-    is a non-minimum member of an exact-jaccard near-dup component. The
-    fuzzy keep-one analog of dedup_keep_first, oracle-checked end to end."""
+    is a non-minimum member of an exact-jaccard near-dup component (pairs
+    from the bucket-scoped verify). The fuzzy keep-one analog of
+    dedup_keep_first, oracle-checked end to end."""
     from fdpg_query_data_validation_ray.stages.cluster import (
         dedup_keep_representative,
     )
-    from fdpg_query_data_validation_ray.stages.dedup import ngram_jaccard_pairs
+    from fdpg_query_data_validation_ray.stages.dedup import jaccard_verify_buckets
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).materialize()
-    pairs = ngram_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.5)
+    pairs = jaccard_verify_buckets(
+        ds, "text", "doc_id", threshold=0.5, group_column="lang"
+    )
     kept = dedup_keep_representative(ds, pairs, "doc_id")
     return kept.map_batches(
         lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow"

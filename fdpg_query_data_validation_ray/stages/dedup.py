@@ -959,3 +959,150 @@ def ngram_jaccard_pairs(
     return ds.select_columns([id_column, text_column, group_column]).groupby(
         group_column
     ).map_groups(group_pairs, batch_format="pandas")
+
+
+# 64 bands × 2 rows for the EXACT-verify path: P(miss) at signature agreement
+# s=0.5 is (1−0.25)^64 ≈ 1e−8, effectively zero above it, so the exact
+# verifier sees every pair the whole-corpus O(n²) pass would see; the extra
+# false-positive candidates r=2 admits are free (the verify is exact).
+VERIFY_BANDS = 64
+
+
+def jaccard_verify_buckets(
+    ds,
+    text_column: str,
+    id_column: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    group_column: str | None = None,
+    bands: int = VERIFY_BANDS,
+    payload_width: int = 2048,
+):
+    """Scale path for EXACT n-gram-Jaccard near-dup pairs: the same verifier
+    as ngram_jaccard_pairs, but run inside MinHash-LSH buckets instead of
+    whole-`group_column` all-pairs groups — no worker ever holds a whole
+    language's corpus, and the quadratic work is per-bucket, not per-group.
+
+    Shape (reusing the minhash machinery end to end):
+      signatures (1 row/doc, materialized once)
+      → BandExplodeStage: bare (band, bucket, doc_id) 28 B rows
+      → _sieve_multi_buckets: singleton buckets never reach an exchange
+      → _attach_payload: text (+ group) re-attached to the small survivor set
+      → coarse-part verify: ONE lexsort per part; per bucket, canonical-band
+        suppression (band hashes re-derived from the attached texts, so a
+        pair is emitted by exactly one band — no pair-dedup shuffle) then the
+        EXACT ngram-set Jaccard with a per-part set cache.
+
+    `group_column` constrains pairs to equal group values (the oracle's
+    `ON a.lang = b.lang` join); candidates from cross-group bucket
+    collisions are dropped in the verify. Output (id_a, id_b, jaccard) is
+    exactly the ≥-threshold subset of the LSH candidates — with the default
+    64×2 banding that is the full exact pair set up to a ~1e−8 per-pair
+    miss probability (see VERIFY_BANDS).
+    """
+    import ray.data as rd
+
+    payload_columns = [text_column] + ([group_column] if group_column else [])
+    try:
+        in_schema = ds.schema().base_schema
+        payload_fields = [(id_column, pa.int64())] + [
+            (c, in_schema.field(c).type) for c in payload_columns
+        ]
+    except Exception:
+        payload_fields = [(id_column, pa.int64())] + [
+            (c, pa.string()) for c in payload_columns
+        ]
+    payload_schema = pa.schema(
+        [("doc_id" if n == id_column else n, t) for n, t in payload_fields]
+    )
+
+    sigs = ds.map_batches(
+        MinHashSignatureStage(
+            text_column=text_column, id_column=id_column, shingle_n=shingle_n
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    exploded = sigs.map_batches(BandExplodeStage(bands=bands), batch_format="pyarrow")
+    sieved, n_multi = _sieve_multi_buckets(exploded, "bucket")
+    if sieved is None:
+        return rd.from_arrow(_empty_pairs_arrow("jaccard", pa.float64()))
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_column] + payload_columns)
+        return t.rename_columns(["doc_id"] + payload_columns)
+
+    payload_ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    attached = _attach_payload(
+        sieved, payload_ds, key="doc_id", payload_columns=payload_columns,
+        payload_schema=payload_schema, payload_width=payload_width,
+    )
+
+    def part_pairs(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
+            return _empty_pairs_arrow("jaccard", pa.float64())
+        ids_all = part["doc_id"].to_numpy()
+        bucket = part["bucket"].to_numpy()
+        band_all = part["band"].to_numpy()
+        # unique docs in this part: texts / band hashes / ngram sets are
+        # computed once per doc, not once per (band, bucket) appearance
+        uniq_ids, first_ix = np.unique(ids_all, return_index=True)
+        texts_u = part[text_column].take(pa.array(first_ix)).to_pylist()
+        groups_u = (
+            np.asarray(part[group_column].take(pa.array(first_ix)).to_pylist(),
+                       dtype=object)
+            if group_column
+            else None
+        )
+        sig16_u = (
+            minhash_signatures(texts_u, shingle_n) & np.uint64(0xFFFF)
+        ).astype(np.uint16)
+        bh_u = _band_hashes(sig16_u, bands)
+        u_of_row = np.searchsorted(uniq_ids, ids_all)
+        set_cache: dict[int, set] = {}
+
+        def nset(ui: int) -> set:
+            s = set_cache.get(ui)
+            if s is None:
+                s = ngram_set(texts_u[ui], shingle_n)
+                set_cache[ui] = s
+            return s
+
+        out_a, out_b, out_j = [], [], []
+        for rows in _iter_bucket_groups(bucket, ids_all):
+            band = int(band_all[rows[0]])
+            u = u_of_row[rows]
+            ia, ib = np.triu_indices(len(rows), k=1)
+            if band > 0:
+                bh = bh_u[u][:, :band]
+                fresh = ~(bh[ia] == bh[ib]).any(axis=1)
+                ia, ib = ia[fresh], ib[fresh]
+            if groups_u is not None and len(ia):
+                g = groups_u[u]
+                same = g[ia] == g[ib]
+                ia, ib = ia[same], ib[same]
+            if not len(ia):
+                continue
+            ids = ids_all[rows]
+            for i, j in zip(ia.tolist(), ib.tolist()):
+                s = jaccard(nset(int(u[i])), nset(int(u[j])))
+                if s >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_j.append(s)
+        if not out_a:
+            return _empty_pairs_arrow("jaccard", pa.float64())
+        return pa.table(
+            {
+                "id_a": pa.array(np.asarray(out_a, dtype=np.int64)),
+                "id_b": pa.array(np.asarray(out_b, dtype=np.int64)),
+                "jaccard": pa.array(np.asarray(out_j, dtype=np.float64)),
+            }
+        )
+
+    n_parts = _verify_parts()
+    return (
+        attached.map_batches(lambda t: _with_part(t, n_parts), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pyarrow")
+    )

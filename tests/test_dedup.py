@@ -122,3 +122,122 @@ def test_exact_dedup_cross_batch_full_row_duplicates(ray_session):
     out = exact_dedup(ds, "text", "doc_id").to_pandas().sort_values("doc_id")
     # a, b, dup (once, id 7), one null representative (min id 3)
     assert list(out["doc_id"]) == [1, 2, 3, 7]
+
+
+def test_jaccard_verify_buckets_parity(ray_session):
+    """The bucket-scoped exact verifier (LSH candidates → exact ngram-Jaccard
+    inside buckets) returns EXACTLY what the whole-group all-pairs reference
+    verifier returns on a multi-lang corpus — including the same-lang
+    constraint: identical texts in DIFFERENT langs must not pair."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.dedup import jaccard_verify_buckets
+
+    t = docs_table()
+    extra = pa.table(
+        {
+            "doc_id": [200, 201, 202, 203],
+            "text": [BASE, BASE, BASE.replace("cat", "kitten"), BASE],
+            "lang": ["de", "de", "de", "fr"],  # 203 same text, different lang
+        }
+    )
+    full = pa.concat_tables([t, extra])
+    ds = rd.from_arrow(full).repartition(5)
+    ref = (
+        ngram_jaccard_pairs(ds, "text", "doc_id", "lang", threshold=0.5)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    got = (
+        jaccard_verify_buckets(ds, "text", "doc_id", threshold=0.5, group_column="lang")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ref, got, check_exact=True)
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (200, 201) in pairs and (100, 203) not in pairs and (200, 203) not in pairs
+
+
+def test_jaccard_verify_buckets_giant_language(ray_session):
+    """One-giant-language fixture: 12k docs ALL in one lang. The old
+    whole-language groupby would put all 12k docs (and the 72M-pair loop) in
+    ONE worker group; the bucket-scoped path only ever groups LSH bucket
+    survivors. Asserts (a) the exact planted pair set comes back, (b) the
+    post-sieve survivor volume — the largest unit any worker holds — is a
+    tiny fraction of the corpus."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.dedup import (
+        BandExplodeStage,
+        MinHashSignatureStage,
+        VERIFY_BANDS,
+        _sieve_multi_buckets,
+        jaccard_verify_buckets,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i}" for i in range(50_000)])
+    n_background = 11_880
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(n_background)]
+    ids = list(range(n_background))
+    # 40 planted near-dup cliques of 3 (one word substituted per variant)
+    planted_ids, planted_texts = [], []
+    for c in range(40):
+        base_toks = rng.choice(vocab, size=30)
+        base = " ".join(base_toks)
+        v1 = base_toks.copy(); v1[5] = "subA"
+        v2 = base_toks.copy(); v2[17] = "subB"
+        for k, tx in enumerate([base, " ".join(v1), " ".join(v2)]):
+            planted_ids.append(1_000_000 + c * 10 + k)
+            planted_texts.append(tx)
+    all_ids = ids + planted_ids
+    all_texts = texts + planted_texts
+    tbl = pa.table(
+        {"doc_id": all_ids, "text": all_texts, "lang": ["xx"] * len(all_ids)}
+    )
+    ds = rd.from_arrow(tbl).repartition(8)
+    got = (
+        jaccard_verify_buckets(ds, "text", "doc_id", threshold=0.5, group_column="lang")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # ground truth: the reference verifier over just the planted docs
+    # (30-token docs over a 50k vocab: background cross-jaccard ≈ 0)
+    ref = (
+        ngram_jaccard_pairs(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": planted_ids,
+                        "text": planted_texts,
+                        "lang": ["xx"] * len(planted_ids),
+                    }
+                )
+            ),
+            "text",
+            "doc_id",
+            "lang",
+            threshold=0.5,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(ref) == 120  # 40 cliques × 3 pairs, all above 0.5
+    pd.testing.assert_frame_equal(ref, got, check_exact=True)
+
+    # scale shape: survivors of the singleton-bucket sieve are the ONLY rows
+    # that ever reach a verify worker — they must be a sliver of the corpus
+    sigs = ds.map_batches(
+        MinHashSignatureStage(text_column="text", id_column="doc_id"),
+        batch_format="pyarrow",
+    ).materialize()
+    exploded = sigs.map_batches(
+        BandExplodeStage(bands=VERIFY_BANDS), batch_format="pyarrow"
+    )
+    sieved, n_multi = _sieve_multi_buckets(exploded, "bucket")
+    n_survivors = sieved.count()
+    assert n_survivors < len(all_ids)  # << 12k docs × 64 bands = 768k rows
