@@ -1326,19 +1326,22 @@ def q_sample_docs(sf_dir: str):
 
 def q_mixture_docs(sf_dir: str):
     """Weighted corpus mixture (pretraining data mixing, stages/split.py):
-    all English docs (rate 1.0) + a deterministic 25% of the rest, tagged by
-    source and unioned lazily (Dataset.union, no shuffle). Oracle is the
-    UNION ALL of the two md5-predicate selects."""
-    from fdpg_query_data_validation_ray.stages.split import mixture
+    all English docs (rate 1.0) + a deterministic 25% of the rest. Single
+    pass: mixture_rules tags each row with its first matching rule and
+    applies the per-source hash threshold in ONE map_batches — the input is
+    scanned once (the old two-filtered-views union scanned it per source).
+    Oracle unchanged: UNION ALL of the two md5-predicate selects."""
+    from fdpg_query_data_validation_ray.stages.split import mixture_rules
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
-    en = ds.map_batches(
-        lambda t: t.filter(pc.equal(t["lang"], "en")), batch_format="pyarrow"
+    out = mixture_rules(
+        ds,
+        "doc_id",
+        [
+            ("en", lambda t: pc.equal(t["lang"], "en"), 1.0),
+            ("rest", None, 0.25),
+        ],
     )
-    rest = ds.map_batches(
-        lambda t: t.filter(pc.not_equal(t["lang"], "en")), batch_format="pyarrow"
-    )
-    out = mixture([("en", en, 1.0), ("rest", rest, 0.25)], "doc_id")
     return out.map_batches(
         lambda t: t.select(["doc_id", "lang", "source"]).cast(
             pa.schema(

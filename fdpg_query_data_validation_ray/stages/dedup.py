@@ -822,7 +822,11 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _POPCOUNT_TABLE[x].sum(axis=1).astype(np.int32)
 
 
-class SimHashStage:
+class SimHashSignatureStage:
+    """Text batch → compact (doc_id, simhash) rows: ONE row per doc. The
+    explode ships bare band triples; _attach_payload re-joins the signature
+    to post-sieve survivors (same payload-free discipline as minhash)."""
+
     def __init__(self, text_column: str, id_column: str):
         self.text_column = text_column
         self.id_column = id_column
@@ -830,20 +834,35 @@ class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_column).to_pylist()
         sig = simhash_signatures(texts)
-        # 4 bands × 16 bits: ≤3-bit-distant signatures always share ≥1 band
-        rows = {
-            "doc_id": [], "band": [], "bucket": [], "simhash": [],
-        }
-        ids = batch.column(self.id_column).to_pylist()
-        for band in range(4):
-            vals = (sig >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-            with np.errstate(over="ignore"):
-                bucket = mix64(vals ^ np.uint64(band + 1) * np.uint64(0x9E3779B97F4A7C15))
-            rows["doc_id"].extend(ids)
-            rows["band"].extend([band] * len(ids))
-            rows["bucket"].extend(bucket.view(np.int64).tolist())
-            rows["simhash"].extend(sig.view(np.int64).tolist())
-        return pa.table(rows)
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_column).cast(pa.int64()),
+                "simhash": pa.array(sig.view(np.int64)),
+            }
+        )
+
+
+class SimHashBandExplodeStage:
+    """(doc_id, simhash) → exploded (band, bucket, doc_id) rows — the 8-byte
+    simhash is NOT replicated into the 4 band rows. 4 bands × 16 bits:
+    ≤3-bit-distant signatures always share ≥1 band (pigeonhole)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sig = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bands_col = np.repeat(np.arange(4, dtype=np.uint64), n)
+        shifts = np.repeat(np.arange(4, dtype=np.uint64) * np.uint64(16), n)
+        vals = (np.tile(sig, 4) >> shifts) & np.uint64(0xFFFF)
+        with np.errstate(over="ignore"):
+            bucket = mix64(vals ^ (bands_col + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15))
+        return pa.table(
+            {
+                "band": pa.array(bands_col.astype(np.int32)),
+                "bucket": pa.array(bucket.view(np.int64)),
+                "doc_id": pa.array(np.tile(ids, 4)),
+            }
+        )
 
 
 def simhash_near_duplicates(
@@ -857,11 +876,17 @@ def simhash_near_duplicates(
     emitted only by its first colliding band — earlier-band values are
     re-derived from the full simhash carried in the bucket — so the pair set
     is unique with no pair-dedup shuffle and hot cliques cost quadratic verify
-    in one band instead of four."""
-    exploded = ds.map_batches(
-        SimHashStage(text_column=text_column, id_column=id_column),
+    in one band instead of four.
+
+    Payload-free explode (round 4): signatures land in a compact 1-row-per-doc
+    table; the explosion ships bare (band, bucket, doc_id) triples and the
+    8-byte simhash is re-attached to the post-sieve survivors only."""
+    sig_schema = pa.schema([("doc_id", pa.int64()), ("simhash", pa.int64())])
+    sigs = ds.map_batches(
+        SimHashSignatureStage(text_column=text_column, id_column=id_column),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    exploded = sigs.map_batches(SimHashBandExplodeStage(), batch_format="pyarrow")
 
     def part_pairs(part: pa.Table) -> pa.Table:
         n = part.num_rows
@@ -905,6 +930,10 @@ def simhash_near_duplicates(
         import ray.data as rd
 
         return rd.from_arrow(_empty_pairs_arrow("hamming", pa.int64()))
+    sieved = _attach_payload(
+        sieved, sigs, key="doc_id", payload_columns=["simhash"],
+        payload_schema=sig_schema, payload_width=16,
+    )
     n_parts = _verify_parts()
     return (
         sieved.map_batches(lambda t: _with_part(t, n_parts), batch_format="pyarrow")

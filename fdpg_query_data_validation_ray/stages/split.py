@@ -119,3 +119,65 @@ def mixture(
         raise ValueError("mixture needs at least one source")
     out = tagged[0]
     return out.union(*tagged[1:]) if len(tagged) > 1 else out
+
+
+def mixture_rules(
+    ds,
+    id_column: str,
+    rules,
+    salt: str = "mix",
+    source_column: str = "source",
+):
+    """Single-pass weighted mixture over ONE dataset: `rules` is
+    [(name, predicate, rate), ...] where predicate(batch: pa.Table) returns a
+    boolean mask (pyarrow BooleanArray or numpy bool array) and None is the
+    catch-all. Each row is tagged with the FIRST matching rule's name, then
+    kept iff md5_low60(f"{salt}|{name}|{id}") < rate·2^60 — the per-source
+    hash arithmetic is IDENTICAL to mixture()'s, so the SQL oracle (UNION ALL
+    of md5-predicate selects) is unchanged, but the input is scanned ONCE
+    instead of once per source (mixture() over k filtered views of the same
+    read re-scans the input k times — at 100 TB that multiplies the read
+    bill by k). Rows matching no rule are dropped."""
+    names = []
+    for name, _pred, rate in rules:
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate must be in [0, 1]: {name}={rate}")
+        names.append(name)
+    if not rules:
+        raise ValueError("mixture_rules needs at least one rule")
+    thresholds = np.array(
+        [np.uint64(int(rate * _SCALE)) for _, _, rate in rules], dtype=np.uint64
+    )
+    names_arr = np.array(names, dtype=object)
+
+    def tag_and_keep(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        rule_ix = np.full(n, -1, dtype=np.int64)
+        unassigned = np.ones(n, dtype=bool)
+        for i, (_name, pred, _rate) in enumerate(rules):
+            if not unassigned.any():
+                break
+            if pred is None:
+                m = unassigned.copy()
+            else:
+                pm = pred(batch)
+                m = (
+                    pm.to_numpy(zero_copy_only=False)
+                    if isinstance(pm, (pa.Array, pa.ChunkedArray))
+                    else np.asarray(pm, dtype=bool)
+                ) & unassigned
+            rule_ix[m] = i
+            unassigned &= ~m
+        matched = rule_ix >= 0
+        ids = pc.cast(batch[id_column], pa.string()).to_pylist()
+        srcs = np.where(matched, names_arr[np.maximum(rule_ix, 0)], "")
+        h = md5_low60(
+            [f"{salt}|{s}|{v}" for s, v in zip(srcs.tolist(), ids)]
+        )
+        keep = matched & (h < thresholds[np.maximum(rule_ix, 0)])
+        out = batch.filter(pa.array(keep))
+        return out.append_column(
+            source_column, pa.array(srcs[keep].tolist(), pa.string())
+        )
+
+    return ds.map_batches(tag_and_keep, batch_format="pyarrow")

@@ -133,3 +133,43 @@ def test_mixture_docs_matches_sql_oracle(ray_session):
         .sort_values(["doc_id", "source"]).reset_index(drop=True)
     )
     assert ray_df.equals(ora)
+
+
+def test_mixture_rules_single_pass_equals_mixture(ray_session):
+    """mixture_rules (single-scan tag+threshold) returns exactly what
+    mixture() over pre-split views returns when the predicates partition the
+    input — and its executed plan reads the input ONCE (the old union of two
+    filtered views scanned the shared read per source)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.split import mixture, mixture_rules
+
+    rows = [{"id": i, "grp": "a" if i % 3 == 0 else "b"} for i in range(600)]
+    ds = rd.from_items(rows)
+    a = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["grp"], "a")), batch_format="pyarrow"
+    )
+    b = ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["grp"], "a")), batch_format="pyarrow"
+    )
+    ref = (
+        mixture([("a", a, 1.0), ("b", b, 0.3)], "id")
+        .to_pandas().sort_values(["source", "id"]).reset_index(drop=True)
+    )
+    got = (
+        mixture_rules(
+            ds, "id", [("a", lambda t: pc.equal(t["grp"], "a"), 1.0), ("b", None, 0.3)]
+        )
+        .to_pandas().sort_values(["source", "id"]).reset_index(drop=True)
+    )
+    assert ref.equals(got)
+
+
+def test_mixture_docs_plan_scans_input_once(ray_session):
+    """The shipped mixture_docs query reads the parquet input exactly once."""
+    import __ray_entry__ as E
+
+    out = E.queries()["mixture_docs"]("/root/testdata/sf0.001").materialize()
+    stats = out.stats()
+    assert stats.count("ReadParquet") == 1, stats
