@@ -122,44 +122,70 @@ class IVFTopK:
         import ray
 
         q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
-        self.query_ids, qm = q
-        self.qm = _normalize(np.asarray(qm, dtype=np.float32))
+        self.query_ids = np.asarray(q[0], dtype=np.int64)
+        self.qm = _normalize(np.asarray(q[1], dtype=np.float32))
         self.centroids = centroids          # (n_centroids × d), normalized
-        self.probe = probe                  # (queries × n_probes) bucket ids
-        self.probe_union = np.unique(probe)
+        # bucket → queries inverted index as a dense bool mask, built ONCE:
+        # probe_mask[c, qi] ⇔ query qi probes centroid c. Replaces the old
+        # per-query np.isin loop (O(queries × batch) Python per batch).
+        n_q = len(self.query_ids)
+        # query-major (n_q × n_centroids): scoring below works on
+        # (queries × kept) C-contiguous rows so the per-query top-k
+        # partition streams each query's row, not a strided column
+        self.probe_mask_q = np.zeros((n_q, len(centroids)), dtype=bool)
+        self.probe_mask_q[np.repeat(np.arange(n_q), probe.shape[1]),
+                          probe.ravel()] = True
+        self.probed_centroids = np.zeros(len(centroids), dtype=bool)
+        self.probed_centroids[np.unique(probe)] = True
         self.k = k
         self.vec_column = vec_column
         self.id_column = id_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "similarity": pa.array([], pa.float64()),
+            }
+        )
         m = _normalize(batch_matrix(batch.column(self.vec_column)))
         ids = np.asarray(batch.column(self.id_column).to_pylist())
-        bucket = np.argmax(m @ self.centroids.T, axis=1)
-        keep = np.isin(bucket, self.probe_union)
-        m, ids, bucket = m[keep], ids[keep], bucket[keep]
-        out = {"query_id": [], "vec_id": [], "similarity": []}
         if len(ids) == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "similarity": pa.array([], pa.float64()),
-                }
-            )
-        sims = m @ self.qm.T  # (kept × queries)
-        for qi, qid in enumerate(self.query_ids):
-            mask = np.isin(bucket, self.probe[qi])
-            if not mask.any():
+            return empty
+        bucket = np.argmax(m @ self.centroids.T, axis=1)
+        keep = self.probed_centroids[bucket]
+        m, ids, bucket = m[keep], ids[keep], bucket[keep]
+        if len(ids) == 0:
+            return empty
+        s = self.qm @ m.T                         # (queries × kept), float32
+        k = min(self.k + 1, len(ids))
+        kth = s.shape[1] - k
+        out_q, out_v, out_s = [], [], []
+        # per-query row processing: each iteration touches one contiguous
+        # 4·kept-byte row plus a bool LUT gather — the working set stays
+        # cache-resident, so 32 concurrent tasks don't fight for memory
+        # bandwidth (a full (queries × kept) masked argpartition collapsed
+        # from 92 ms to 6.7 s/task under concurrency — see NOTES.md)
+        for qi in range(s.shape[0]):
+            sv = np.where(self.probe_mask_q[qi][bucket], s[qi], -np.inf)
+            top = np.argpartition(sv, kth)[kth:] if kth > 0 else np.arange(len(sv))
+            vals = sv[top]
+            finite = np.isfinite(vals)
+            if not finite.any():
                 continue
-            s = np.where(mask, sims[:, qi], -np.inf)
-            k = min(self.k + 1, int(mask.sum()))
-            top = np.argpartition(-s, k - 1)[:k]
-            for t in top:
-                if np.isfinite(s[t]):
-                    out["query_id"].append(qid)
-                    out["vec_id"].append(ids[t])
-                    out["similarity"].append(float(s[t]))
-        return pa.table(out)
+            out_q.append(np.full(int(finite.sum()), self.query_ids[qi]))
+            out_v.append(ids[top[finite]])
+            out_s.append(vals[finite])
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v).astype(np.int64)),
+                "similarity": pa.array(np.concatenate(out_s).astype(np.float64)),
+            }
+        )
 
 
 def train_centroids(
