@@ -42,6 +42,10 @@ from fdpg_query_data_validation_ray.stages.unique import SIEVE_MAX_DRIVER_ROWS
 
 LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())])
 
+# rounds the last _labels_ccf call took to converge — observability for the
+# at-scale evidence scripts/tests (CCF is O(log diameter) rounds by design)
+LAST_CCF_ROUNDS: int = 0
+
 
 def _join_partitions() -> int:
     """Hash-join partition count sized to the session: Ray 2.49's hash
@@ -148,7 +152,9 @@ def _labels_ccf(pairs, col_a: str, col_b: str, num_partitions: int | None = None
     if E.count() == 0:
         return rd.from_arrow(LABEL_SCHEMA.empty_table())
 
-    for _ in range(max_iters):
+    global LAST_CCF_ROUNDS
+    for _round in range(max_iters):
+        LAST_CCF_ROUNDS = _round + 1
         sym = E.map_batches(_sym, batch_format="pyarrow")
         mins = (
             sym.map_batches(_partial_min, batch_format="pyarrow")

@@ -82,6 +82,16 @@ def _check_hot_keys(codes_sorted: np.ndarray, uniques, op: str,
         print(f"[fdpg_query_data_validation_ray] WARNING {msg}", flush=True)
 
 
+_CHUNK_MASK = np.int64((1 << 20) - 1)
+
+
+def _hot_slot_base(key, n_parts: int) -> np.int64:
+    """Part-slot base for one hot key's time chunks (slots live ABOVE the
+    hash part space so they never collide with normal parts)."""
+    key_h = int(hash64(np.array([key], dtype=object))[0]) & 0x7FFFFFFF
+    return np.int64(n_parts + (key_h << 20))
+
+
 def asof_join_events(
     ds,
     by: str,
@@ -93,6 +103,7 @@ def asof_join_events(
     out_right_id: str = "right_id",
     hot_key_limit: int | None = None,
     hot_key_policy: str = "warn",
+    presplit: dict | None = None,
 ):
     """Backward as-of LEFT join of two row subsets of ONE dataset: for each
     left row, the same-`by`-key right row with the greatest `on` ≤ left.`on`
@@ -107,9 +118,21 @@ def asof_join_events(
     position via `np.maximum.accumulate`, invalidated where the filled
     position belongs to a different key. Ties on `on` within the right side
     break by the LAST row in (on, id) sort order — deterministic regardless
-    of arrival order."""
+    of arrival order.
+
+    `presplit={key_value: chunk_span_us}` (from `detect_hot_keys`) splits the
+    listed hot keys by time range BEFORE the shuffle, so no part ever holds
+    more than one chunk of a hot key. Unlike the range join's fixed window,
+    an as-of match can be arbitrarily far in the past, so margin ghosts
+    cannot make chunks self-contained; instead a tiny SEED pass computes, per
+    (key, chunk), the latest right row of every EARLIER chunk (per-chunk
+    maxima → driver running max across the chunk order — O(hot chunks)
+    driver rows, never O(rows)) and each chunk's kernel is seeded with that
+    row as a synthetic non-emitting right. Results are exactly those of the
+    unsplit plan."""
 
     n_parts = _n_parts()
+    seeds: dict[int, tuple] = {}  # filled before execution when presplit set
 
     def tag(batch: pa.Table) -> pa.Table:
         # null BY keys carry no temporal identity (and would mis-index the
@@ -122,6 +145,18 @@ def asof_join_events(
         by_arr = pa.concat_arrays(
             [left[by].combine_chunks(), right[by].combine_chunks()]
         )
+        part = (hash64(by_arr) & np.uint64(n_parts - 1)).astype(np.int64)
+        ts_all = np.concatenate(
+            [_ts_int64(left[on].to_pandas()), _ts_int64(right[on].to_pandas())]
+        ) if presplit else None
+        if presplit:
+            key_np = by_arr.to_numpy(zero_copy_only=False)
+            for key, span in presplit.items():
+                hot = key_np == key
+                if not hot.any():
+                    continue
+                chunk = ts_all[hot] // int(span)
+                part[hot] = _hot_slot_base(key, n_parts) + (chunk & _CHUNK_MASK)
         out = {
             by: by_arr,
             on: pa.concat_arrays(
@@ -135,7 +170,7 @@ def asof_join_events(
                     [np.zeros(left.num_rows, np.int8), np.ones(right.num_rows, np.int8)]
                 )
             ),
-            "part": _part_of(by_arr, n_parts),
+            "part": pa.array(part),
         }
         return pa.table(out)
 
@@ -155,6 +190,19 @@ def asof_join_events(
         ts = _ts_int64(g[on])
         ids = g[id_column].to_numpy()
         side = g["__side"].to_numpy()
+        seed = seeds.get(int(g["part"].iloc[0])) if seeds else None
+        if seed is not None:
+            # synthetic right row: the latest right row of every EARLIER
+            # chunk of this hot key — non-emitting (side 1), but a valid
+            # fill source for this chunk's earliest left rows
+            key, sts, sid = seed
+            kpos = np.flatnonzero(np.asarray(uniques) == key)
+            if len(kpos):
+                codes = np.append(codes, kpos[0])
+                ts = np.append(ts, np.int64(sts))
+                ids = np.append(ids, sid)
+                side = np.append(side, np.int8(1))
+                n += 1
         # right rows sort BEFORE left rows on equal (key, ts) so the
         # forward fill includes the tie (ASOF ≤); rights with equal ts sort
         # by id ascending so the fill lands on the LAST id
@@ -186,7 +234,98 @@ def asof_join_events(
         )
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
+    if presplit:
+        tagged = tagged.materialize()  # consumed twice: seed scan + merge
+        seeds.update(
+            _asof_seeds(tagged, on, id_column, n_parts, presplit)
+        )
     return tagged.groupby("part").map_groups(merge_part, batch_format="pandas")
+
+
+_NO_RIGHT = np.int64(np.iinfo(np.int64).min // 2)
+
+
+def _asof_seeds(tagged, on: str, id_column: str, n_parts: int, presplit: dict):
+    """{part_slot → (key, seed_ts, seed_id)}: for each hot-key time chunk,
+    the latest right row (max (ts, id)) across all EARLIER chunks of that
+    key. Per-batch partial maxima stream to the driver (one row per hot slot
+    per batch — O(hot chunks), never O(rows)); the driver runs a running max
+    over the true chunk order. Chunks with no earlier right get no seed
+    (their left rows are genuinely unmatched). Assumes the hot key's time
+    range spans < 2^20 chunks (the slot mask width)."""
+    key_of_base = {int(_hot_slot_base(k, n_parts)): k for k in presplit}
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "part": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.int64()),
+                "rid": pa.array([], pa.int64()),
+            }
+        )
+        part = t["part"].to_numpy()
+        sel = part >= n_parts
+        if not sel.any():
+            return empty
+        ix = np.flatnonzero(sel)
+        p = part[ix]
+        side = t["__side"].to_numpy()[ix]
+        ts = _ts_int64(t[on].take(pa.array(ix)).to_pandas())
+        ids = t[id_column].take(pa.array(ix)).to_numpy(zero_copy_only=False)
+        chunk = np.zeros(len(p), np.int64)
+        for base, key in key_of_base.items():
+            inkey = (p >= base) & (p <= base + _CHUNK_MASK)
+            if inkey.any():
+                chunk[inkey] = ts[inkey] // int(presplit[key])
+        # rights rank by (ts, id); lefts sink to the sentinel so a slot with
+        # no right still emits a row (it needs a seed from earlier chunks)
+        rank_ts = np.where(side == 1, ts, _NO_RIGHT)
+        rank_id = np.where(side == 1, ids, _NO_RIGHT)
+        order = np.lexsort((rank_id, rank_ts, p))
+        p, chunk = p[order], chunk[order]
+        rank_ts, rank_id = rank_ts[order], rank_id[order]
+        last = np.concatenate([p[1:] != p[:-1], [True]])
+        return pa.table(
+            {"part": p[last], "chunk": chunk[last],
+             "ts": rank_ts[last], "rid": rank_id[last]}
+        )
+
+    rows = pa.concat_tables(
+        list(
+            tagged.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    seeds: dict[int, tuple] = {}
+    if rows.num_rows == 0:
+        return seeds
+    p = rows["part"].to_numpy()
+    chunk = rows["chunk"].to_numpy()
+    ts = rows["ts"].to_numpy()
+    rid = rows["rid"].to_numpy()
+    order = np.lexsort((rid, ts, p))
+    p, chunk, ts, rid = p[order], chunk[order], ts[order], rid[order]
+    last = np.concatenate([p[1:] != p[:-1], [True]])
+    p, chunk, ts, rid = p[last], chunk[last], ts[last], rid[last]
+    for base, key in key_of_base.items():
+        inkey = (p >= base) & (p <= base + _CHUNK_MASK)
+        if not inkey.any():
+            continue
+        o = np.argsort(chunk[inkey], kind="stable")
+        slots = p[inkey][o]
+        tss = ts[inkey][o]
+        rids = rid[inkey][o]
+        best_ts, best_id = _NO_RIGHT, _NO_RIGHT
+        for i in range(len(slots)):
+            if best_ts != _NO_RIGHT:
+                seeds[int(slots[i])] = (key, int(best_ts), int(best_id))
+            if (tss[i], rids[i]) > (best_ts, best_id):
+                best_ts, best_id = tss[i], rids[i]
+        # slots between observed chunks carry no rows at all, so no seed
+        # is needed for them (nothing to match there)
+    return seeds
 
 
 def range_join_count(
@@ -325,6 +464,7 @@ def sessionize(
     gap_seconds: int = 1800,
     hot_key_limit: int | None = None,
     hot_key_policy: str = "warn",
+    presplit: dict | None = None,
 ):
     """Per-user session statistics under a gap rule: a new session starts when
     the time since the user's previous event exceeds `gap_seconds`.
@@ -335,14 +475,38 @@ def sessionize(
     for all its users: lexsort by (user, ts, id); session starts are
     `key-change OR gap-exceeded` positions; per-user n_events / n_sessions /
     longest_session fall out of reduceat over the key and session
-    boundaries. No per-user frames anywhere."""
+    boundaries. No per-user frames anywhere.
+
+    `presplit={key_value: chunk_span_us}` splits the listed hot keys by time
+    range before the shuffle (same slot scheme as the other temporal ops).
+    Sessions can straddle chunk seams, so hot chunks emit PARTIAL rows
+    (counts + first/last timestamps + first/last session lengths) and the
+    driver stitches adjacent chunks in chunk order — two sessions merge at a
+    seam iff the cross-seam gap ≤ the session gap. Driver work and memory
+    are O(hot chunks), never O(rows); results are exactly those of the
+    unsplit plan. Assumes a hot key's time range spans < 2^20 chunks."""
 
     n_parts = _n_parts()
+    gap_us = gap_seconds * 1_000_000
 
     def route(t: pa.Table) -> pa.Table:
         t = t.select([user_col, ts_col, id_column])
         t = t.filter(pc.is_valid(t[user_col].combine_chunks()))
-        return t.append_column("part", _part_of(t[user_col], n_parts))
+        part = (hash64(t[user_col]) & np.uint64(n_parts - 1)).astype(np.int64)
+        chunk = np.full(t.num_rows, -1, dtype=np.int64)
+        if presplit:
+            key_np = t[user_col].to_numpy(zero_copy_only=False)
+            ts_np = _ts_int64(t[ts_col].to_pandas())
+            for key, span in presplit.items():
+                hot = key_np == key
+                if not hot.any():
+                    continue
+                c = ts_np[hot] // int(span)
+                chunk[hot] = c
+                part[hot] = _hot_slot_base(key, n_parts) + (c & _CHUNK_MASK)
+        return t.append_column("part", pa.array(part)).append_column(
+            "__chunk", pa.array(chunk)
+        )
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         n = len(g)
@@ -353,39 +517,124 @@ def sessionize(
                     "n_events": pd.Series(dtype="int64"),
                     "n_sessions": pd.Series(dtype="int64"),
                     "longest_session": pd.Series(dtype="int64"),
+                    "first_ts": pd.Series(dtype="int64"),
+                    "last_ts": pd.Series(dtype="int64"),
+                    "first_len": pd.Series(dtype="int64"),
+                    "last_len": pd.Series(dtype="int64"),
+                    "chunk": pd.Series(dtype="int64"),
                 }
             )
         codes, uniques = pd.factorize(g[user_col], sort=False)
         ts = _ts_int64(g[ts_col])
         ids = g[id_column].to_numpy()
+        chunk = g["__chunk"].to_numpy()
         order = np.lexsort((ids, ts, codes))
-        codes_s, ts_s = codes[order], ts[order]
+        codes_s, ts_s, chunk_s = codes[order], ts[order], chunk[order]
         _check_hot_keys(codes_s, uniques, "sessionize", hot_key_limit, hot_key_policy)
-        gap_us = gap_seconds * 1_000_000
+        # block = (key, chunk): chunk is monotone in ts within a key, so
+        # blocks are contiguous under the (key, ts) sort
         key_change = np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
-        new_session = key_change.copy()
+        block_change = key_change.copy()
+        if n > 1:
+            block_change[1:] |= chunk_s[1:] != chunk_s[:-1]
+        new_session = block_change.copy()
         if n > 1:
             new_session[1:] |= np.diff(ts_s) > gap_us
-        key_starts = np.flatnonzero(key_change)
-        n_events = np.diff(np.append(key_starts, n))
-        n_sessions = np.add.reduceat(new_session.astype(np.int64), key_starts)
+        starts = np.flatnonzero(block_change)
+        ends = np.append(starts[1:], n)
+        n_events = ends - starts
+        n_sessions = np.add.reduceat(new_session.astype(np.int64), starts)
         sess_starts = np.flatnonzero(new_session)
         sess_sizes = np.diff(np.append(sess_starts, n))
-        # sessions are contiguous per key (codes_s ascending); the first
-        # session of each key starts exactly at its key boundary
-        key_first_sess = np.searchsorted(sess_starts, key_starts)
-        longest = np.maximum.reduceat(sess_sizes, key_first_sess)
+        first_sess = np.searchsorted(sess_starts, starts)
+        last_sess = np.searchsorted(sess_starts, ends, side="left") - 1
+        longest = np.maximum.reduceat(sess_sizes, first_sess)
         return pd.DataFrame(
             {
-                user_col: np.asarray(uniques)[codes_s[key_starts]],
+                user_col: np.asarray(uniques)[codes_s[starts]],
                 "n_events": n_events.astype(np.int64),
                 "n_sessions": n_sessions,
                 "longest_session": longest.astype(np.int64),
+                "first_ts": ts_s[starts].astype(np.int64),
+                "last_ts": ts_s[ends - 1].astype(np.int64),
+                "first_len": sess_sizes[first_sess].astype(np.int64),
+                "last_len": sess_sizes[last_sess].astype(np.int64),
+                "chunk": chunk_s[starts].astype(np.int64),
             }
         )
 
     pruned = ds.map_batches(route, batch_format="pyarrow")
-    return pruned.groupby("part").map_groups(per_part, batch_format="pandas")
+    blocks = pruned.groupby("part").map_groups(per_part, batch_format="pandas")
+    out_cols = [user_col, "n_events", "n_sessions", "longest_session"]
+    if not presplit:
+        return blocks.map_batches(
+            lambda t: t.select(out_cols), batch_format="pyarrow"
+        )
+    blocks = blocks.materialize()  # consumed twice: pass-through + partials
+    final = blocks.map_batches(
+        lambda t: t.filter(pc.equal(t["chunk"], -1)).select(out_cols),
+        batch_format="pyarrow",
+    )
+    partials = pa.concat_tables(
+        list(
+            blocks.map_batches(
+                lambda t: t.filter(pc.not_equal(t["chunk"], -1)),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    stitched = _stitch_sessions(partials, user_col, gap_us)
+    import ray.data as rd
+
+    if stitched.num_rows == 0:
+        return final
+    return final.union(rd.from_arrow(stitched))
+
+
+def _stitch_sessions(partials: pa.Table, user_col: str, gap_us: int) -> pa.Table:
+    """Merge per-(user, chunk) session partials in chunk order: two sessions
+    merge at a seam iff first_ts(next) − last_ts(prev) ≤ gap. O(hot chunks)
+    driver work."""
+    out = {user_col: [], "n_events": [], "n_sessions": [], "longest_session": []}
+    if partials.num_rows == 0:
+        return pa.table(
+            {
+                user_col: pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+                "longest_session": pa.array([], pa.int64()),
+            }
+        )
+    df = partials.to_pandas().sort_values([user_col, "chunk"])
+    for user, grp in df.groupby(user_col, sort=False):
+        it = grp.itertuples(index=False)
+        r = next(it)
+        E, S, L = int(r.n_events), int(r.n_sessions), int(r.longest_session)
+        T, LL = int(r.last_ts), int(r.last_len)
+        for r in it:
+            E += int(r.n_events)
+            if int(r.first_ts) - T <= gap_us:
+                S += int(r.n_sessions) - 1
+                merged = LL + int(r.first_len)
+                L = max(L, int(r.longest_session), merged)
+                LL = merged if int(r.n_sessions) == 1 else int(r.last_len)
+            else:
+                S += int(r.n_sessions)
+                L = max(L, int(r.longest_session))
+                LL = int(r.last_len)
+            T = int(r.last_ts)
+        out[user_col].append(user)
+        out["n_events"].append(E)
+        out["n_sessions"].append(S)
+        out["longest_session"].append(L)
+    return pa.table(
+        {
+            user_col: pa.array(out[user_col]),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "n_sessions": pa.array(out["n_sessions"], pa.int64()),
+            "longest_session": pa.array(out["longest_session"], pa.int64()),
+        }
+    )
 
 
 def detect_hot_keys(ds, key_column: str, limit_rows: int, top_cap: int = 65_536):

@@ -308,3 +308,131 @@ def test_pathological_single_user_stream(ray_session):
     # cross-check session count against a direct numpy computation
     expect_sessions = 1 + int((np.diff(ts) > 1_000_000).sum())
     assert int(out["n_sessions"].iloc[0]) == expect_sessions
+
+
+def _hot_user_events(n_hot=6000, n_cold_users=40, seed=9):
+    """One pathological hot user (n_hot events spread over a wide time range,
+    ~10% purchases) + normal users."""
+    rng = np.random.default_rng(seed)
+    hot_ts = np.sort(rng.integers(0, 50_000_000, n_hot))
+    rows = {
+        "event_id": list(range(1, n_hot + 1)),
+        "user_id": [777] * n_hot,
+        "ts": hot_ts.tolist(),
+        "event_type": rng.choice(
+            ["click", "purchase"], size=n_hot, p=[0.9, 0.1]
+        ).tolist(),
+    }
+    eid = n_hot + 1
+    for u in range(1, n_cold_users + 1):
+        k = int(rng.integers(3, 12))
+        for t in np.sort(rng.integers(0, 50_000_000, k)):
+            rows["event_id"].append(eid)
+            rows["user_id"].append(u)
+            rows["ts"].append(int(t))
+            rows["event_type"].append(
+                "purchase" if rng.random() < 0.2 else "click"
+            )
+            eid += 1
+    return pa.table(
+        {
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.int64()),
+            "event_type": pa.array(rows["event_type"], pa.string()),
+        }
+    )
+
+
+def test_asof_presplit_hot_user_exact_and_bounded(ray_session):
+    """Single-hot-user fixture: the time-range presplit keeps every per-part
+    key block under the hot-key limit (policy='error' proves it — the
+    UNSPLIT run raises under the same limit) while the as-of results stay
+    exactly those of the unsplit plan (cross-chunk seeds carry the latest
+    earlier right row into each chunk)."""
+    import pytest
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import asof_join_events
+
+    tbl = _hot_user_events()
+    ds = rd.from_arrow(tbl).repartition(8).materialize()
+    kw = dict(
+        by="user_id", on="ts", id_column="event_id",
+        left_filter=lambda t: pc.equal(t["event_type"], "click"),
+        right_filter=lambda t: pc.equal(t["event_type"], "purchase"),
+    )
+    ref = (
+        asof_join_events(ds, **kw)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # unsplit + tight limit: the hot user's block violates the budget
+    with pytest.raises(Exception):
+        asof_join_events(
+            ds, **kw, hot_key_limit=2000, hot_key_policy="error"
+        ).to_pandas()
+    # presplit: 5ms chunks → ~10 chunks of ≤~1k rows; same limit passes
+    got = (
+        asof_join_events(
+            ds, **kw, hot_key_limit=2000, hot_key_policy="error",
+            presplit={777: 5_000_000},
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ref, got, check_exact=True)
+
+
+def test_sessionize_presplit_hot_user_exact_and_bounded(ray_session):
+    """Same fixture through sessionize: chunk partials + seam stitching give
+    exactly the unsplit per-user session stats, with per-part key blocks
+    bounded (policy='error' under a limit the unsplit run violates)."""
+    import pytest
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import sessionize
+
+    tbl = _hot_user_events()
+    ds = rd.from_arrow(tbl).repartition(8).materialize()
+    # gap tuned so the hot user has many sessions, some crossing chunk seams
+    kw = dict(user_col="user_id", ts_col="ts", id_column="event_id",
+              gap_seconds=10)  # 10s = 10M us vs 50M us span: sessions merge
+    ref = (
+        sessionize(ds, **kw)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    with pytest.raises(Exception):
+        sessionize(
+            ds, **kw, hot_key_limit=2000, hot_key_policy="error"
+        ).to_pandas()
+    got = (
+        sessionize(
+            ds, **kw, hot_key_limit=2000, hot_key_policy="error",
+            presplit={777: 12_000_000},
+        )
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ref, got, check_exact=True)
+
+
+def test_sessionize_presplit_mixed_seams(ray_session):
+    """Fractional gap so roughly half the hot user's event gaps break
+    sessions: chunk seams now both merge AND not-merge, exercising every
+    stitch branch. Exactness vs the unsplit plan."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import sessionize
+
+    tbl = _hot_user_events()
+    ds = rd.from_arrow(tbl).repartition(8).materialize()
+    kw = dict(user_col="user_id", ts_col="ts", id_column="event_id",
+              gap_seconds=0.005)  # 5000 us vs ~8300 us mean spacing
+    ref = (
+        sessionize(ds, **kw)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    got = (
+        sessionize(ds, **kw, presplit={777: 5_000_000})
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert ref.loc[ref["user_id"] == 777, "n_sessions"].iloc[0] > 100
+    pd.testing.assert_frame_equal(ref, got, check_exact=True)
