@@ -223,17 +223,19 @@ def oracle_sql() -> dict[str, str]:
         # the SAME expression order (per-row terms — no sum-order float
         # drift). Output is fixed-point micro-units via FLOOR(x*1e6 + 0.5):
         # DuckDB ROUND() and Python round() disagree at half-grid
-        # boundaries, FLOOR of the same IEEE doubles cannot. doc_id is
-        # non-negative so %2 == bit_wise_and(,1); null lang excluded on
-        # both sides.
+        # boundaries, FLOOR of the same IEEE doubles cannot. doc_id >= 0 is
+        # ENFORCED on both sides (engine filters it too): only there does
+        # %2 == bit_wise_and(,1); null lang excluded on both sides.
         "psi_terms_lang": """
             WITH e AS (
                 SELECT lang, COUNT(*) AS c FROM documents
-                WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1
+                WHERE doc_id >= 0 AND doc_id % 2 = 0 AND lang IS NOT NULL
+                GROUP BY 1
             ),
             a AS (
                 SELECT lang, COUNT(*) AS c FROM documents
-                WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1
+                WHERE doc_id >= 0 AND doc_id % 2 = 1 AND lang IS NOT NULL
+                GROUP BY 1
             ),
             keys AS (SELECT lang FROM e UNION SELECT lang FROM a),
             tot AS (
@@ -255,6 +257,14 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY lang
         """,
+        # LIBM-PARITY ASSUMPTION: this oracle replays DDSketch's bucket math
+        # (ceil(ln(x)/ln(gamma)), exp back-projection) in SQL and relies on
+        # DuckDB's ln/exp/ceil producing bit-identical IEEE doubles to
+        # numpy's (functions/sketches.py:_keys_of) — true when both link the
+        # same libm, as on this host. A build pairing with a different math
+        # library could flip a value sitting exactly on a bucket boundary by
+        # one key; if this check ever fails with a single-bucket off-by-one,
+        # suspect libm divergence (a ±1-key near-miss), not sketch logic.
         "quantiles_nchars": """
             WITH p AS (
                 SELECT ln((1.0+0.01)/(1.0-0.01)) AS lg

@@ -237,6 +237,9 @@ class DDSketch:
         self.n = 0
 
     def _keys_of(self, mag: np.ndarray) -> np.ndarray:
+        # The quantiles_nchars hash-exact oracle replays this exact formula
+        # in DuckDB SQL; it holds only while numpy and DuckDB resolve
+        # ln/exp/ceil to the same libm (see __ray_entry__.py oracle note).
         raw = np.ceil(np.log(mag) * self._inv_log_gamma)
         return np.clip(raw, -self._KEY_CLIP, self._KEY_CLIP).astype(np.int64)
 

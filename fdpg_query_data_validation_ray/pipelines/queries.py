@@ -987,12 +987,21 @@ def q_pack_sequences(sf_dir: str):
     oracle: window cumsum + generate_series over each doc's span."""
     from fdpg_query_data_validation_ray.stages.pack import pack_sequences
 
+    # FLOOR division like the oracle's `n_chars // 4` (Arrow's integer
+    # divide truncates toward zero, which disagrees with DuckDB's // for
+    # negative n_chars); exact in float64 for any plausible doc length
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
         lambda t: pa.table(
             {
                 "doc_id": t["doc_id"].combine_chunks(),
                 "tokens": pc.add(
-                    pc.divide(pc.cast(t["n_chars"], pa.int64()), 4), 1
+                    pc.cast(
+                        pc.floor(
+                            pc.divide(pc.cast(t["n_chars"], pa.float64()), 4.0)
+                        ),
+                        pa.int64(),
+                    ),
+                    1,
                 ),
             }
         ),
@@ -1090,12 +1099,18 @@ def q_psi_terms_lang(sf_dir: str):
     # Null lang / null doc_id rows are dropped HERE: the oracle's `%2 = p`
     # and `lang IS NOT NULL` exclude them, and Ray's groupby shuffle cannot
     # sort null string keys anyway.
+    # doc_id >= 0 enforced on BOTH sides: for a negative odd doc_id DuckDB's
+    # % yields -1 (row in neither half) while bit_wise_and(,1) yields 1, so
+    # parity-by-bit is only valid on the non-negative domain
     def keyed(t: pa.Table) -> pa.Table:
         out = pa.table(
             {"lang": t["lang"], "parity": pc.bit_wise_and(t["doc_id"], 1)}
         )
         return out.filter(
-            pc.and_(pc.is_valid(out["lang"]), pc.is_valid(out["parity"]))
+            pc.and_(
+                pc.and_(pc.is_valid(out["lang"]), pc.is_valid(out["parity"])),
+                pc.fill_null(pc.greater_equal(t["doc_id"], 0), False),
+            )
         )
 
     counted = (

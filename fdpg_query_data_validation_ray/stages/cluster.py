@@ -17,13 +17,22 @@ Two strategies, following the engine-wide sieve split (stages/unique.py):
   leaves the cluster; only pair ids do.
 
 - "shuffle" (beyond budget / forced): CCF ("Connected Component Finder",
-  Kardes et al. 2014) expressed in Ray Data: each round symmetrizes the
-  edge set, computes per-node min labels (per-batch partial groupby →
-  global `groupby.aggregate(Min)`), joins the min back onto the edges with
-  the native hash join, re-emits rewired (node, min) edges, and dedups
-  them with one composite groupby. Rewiring toward the minimum gives
-  O(log d) rounds; convergence = zero newly-generated pairs in a round.
-  Nothing O(nodes) ever reaches the driver.
+  Kardes et al. 2014) expressed in Ray Data as ONE exchange per round:
+  edges are symmetrized map-side and routed by hash(src) into coarse
+  partitions, so every occurrence of a node-as-src lands in one part; a
+  single vectorized kernel per part (lexsort + group-boundary masks) then
+  performs the whole CCF-Iterate + CCF-Dedup step — per-node min, (k,min)
+  + rewired (v,min) emission, and within-part pair dedup. The per-part min
+  IS the global per-src min (hash routing), so no join and no global
+  aggregate are needed; pairs whose src lives in another part may stay
+  duplicated for one round and collapse on arrival the next. An earlier
+  formulation paid THREE all-to-all exchanges per round (groupby-Min +
+  hash join + composite dedup groupby); on a 1M-edge chain+giant-component
+  graph its later rounds degraded to 10-20 min each as the rewired edge
+  set grew — the fused kernel runs the same graph in minutes total.
+  Rewiring toward the minimum gives O(log d) rounds; convergence = zero
+  rewired pairs emitted in a round. Nothing O(nodes) ever reaches the
+  driver.
 
 Labels are (node, cluster_id) with cluster_id = MIN node id of the
 component, so "keep the representative" == "keep rows whose id equals
@@ -90,17 +99,23 @@ def _labels_driver(a: np.ndarray, b: np.ndarray) -> pa.Table:
     return pa.table({"node": nodes, "cluster_id": nodes[parent]}, schema=LABEL_SCHEMA)
 
 
-def _sym(t: pa.Table) -> pa.Table:
-    src = t["src"].combine_chunks()
-    dst = t["dst"].combine_chunks()
-    return pa.table(
-        {"src": pa.concat_arrays([src, dst]), "dst": pa.concat_arrays([dst, src])}
-    )
+def _ccf_parts() -> int:
+    """Coarse partition count for the per-round CCF kernel: every sym row
+    routes to hash(src) & (parts-1), so one part holds complete per-src
+    neighbor sets. Power of two ~4× cluster CPUs balances kernel parallelism
+    against per-group machinery; QDV_CCF_PARTS pins it (scale with edge
+    volume on a real cluster — each part must hold its slice in worker
+    heap)."""
+    env = os.environ.get("QDV_CCF_PARTS")
+    if env:
+        return int(env)
+    import ray
 
-
-def _partial_min(t: pa.Table) -> pa.Table:
-    """Per-batch (src → min dst) pre-aggregate: shrinks the groupby input."""
-    return t.group_by(["src"]).aggregate([("dst", "min")]).rename_columns(["src", "dst"])
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    p = 1
+    while p < 4 * cpus:
+        p <<= 1
+    return p
 
 
 def _batch_unique_pairs(a: np.ndarray, b: np.ndarray, new: np.ndarray):
@@ -120,25 +135,100 @@ def _batch_unique_pairs(a: np.ndarray, b: np.ndarray, new: np.ndarray):
     return a[keep], b[keep], newmax
 
 
+def _sorted_groups(t: pa.Table):
+    """(src asc, dst asc)-sorted, pair-deduped edge arrays plus group masks.
+
+    Returns (a, b, newgrp) where newgrp marks each src group's first row —
+    so b[newgrp] is every group's MIN dst and a[newgrp] its key. None for an
+    empty part."""
+    a = t["src"].to_numpy(zero_copy_only=False)
+    b = t["dst"].to_numpy(zero_copy_only=False)
+    if len(a) == 0:
+        return None
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.empty(len(a), dtype=bool)
+    keep[0] = True
+    np.not_equal(a[1:], a[:-1], out=keep[1:])
+    keep[1:] |= b[1:] != b[:-1]
+    a, b = a[keep], b[keep]
+    newgrp = np.empty(len(a), dtype=bool)
+    newgrp[0] = True
+    np.not_equal(a[1:], a[:-1], out=newgrp[1:])
+    return a, b, newgrp
+
+
+_CCF_OUT_SCHEMA = pa.schema(
+    [("src", pa.int64()), ("dst", pa.int64()), ("new", pa.int64())]
+)
+
+
+def _ccf_kernel(t: pa.Table) -> pa.Table:
+    """One fused CCF-Iterate + CCF-Dedup step over one coarse part.
+
+    The part holds EVERY symmetrized occurrence of its src nodes (hash
+    routing), so the per-group min is the node's true global min neighbor.
+    For each group k with neighbors N and m = min(N), when m < k emit
+    (k, m) [new=0] and the rewired (v, m) for every v in N \\ {m} [new=1];
+    groups whose key is already the minimum emit nothing (their neighbors
+    re-express the connection from their own groups). Emissions are deduped
+    within the part; a (v, m) pair whose v lives in another part may stay
+    duplicated for one round and collapses on arrival there next round."""
+    g = _sorted_groups(t)
+    if g is None:
+        return _CCF_OUT_SCHEMA.empty_table()
+    a, b, newgrp = g
+    grp = np.cumsum(newgrp) - 1
+    k = a[newgrp]
+    bmin = b[newgrp]
+    kept = bmin < k
+    row_kept = kept[grp]
+    m_row = bmin[grp]
+    rewired = row_kept & (b != m_row)
+    src_out = np.concatenate([k[kept], b[rewired]])
+    dst_out = np.concatenate([bmin[kept], m_row[rewired]])
+    new = np.concatenate(
+        [
+            np.zeros(int(kept.sum()), dtype=np.int64),
+            np.ones(int(rewired.sum()), dtype=np.int64),
+        ]
+    )
+    src_out, dst_out, new = _batch_unique_pairs(src_out, dst_out, new)
+    return pa.table(
+        {"src": src_out, "dst": dst_out, "new": new}, schema=_CCF_OUT_SCHEMA
+    )
+
+
+def _label_kernel(t: pa.Table) -> pa.Table:
+    """Converged edges → (node, cluster_id): label = min(min dst, node), so
+    members point at the root and the root (whose neighbors are all larger)
+    pins to itself."""
+    g = _sorted_groups(t)
+    if g is None:
+        return LABEL_SCHEMA.empty_table()
+    a, b, newgrp = g
+    k = a[newgrp]
+    return pa.table(
+        {"node": k, "cluster_id": np.minimum(b[newgrp], k)}, schema=LABEL_SCHEMA
+    )
+
+
 def _labels_ccf(pairs, col_a: str, col_b: str, num_partitions: int | None = None,
                 max_iters: int = 64):
     """Distributed CCF over a Ray Dataset of pairs → Dataset(node, cluster_id).
 
-    Per round: symmetrize → per-node min (partial + Min aggregate) → native
-    hash join of mins onto edges → rewired emission with within-batch dedup
-    → global composite-key dedup carrying a max(new) flag. Stops when the
-    round emitted zero rewired pairs (the CCF counter == 0).
-    """
+    Per round ONE all-to-all exchange: symmetrize + hash-route map-side,
+    groupby(part), then the fused `_ccf_kernel` per part. Stops when the
+    round emitted zero rewired pairs (the CCF counter == 0)."""
     import ray.data as rd
-    from ray.data.aggregate import Max, Min
 
     from fdpg_query_data_validation_ray.stages.dedup import (
         drop_schemaless_empty_blocks,
     )
 
-    if num_partitions is None:
-        num_partitions = _join_partitions()
-    mins_schema = pa.schema([("src", pa.int64()), ("m", pa.int64())])
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+
+    n_parts = num_partitions if num_partitions is not None else _ccf_parts()
     edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
     E = pairs.map_batches(
         lambda t: pa.table(
@@ -147,56 +237,32 @@ def _labels_ccf(pairs, col_a: str, col_b: str, num_partitions: int | None = None
         batch_format="pyarrow",
     ).materialize()
     # pairs usually come out of a groupby.map_groups — strip the schema-less
-    # empty blocks Ray 2.49 emits for empty partitions, they poison the join
+    # empty blocks Ray 2.49 emits for empty partitions before counting
     E = drop_schemaless_empty_blocks(E, empty_schema=edge_schema)
     if E.count() == 0:
         return rd.from_arrow(LABEL_SCHEMA.empty_table())
 
+    def route_sym(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks()
+        dst = t["dst"].combine_chunks()
+        a = pa.concat_arrays([src, dst])
+        b = pa.concat_arrays([dst, src])
+        part = (hash64(a) & np.uint64(n_parts - 1)).astype(np.int32)
+        return pa.table({"src": a, "dst": b, "part": pa.array(part)})
+
     global LAST_CCF_ROUNDS
     for _round in range(max_iters):
         LAST_CCF_ROUNDS = _round + 1
-        sym = E.map_batches(_sym, batch_format="pyarrow")
-        mins = (
-            sym.map_batches(_partial_min, batch_format="pyarrow")
-            .groupby("src")
-            .aggregate(Min("dst", alias_name="m"))
-            .map_batches(
-                lambda t: pa.table(
-                    {"src": t["src"], "m": pc.min_element_wise(t["m"], t["src"])}
-                ),
-                batch_format="pyarrow",
-            )
+        out = (
+            E.map_batches(route_sym, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(_ccf_kernel, batch_format="pyarrow")
         )
-        # Ray 2.49 hash aggregates emit schema-less empty blocks that poison
-        # the Acero join (see stages/dedup.py:drop_schemaless_empty_blocks)
-        mins = drop_schemaless_empty_blocks(mins, empty_schema=mins_schema)
-        joined = sym.join(mins, "inner", num_partitions, on=("src",))
-
-        def emit(t: pa.Table) -> pa.Table:
-            k = t["src"].to_numpy(zero_copy_only=False)
-            v = t["dst"].to_numpy(zero_copy_only=False)
-            m = t["m"].to_numpy(zero_copy_only=False)
-            keep = m < k
-            k, v, m = k[keep], v[keep], m[keep]
-            rewired = v != m
-            a = np.concatenate([k, v[rewired]])
-            b = np.concatenate([m, m[rewired]])
-            new = np.concatenate(
-                [np.zeros(len(k), dtype=np.int64), np.ones(int(rewired.sum()), np.int64)]
-            )
-            a, b, new = _batch_unique_pairs(a, b, new)
-            return pa.table({"src": a, "dst": b, "new": new})
-
-        deduped = (
-            joined.map_batches(emit, batch_format="pyarrow")
-            .groupby(["src", "dst"])
-            .aggregate(Max("new", alias_name="new"))
-            .materialize()
-        )
-        n_new = deduped.sum("new") or 0
-        E = drop_schemaless_empty_blocks(
-            deduped.select_columns(["src", "dst"]), empty_schema=edge_schema
-        )
+        out = drop_schemaless_empty_blocks(
+            out, empty_schema=_CCF_OUT_SCHEMA
+        ).materialize()
+        n_new = out.sum("new") or 0
+        E = out.select_columns(["src", "dst"])
         if n_new == 0:
             break
     else:
@@ -204,25 +270,14 @@ def _labels_ccf(pairs, col_a: str, col_b: str, num_partitions: int | None = None
             f"connected_components: CCF did not converge in {max_iters} rounds"
         )
 
-    # At convergence E == {(member, root)}: per-node min over the symmetrized
-    # set labels members AND roots (a root's min neighbor is larger, so
-    # min_element_wise with the node itself pins it to the root).
+    # At convergence E == {(member, root)} (possibly with cross-part
+    # duplicates, collapsed by the kernel's group masks).
     final = (
-        E.map_batches(_sym, batch_format="pyarrow")
-        .map_batches(_partial_min, batch_format="pyarrow")
-        .groupby("src")
-        .aggregate(Min("dst", alias_name="m"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "node": t["src"].cast(pa.int64()),
-                    "cluster_id": pc.min_element_wise(t["m"], t["src"]).cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        E.map_batches(route_sym, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_label_kernel, batch_format="pyarrow")
     )
-    return final
+    return drop_schemaless_empty_blocks(final, empty_schema=LABEL_SCHEMA)
 
 
 def connected_components(pairs, col_a: str = "id_a", col_b: str = "id_b",

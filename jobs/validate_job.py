@@ -137,12 +137,116 @@ def stage_ndjson(files: list[str], out_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(staged, "*.parquet")))
 
 
+_PA_TYPES = {
+    "string": "string", "int64": "int64", "int32": "int32",
+    "float64": "float64", "float32": "float32", "bool": "bool_",
+    "binary": "binary", "timestamp_us": None,
+}
+
+
+def _schema_from_spec(spec: dict | None):
+    """{'col': 'string'|'int64'|...} → pa.Schema (None → schema inference)."""
+    import pyarrow as pa
+
+    if not spec:
+        return None
+    fields = []
+    for name, tname in spec.items():
+        if tname == "timestamp_us":
+            typ = pa.timestamp("us")
+        else:
+            attr = _PA_TYPES.get(tname)
+            if attr is None:
+                raise ValueError(f"unsupported paged schema type {tname!r}")
+            typ = getattr(pa, attr)()
+        fields.append((name, typ))
+    return pa.schema(fields)
+
+
+def stage_paged(spec_path: str, out_dir: str) -> list[str]:
+    """Stage a live offset-paged endpoint to `{out}/_staged_parquet` once.
+
+    The endpoint spec JSON (the `--input` argument for
+    `--input-format paged-offset`) mirrors the reference client's knobs
+    (/root/reference/extraction/fhir.py:12-45,120-131 — base URL, Basic or
+    Bearer auth, count probe, page size, max_cnt cap):
+
+        {"base_url": "http://host/fhir/Patient",
+         "auth": {"token": "..."} | {"user": "...", "password": "..."},
+         "rows_key": "entry",
+         "page_size": 1000,
+         "max_rows": null,
+         "count": {"params": {"_summary": "count"}, "key": "total"},
+         "schema": {"repo": "string", "stars": "int64"},
+         "concurrency": [1, 8]}
+
+    Staging discipline matches stage_ndjson: the manifest fingerprints the
+    spec AND the probed row count, so a re-submit against an unchanged
+    endpoint reuses the staged parquet (one count probe on re-run, zero page
+    fetches), while any spec edit or upstream row-count change triggers a
+    full restage. Pages are fetched as independent Ray tasks
+    (sources/paged.py:read_paged_offset) and land as partitioned zstd
+    parquet — the checked pass then gets storage-level column pruning."""
+    import shutil
+
+    from fdpg_query_data_validation_ray.sources.paged import (
+        HttpJsonFetcher,
+        read_paged_offset,
+    )
+
+    spec = json.load(open(spec_path))
+    auth = spec.get("auth", {})
+
+    def fetcher_factory():
+        return HttpJsonFetcher(
+            spec["base_url"],
+            user=auth.get("user"),
+            password=auth.get("password"),
+            token=auth.get("token"),
+            timeout_s=spec.get("timeout_s", 30.0),
+        )
+
+    count_cfg = spec.get("count", {"params": {"_summary": "count"}, "key": "total"})
+    probe = fetcher_factory()(count_cfg.get("params"))
+    total = int(probe[count_cfg.get("key", "total")])
+
+    staged = os.path.join(out_dir, "_staged_parquet")
+    manifest_path = os.path.join(out_dir, "_staging_manifest.json")
+    fingerprint = {"kind": "paged-offset", "spec": spec, "total": total}
+    if os.path.exists(manifest_path) and os.path.isdir(staged):
+        if json.load(open(manifest_path)) == fingerprint:
+            return sorted(glob.glob(os.path.join(staged, "*.parquet")))
+        shutil.rmtree(staged)
+        os.remove(manifest_path)
+    os.makedirs(out_dir, exist_ok=True)
+    if os.path.isdir(staged):
+        shutil.rmtree(staged)
+    ds = read_paged_offset(
+        fetcher_factory,
+        page_size=spec.get("page_size", 1000),
+        total=total,
+        rows_key=spec.get("rows_key", "entry"),
+        schema=_schema_from_spec(spec.get("schema")),
+        max_rows=spec.get("max_rows"),
+        concurrency=tuple(spec.get("concurrency", (1, 8))),
+    )
+    ds.write_parquet(staged, compression="zstd")
+    with open(manifest_path, "w") as f:
+        json.dump(fingerprint, f)
+    return sorted(glob.glob(os.path.join(staged, "*.parquet")))
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help="input path or glob")
+    p.add_argument(
+        "--input",
+        required=True,
+        help="input path or glob; for --input-format paged-offset, the "
+        "endpoint spec JSON file (see stage_paged)",
+    )
     p.add_argument(
         "--input-format",
-        choices=["parquet", "ndjson"],
+        choices=["parquet", "ndjson", "paged-offset"],
         default="parquet",
         help="ndjson (incl. .gz) inputs are staged ONCE to "
         "{out}/_staged_parquet (zstd) so the checked pass gets storage-level "
@@ -196,9 +300,12 @@ def main(argv=None) -> int:
 
     from fdpg_query_data_validation_ray.pipelines.validate import run_validation
 
-    files = sorted(glob.glob(args.input)) or [args.input]
-    if args.input_format == "ndjson":
-        files = stage_ndjson(files, args.out)
+    if args.input_format == "paged-offset":
+        files = stage_paged(args.input, args.out)
+    else:
+        files = sorted(glob.glob(args.input)) or [args.input]
+        if args.input_format == "ndjson":
+            files = stage_ndjson(files, args.out)
     plan = build_plan(json.load(open(args.config)))
     report = run_validation(
         files, args.out, plan,

@@ -164,6 +164,51 @@ def test_minhash_dedup_keep_matches_exact_on_identical_cliques(ray_session):
     assert got == want
 
 
+def test_minhash_dedup_keep_shuffle_mode_parity(ray_session, force_mode):
+    """The full materializing fuzzy-dedup pipeline forced through the
+    distributed path end-to-end (CCF components + LEFT ANTI keep filter)
+    must return exactly the sieve-mode (driver) output."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    words = [f"tok{i}" for i in range(300)]
+    base = [" ".join(rng.choice(words, 30, replace=True)) for _ in range(40)]
+    texts, ids = [], []
+    nid = 0
+    for j, b in enumerate(base):
+        for _ in range(3 if j % 4 == 0 else 1):
+            texts.append(b)
+            ids.append(nid)
+            nid += 1
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    kept = {}
+    for mode in ("sieve", "shuffle"):
+        force_mode(mode)
+        out = minhash_dedup_keep(rd.from_arrow(t), "text", "doc_id", threshold=0.9)
+        kept[mode] = sorted(out.to_pandas()["doc_id"].tolist())
+    assert kept["shuffle"] == kept["sieve"]
+    assert 0 < len(kept["sieve"]) < len(ids)
+
+
+def test_ccf_chain_plus_giant_component_parity_and_rounds(ray_session, force_mode):
+    """The at-scale graph shapes (tools/ccf_scale.py): long chains (diameter
+    stress) + one giant random-attachment component (min-aggregate skew) +
+    random smalls. CCF must match the driver labels exactly and converge in
+    O(log diameter) rounds — the 1M+-pair datapoint lives in NOTES.md."""
+    from fdpg_query_data_validation_ray.stages import cluster
+    from tools.ccf_scale import build_graph
+
+    t = build_graph(n_chain=2000, n_giant=4000, n_rand=1500, seed=5)
+    force_mode("sieve")
+    drv = _labels_of(t)
+    force_mode("shuffle")
+    shf = _labels_of(t)
+    assert drv == shf
+    # chains of 200 edges dominate the diameter; rewiring-to-min converges
+    # in ~log2(d) rounds — a generous bound still catches a linear regression
+    assert 1 <= cluster.LAST_CCF_ROUNDS <= 16
+
+
 def test_empty_pairs_passthrough(ray_session):
     import ray.data as rd
 

@@ -124,3 +124,92 @@ def test_http_fetcher_auth_modes():
         == "http://svc/fhir?_summary=count&x=1"
     )
     assert bearer.url_for(None) == "http://svc/fhir"
+
+
+def test_job_cli_from_paged_offset_endpoint(ray_session, tmp_path):
+    """Job CLI end-to-end from a REAL (loopback) offset-paged HTTP endpoint:
+    count probe → parallel page fetch through HttpJsonFetcher (Bearer auth
+    verified server-side) → parquet staging (manifest keyed on spec + probed
+    total) → full validation; a re-submit makes exactly ONE request (the
+    count probe) and reuses the staged parquet."""
+    import json as json_mod
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from fdpg_query_data_validation_ray.sources.corpus import (
+        DefectSpec,
+        generate_corpus,
+    )
+    from jobs.validate_job import main as job_main
+
+    t = generate_corpus(400, seed=13, defects=DefectSpec(null_content=5, bad_commit=3))
+    rows = t.to_pylist()
+    hits = {"count": 0, "pages": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.headers.get("Authorization") != "Bearer sesame":
+                self.send_response(401)
+                self.end_headers()
+                return
+            q = parse_qs(urlparse(self.path).query)
+            if q.get("_summary") == ["count"]:
+                hits["count"] += 1
+                body = {"total": len(rows)}
+            else:
+                hits["pages"] += 1
+                off, lim = int(q["offset"][0]), int(q["limit"][0])
+                body = {"entry": rows[off : off + lim]}
+            payload = json_mod.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        spec = {
+            "base_url": f"http://127.0.0.1:{srv.server_address[1]}/corpus",
+            "auth": {"token": "sesame"},
+            "rows_key": "entry",
+            "page_size": 64,
+            "schema": {
+                "repo": "string", "path": "string", "commit": "string",
+                "lang": "string", "content": "string",
+            },
+            "concurrency": [1, 4],
+        }
+        spec_path = tmp_path / "endpoint.json"
+        spec_path.write_text(json_mod.dumps(spec))
+        out = tmp_path / "out"
+        args = [
+            "--input", str(spec_path),
+            "--input-format", "paged-offset",
+            "--out", str(out),
+            "--config", "configs/code_suite.json",
+            "--partitions", "2",
+        ]
+        rc = job_main(args)
+        assert rc == 1  # defects injected → failed verdict
+        report = json_mod.load(open(out / "report.json"))
+        assert report["total_rows_checked"] == 400
+        assert report["total_violations"] >= 5
+        assert hits == {"count": 1, "pages": 7}  # ceil(400/64)
+
+        # unchanged endpoint → one probe, zero page fetches, same report
+        staged = sorted((out / "_staged_parquet").glob("*.parquet"))
+        mtimes = [p.stat().st_mtime_ns for p in staged]
+        rc2 = job_main(args)
+        assert rc2 == 1
+        assert hits == {"count": 2, "pages": 7}
+        assert [p.stat().st_mtime_ns for p in staged] == mtimes
+        assert json_mod.load(open(out / "report.json")) == report
+    finally:
+        srv.shutdown()
+        srv.server_close()
