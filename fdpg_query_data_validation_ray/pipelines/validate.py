@@ -392,8 +392,12 @@ def decode_key_display_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     n = len(arr)
     if n == 0:
         return pa.array([], pa.string())
-    if arr.null_count:  # callers never pass nulls; "" → 0 parts → verbatim ""
-        arr = pc.fill_null(arr, "")
+    if arr.null_count:  # rare (callers never pass nulls today): decode the
+        # null-filled array, then restore the input validity — null in,
+        # null out, matching the scalar parser's contract
+        mask = pc.is_null(arr)
+        out = decode_key_display_array(pc.fill_null(arr, ""))
+        return pc.if_else(mask, pa.scalar(None, pa.string()), out)
     arr = arr.cast(pa.large_string())
     off = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=arr.offset + n + 1)
     base = arr.offset  # slice-safety: logical element 0 may not be buffer 0

@@ -408,3 +408,9 @@ def test_decode_key_display_array_matches_scalar_fuzz():
     assert decode_key_display_array(sl).to_pylist() == [
         decode_key_display(c) for c in sl.to_pylist()
     ]
+
+    # null in, null out (input validity restored, not coerced to "")
+    withnulls = pa.array(["4:abcd", None, "", None, "N;3:xyz"], pa.string())
+    assert decode_key_display_array(withnulls).to_pylist() == [
+        "abcd", None, "", None, "|xyz"
+    ]
