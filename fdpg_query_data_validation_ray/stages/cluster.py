@@ -16,23 +16,29 @@ Two strategies, following the engine-wide sieve split (stages/unique.py):
   doubling (O(E) numpy sweeps, O(log n) rounds). The ORIGINAL corpus never
   leaves the cluster; only pair ids do.
 
-- "shuffle" (beyond budget / forced): CCF ("Connected Component Finder",
-  Kardes et al. 2014) expressed in Ray Data as ONE exchange per round:
-  edges are symmetrized map-side and routed by hash(src) into coarse
-  partitions, so every occurrence of a node-as-src lands in one part; a
-  single vectorized kernel per part (lexsort + group-boundary masks) then
-  performs the whole CCF-Iterate + CCF-Dedup step — per-node min, (k,min)
-  + rewired (v,min) emission, and within-part pair dedup. The per-part min
-  IS the global per-src min (hash routing), so no join and no global
-  aggregate are needed; pairs whose src lives in another part may stay
-  duplicated for one round and collapse on arrival the next. An earlier
-  formulation paid THREE all-to-all exchanges per round (groupby-Min +
-  hash join + composite dedup groupby); on a 1M-edge chain+giant-component
-  graph its later rounds degraded to 10-20 min each as the rewired edge
-  set grew — the fused kernel runs the same graph in minutes total.
-  Rewiring toward the minimum gives O(log d) rounds; convergence = zero
-  rewired pairs emitted in a round. Nothing O(nodes) ever reaches the
-  driver.
+- "shuffle" (beyond budget / forced): alternating large-star / small-star
+  rounds (Kiveris et al. 2014, "Connected Components in MapReduce and
+  Beyond") expressed in Ray Data. Each phase is one all-to-all exchange:
+  edges are routed map-side by hash of the grouping endpoint into coarse
+  partitions (large-star symmetrizes first so a group holds the node's
+  FULL neighborhood; small-star routes each canonical (big, small) edge to
+  its larger endpoint), then a single vectorized kernel per part (lexsort
+  + group-boundary masks) performs the whole star step — large-star
+  re-attaches every larger neighbor to min(N ∪ {u}); small-star collapses
+  a node's smaller neighbors onto their minimum. The per-part min IS the
+  global per-node min (hash routing), so no join and no global aggregate
+  are needed. The load-bearing property vs plain min-rewiring CCF (Kardes
+  et al. 2014): per-phase output EDGE COUNT NEVER EXCEEDS THE INPUT edge
+  count (large-star emits exactly one edge per symmetrized row with
+  v > u = |E| rows; small-star one per group row) — min-rewiring CCF
+  DOUBLES the edge set per round on path graphs (the distance-halving
+  closure: a 1M-edge chain+giant-component graph reached 100M+
+  intermediate pairs by round 9, 33 GB of object-store spill, measured),
+  while large/small-star holds the same graph at exactly 1.05M edges for
+  all 16 rounds. Convergence = a full LS+SS round re-attaching nothing
+  (both kernels' `new` counters zero) ⇔ the graph is a union of
+  min-rooted stars. O(log² n) rounds worst case, ~log₂(diameter)
+  observed. Nothing O(nodes) ever reaches the driver.
 
 Labels are (node, cluster_id) with cluster_id = MIN node id of the
 component, so "keep the representative" == "keep rows whose id equals
@@ -51,8 +57,9 @@ from fdpg_query_data_validation_ray.stages.unique import SIEVE_MAX_DRIVER_ROWS
 
 LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())])
 
-# rounds the last _labels_ccf call took to converge — observability for the
-# at-scale evidence scripts/tests (CCF is O(log diameter) rounds by design)
+# rounds (large-star + small-star pairs) the last _labels_ccf call took to
+# converge — observability for the at-scale evidence scripts/tests
+# (~log₂(diameter) observed, O(log² n) worst case)
 LAST_CCF_ROUNDS: int = 0
 
 
@@ -163,34 +170,55 @@ _CCF_OUT_SCHEMA = pa.schema(
 )
 
 
-def _ccf_kernel(t: pa.Table) -> pa.Table:
-    """One fused CCF-Iterate + CCF-Dedup step over one coarse part.
+def _large_star_kernel(t: pa.Table) -> pa.Table:
+    """Large-star over one coarse part of SYMMETRIZED rows (every
+    neighborhood complete by hash routing).
 
-    The part holds EVERY symmetrized occurrence of its src nodes (hash
-    routing), so the per-group min is the node's true global min neighbor.
-    For each group k with neighbors N and m = min(N), when m < k emit
-    (k, m) [new=0] and the rewired (v, m) for every v in N \\ {m} [new=1];
-    groups whose key is already the minimum emit nothing (their neighbors
-    re-express the connection from their own groups). Emissions are deduped
-    within the part; a (v, m) pair whose v lives in another part may stay
-    duplicated for one round and collapses on arrival there next round."""
+    For each group u with neighbors N and m = min(N ∪ {u}): emit (v, m) for
+    every v ∈ N with v > u — exactly one output row per input row with
+    v > u, so the phase's edge count never grows. new=1 when m != u (the
+    larger neighbor was re-attached below its old anchor). Output edges are
+    canonical (first > second) since v > u ≥ m."""
     g = _sorted_groups(t)
     if g is None:
         return _CCF_OUT_SCHEMA.empty_table()
     a, b, newgrp = g
     grp = np.cumsum(newgrp) - 1
-    k = a[newgrp]
-    bmin = b[newgrp]
-    kept = bmin < k
-    row_kept = kept[grp]
-    m_row = bmin[grp]
-    rewired = row_kept & (b != m_row)
-    src_out = np.concatenate([k[kept], b[rewired]])
-    dst_out = np.concatenate([bmin[kept], m_row[rewired]])
+    m = np.minimum(b[newgrp], a[newgrp])
+    m_row = m[grp]
+    sel = b > a
+    src_out = b[sel]
+    dst_out = m_row[sel]
+    new = (m_row[sel] != a[sel]).astype(np.int64)
+    src_out, dst_out, new = _batch_unique_pairs(src_out, dst_out, new)
+    return pa.table(
+        {"src": src_out, "dst": dst_out, "new": new}, schema=_CCF_OUT_SCHEMA
+    )
+
+
+def _small_star_kernel(t: pa.Table) -> pa.Table:
+    """Small-star over one coarse part of CANONICAL (src > dst) rows routed
+    by hash(src) — a group holds ALL of node u's smaller neighbors.
+
+    For each group u with smaller neighbors N and m = min(N): emit (u, m)
+    [new=0] plus (w, m) for every w ∈ N \\ {m} [new=1] — one output row per
+    group row, so the phase's edge count never grows. Output stays
+    canonical: u > m and w > m (m is the strict group minimum)."""
+    g = _sorted_groups(t)
+    if g is None:
+        return _CCF_OUT_SCHEMA.empty_table()
+    a, b, newgrp = g
+    grp = np.cumsum(newgrp) - 1
+    u = a[newgrp]
+    m = b[newgrp]
+    m_row = m[grp]
+    rest = b != m_row
+    src_out = np.concatenate([u, b[rest]])
+    dst_out = np.concatenate([m, m_row[rest]])
     new = np.concatenate(
         [
-            np.zeros(int(kept.sum()), dtype=np.int64),
-            np.ones(int(rewired.sum()), dtype=np.int64),
+            np.zeros(len(u), dtype=np.int64),
+            np.ones(int(rest.sum()), dtype=np.int64),
         ]
     )
     src_out, dst_out, new = _batch_unique_pairs(src_out, dst_out, new)
@@ -215,11 +243,15 @@ def _label_kernel(t: pa.Table) -> pa.Table:
 
 def _labels_ccf(pairs, col_a: str, col_b: str, num_partitions: int | None = None,
                 max_iters: int = 64):
-    """Distributed CCF over a Ray Dataset of pairs → Dataset(node, cluster_id).
+    """Distributed large-star/small-star over a Ray Dataset of pairs →
+    Dataset(node, cluster_id).
 
-    Per round ONE all-to-all exchange: symmetrize + hash-route map-side,
-    groupby(part), then the fused `_ccf_kernel` per part. Stops when the
-    round emitted zero rewired pairs (the CCF counter == 0)."""
+    Per round TWO all-to-all exchanges, each bounded by the INITIAL edge
+    count (see module docstring): large-star (symmetrize + hash-route
+    map-side, groupby(part), `_large_star_kernel`) then small-star (route
+    canonical edges by their larger endpoint, `_small_star_kernel`). Stops
+    when a full round re-attaches nothing — both kernels' `new` sums are
+    zero — which holds iff the graph is a union of min-rooted stars."""
     import ray.data as rd
 
     from fdpg_query_data_validation_ray.stages.dedup import (
@@ -250,20 +282,38 @@ def _labels_ccf(pairs, col_a: str, col_b: str, num_partitions: int | None = None
         part = (hash64(a) & np.uint64(n_parts - 1)).astype(np.int32)
         return pa.table({"src": a, "dst": b, "part": pa.array(part)})
 
+    def route_canon(t: pa.Table) -> pa.Table:
+        # edges are already canonical (src > dst) coming out of either star
+        # kernel; small-star groups by the larger endpoint, no symmetrize
+        src = t["src"].combine_chunks()
+        part = (hash64(src) & np.uint64(n_parts - 1)).astype(np.int32)
+        return pa.table({"src": src, "dst": t["dst"].combine_chunks(),
+                         "part": pa.array(part)})
+
     global LAST_CCF_ROUNDS
     for _round in range(max_iters):
         LAST_CCF_ROUNDS = _round + 1
-        out = (
+        ls = (
             E.map_batches(route_sym, batch_format="pyarrow")
             .groupby("part")
-            .map_groups(_ccf_kernel, batch_format="pyarrow")
+            .map_groups(_large_star_kernel, batch_format="pyarrow")
         )
-        out = drop_schemaless_empty_blocks(
-            out, empty_schema=_CCF_OUT_SCHEMA
+        ls = drop_schemaless_empty_blocks(
+            ls, empty_schema=_CCF_OUT_SCHEMA
         ).materialize()
-        n_new = out.sum("new") or 0
-        E = out.select_columns(["src", "dst"])
-        if n_new == 0:
+        ls_new = ls.sum("new") or 0
+        ss = (
+            ls.select_columns(["src", "dst"])
+            .map_batches(route_canon, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(_small_star_kernel, batch_format="pyarrow")
+        )
+        ss = drop_schemaless_empty_blocks(
+            ss, empty_schema=_CCF_OUT_SCHEMA
+        ).materialize()
+        ss_new = ss.sum("new") or 0
+        E = ss.select_columns(["src", "dst"])
+        if ls_new == 0 and ss_new == 0:
             break
     else:
         raise RuntimeError(
