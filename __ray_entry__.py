@@ -177,6 +177,68 @@ def oracle_sql() -> dict[str, str]:
         # 2*exp(k*lg)/(exp(lg)+1) in fixed-point micro-units
         # (FLOOR(v*1e6+0.5) — same IEEE ops both sides; ROUND()/round()
         # disagree at half-grid boundaries).
+        # PII scrub replay: plant the same email/phone/IP literals with SQL
+        # || that the engine plants with Arrow concat kernels, count on the
+        # pristine text, then the same three regexp_replace passes in rule
+        # order. Patterns are RE2-safe ASCII classes (stages/text.py
+        # PII_RULES) so Python re and DuckDB RE2 agree byte-for-byte;
+        # doc_id & 255 (bit semantics) on both sides, not % 256.
+        "redact_pii_docs": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                coalesce(text,'') || ' contact user' ||
+                CAST(doc_id AS VARCHAR) || '@example.com or +49170' ||
+                lpad(CAST(doc_id AS VARCHAR), 7, '0') || ' from 10.' ||
+                CAST(doc_id & 255 AS VARCHAR) || '.0.1' AS t
+              FROM documents)
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\+[0-9]{7,15}\b', '<PHONE>', 'g'),
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                '<IP>', 'g') AS text_redacted,
+              CAST(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(t, '\+[0-9]{7,15}\b'))
+                AS BIGINT) AS n_phones,
+              CAST(len(regexp_extract_all(t,
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                AS BIGINT) AS n_ips
+            FROM aug
+        """,
+        # decontamination replay: distinct word-3-gram md5_low60 per doc
+        # (same gram basis as fingerprint_docs), benchmark = docs with
+        # doc_id % 97 = 0, contaminated = sharing >= 3 distinct grams.
+        "decontaminate_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text,'')), '\\S+') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     [array_to_string(t[x:x+2], ' ')
+                      for x in generate_series(1, len(t)-2)] AS gs
+              FROM toks WHERE len(t) >= 3),
+            h AS (
+              SELECT DISTINCT doc_id,
+                CAST(md5_number_lower(g.gram) & 1152921504606846975 AS BIGINT) AS hv
+              FROM grams, LATERAL (SELECT unnest(gs) AS gram) g),
+            bench AS (SELECT DISTINCT hv FROM h WHERE doc_id % 97 = 0),
+            agg AS (
+              SELECT h.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_grams_distinct,
+                     CAST(SUM(CASE WHEN b.hv IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_contaminated
+              FROM h LEFT JOIN bench b ON h.hv = b.hv
+              GROUP BY h.doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_grams_distinct, 0) AS n_grams_distinct,
+                   coalesce(a.n_contaminated, 0) AS n_contaminated,
+                   coalesce(a.n_contaminated, 0) >= 3 AS is_contaminated
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         # sequence-packing replay: concat-and-chunk in doc_id order; each
         # doc's global token offset is a window cumsum, and it belongs to
         # every 1024-token window its span [start, start+tokens) overlaps.

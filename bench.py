@@ -78,9 +78,6 @@ HEADLINE = [
     "pack_sequences",
     # round 3 additions: pair→cluster dedup resolution (LSH scale path),
     # embedding keep-one, deterministic split/sample, normalization.
-    # dedup_clusters / dedup_jaccard_keep stay OUT of the headline: their
-    # pair stage is the O(n²) exact verifier by design (~16-20 s at sf0.1),
-    # correctness-gated via the oracle, not benched.
     "dedup_minhash_keep",
     "cosine_dedup_keep",
     "split_docs",
@@ -98,6 +95,14 @@ HEADLINE = [
     "psi_terms_lang",
     "supplier_balance_by_region",
     "top_words",
+    # round 4: PII scrub + benchmark decontamination (both oracle-checked),
+    # plus the exact-jaccard cluster family — formerly excluded as
+    # O(n²)-by-design, now routed through the bucket-scoped verifier
+    # (jaccard_verify_buckets), so it benches like the other dedup paths.
+    "redact_pii_docs",
+    "decontaminate_docs",
+    "dedup_clusters",
+    "dedup_jaccard_keep",
 ]
 
 

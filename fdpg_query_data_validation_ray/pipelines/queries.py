@@ -1339,6 +1339,79 @@ def q_sample_docs(sf_dir: str):
     )
 
 
+def q_redact_pii_docs(sf_dir: str):
+    """PII redaction (C4/RefinedWeb scrub): plant deterministic email /
+    phone / IPv4 literals into each doc's text (the synthetic corpus has
+    none), then count + redact them. Planting happens identically on the
+    engine side (Arrow concat kernels) and in the oracle (SQL ||), so the
+    redacted text is byte-comparable. doc_id & 255 (not % 256) on BOTH
+    sides — bit semantics agree for all integers, % does not for negatives."""
+    from fdpg_query_data_validation_ray.stages.text import PIIRedactStage
+
+    def aug(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["doc_id"], pa.string())
+        ip = pc.cast(pc.bit_wise_and(t["doc_id"], 255), pa.string())
+        text_aug = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""),
+            " contact user", s, "@example.com or +49170",
+            pc.utf8_lpad(s, 7, "0"), " from 10.", ip, ".0.1",
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": text_aug})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        aug, batch_format="pyarrow"
+    )
+    return ds.map_batches(PIIRedactStage("text"), batch_format="pandas").select_columns(
+        ["doc_id", "text_redacted", "n_emails", "n_phones", "n_ips"]
+    )
+
+
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 stand in for
+    the benchmark suite; their distinct word-3-gram md5 hashes are built
+    driver-side (benchmark suites are small by nature), ray.put once, and
+    every other doc is flagged when it shares >= 3 distinct grams. 3-grams
+    (not the literature's 8-13) because the synthetic corpus draws from a
+    30-word vocabulary: at k=3 real cross-doc overlap exists (16 flagged at
+    sf0.01, of which 10 are non-benchmark docs), so the oracle
+    discriminates; at k=5 only the benchmark members self-hit."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.text import (
+        DecontaminateStage,
+        benchmark_gram_hashes,
+    )
+
+    bench_tbl = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            # trunc-division remainder == SQL % for any sign (both C-style)
+            lambda t: t.filter(
+                pc.equal(
+                    pc.subtract(
+                        t["doc_id"],
+                        pc.multiply(pc.divide(t["doc_id"], 97), 97),
+                    ),
+                    0,
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    bench_ref = ray.put(benchmark_gram_hashes(bench_tbl["text"], k=3))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        DecontaminateStage,
+        fn_constructor_kwargs=dict(bench=bench_ref, text_column="text", k=3, min_hits=3),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    ).select_columns(
+        ["doc_id", "n_grams_distinct", "n_contaminated", "is_contaminated"]
+    )
+
+
 def q_mixture_docs(sf_dir: str):
     """Weighted corpus mixture (pretraining data mixing, stages/split.py):
     all English docs (rate 1.0) + a deterministic 25% of the rest. Single
@@ -1420,6 +1493,8 @@ QUERIES = {
     "psi_terms_lang": q_psi_terms_lang,
     "multimodal_frames": q_multimodal_frames,
     "pack_sequences": q_pack_sequences,
+    "redact_pii_docs": q_redact_pii_docs,
+    "decontaminate_docs": q_decontaminate_docs,
     "corpus_validate": q_corpus_validate,
 }
 

@@ -460,3 +460,151 @@ class NormalizeTextStage:
         return batch.append_column(
             self.out_column, pa.Array.from_pandas(norm, type=pa.string())
         )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (the C4/RefinedWeb scrub step)
+# ---------------------------------------------------------------------------
+
+# (count column, pattern, replacement) applied IN ORDER. Patterns are pinned
+# to RE2-compatible ASCII classes — [0-9] not \d (RE2's \d is ASCII, Python's
+# is Unicode-wide), explicit character classes, no lookaround — so a DuckDB
+# regexp_replace(..., 'g') oracle reproduces the redaction byte-for-byte.
+# Deliberately conservative/naive (999.999.999.999 counts as an IPv4 literal,
+# any +digits run as a phone): a scrub step prefers false positives.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_phones", r"\+[0-9]{7,15}\b", "<PHONE>"),
+    ("n_ips", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+class PIIRedactStage:
+    """Redact emails, E.164-ish phone numbers and IPv4 literals from a text
+    column — the standard pre-training scrub (C4, RefinedWeb §3.3). Match
+    counts per category are taken on the PRISTINE text, then replacements
+    apply sequentially in PII_RULES order (replacement tokens contain no
+    digits or '@', so later rules never see earlier rules' output as input).
+    All pandas C-regex kernels; nulls count 0 everywhere and stay null in
+    the redacted column."""
+
+    def __init__(self, text_column: str = "text", out_column: str = "text_redacted"):
+        self.text_column = text_column
+        self.out_column = out_column
+        self.rules = [(name, re.compile(pat), repl) for name, pat, repl in PII_RULES]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_column]
+        nulls = s.isna()
+        filled = s.fillna("")
+        for name, cre, _ in self.rules:
+            batch[name] = filled.str.count(cre).astype(np.int64)
+        red = filled
+        for _, cre, repl in self.rules:
+            red = red.str.replace(cre, repl, regex=True)
+        if nulls.any():
+            red = red.mask(nulls)
+        batch[self.out_column] = red
+        return batch
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 appendix C / PaLM style n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def benchmark_gram_hashes(texts, k: int = 5) -> np.ndarray:
+    """Distinct md5_low60 word-k-gram hashes of a benchmark corpus.
+
+    Benchmark suites are small by nature (MBs); build this once driver-side,
+    `ray.put` it, and hand the ObjectRef to DecontaminateStage so the sorted
+    hash set ships to each actor exactly once — never per batch."""
+    s = pd.Series(list(texts), dtype=object).fillna("").str.lower()
+    token_re = re.compile(r"\S+")
+    flat, counts, starts = _tokenize_batch(s, token_re)
+    n_grams = np.where(counts >= k, counts - (k - 1), 0).astype(np.int64)
+    if int(n_grams.sum()) == 0:
+        return np.empty(0, dtype=np.uint64)
+    tok_ix = _range_indices(starts[n_grams > 0], n_grams[n_grams > 0])
+    hg = _md5_grams_low60(flat, k)
+    if hg is None:  # no duckdb: assemble gram strings per position
+        ts = pd.Series(flat, dtype=object)
+        joined = ts.str.cat(
+            [ts.shift(-j) for j in range(1, k)], sep=" ", na_rep=""
+        ).to_numpy()
+        h = _md5_low60_py(list(joined[tok_ix]))
+    else:
+        h = hg[tok_ix]
+    return np.unique(h)
+
+
+class DecontaminateStage:
+    """Flag documents sharing >= min_hits DISTINCT word k-grams with a
+    benchmark set — the train/test decontamination every LLM data pipeline
+    runs before training (GPT-3 13-gram filtering, PaLM/Llama variants).
+
+    The benchmark hash set is the broadcast small side: passed as a
+    `ray.put` ObjectRef (or a plain ndarray in tests), sorted once per actor
+    in __init__; each batch then costs one tokenize pass, one vectorized
+    md5 gram-hash pass, a per-doc distinct (lexsort + boundary mask) and one
+    searchsorted against the benchmark. Docs with fewer than k tokens have
+    no k-grams and are never contaminated. Gram hash = md5_low60, so the
+    whole operator has an exact DuckDB oracle."""
+
+    def __init__(self, bench, text_column: str = "text", k: int = 5,
+                 min_hits: int = 1):
+        if not isinstance(bench, np.ndarray):
+            import ray
+
+            bench = ray.get(bench)
+        self.bench = np.sort(np.asarray(bench, dtype=np.uint64))
+        self.text_column = text_column
+        self.k = k
+        self.min_hits = min_hits
+        self.token_re = re.compile(r"\S+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        k = self.k
+        n = len(batch)
+        if n == 0:
+            for c in ("n_grams_distinct", "n_contaminated"):
+                batch[c] = pd.Series([], dtype=np.int64)
+            batch["is_contaminated"] = pd.Series([], dtype=bool)
+            return batch
+        s = batch[self.text_column].fillna("").str.lower()
+        flat, counts, starts = _tokenize_batch(s, self.token_re)
+        n_grams = np.where(counts >= k, counts - (k - 1), 0).astype(np.int64)
+        total = int(n_grams.sum())
+        if total == 0:
+            batch["n_grams_distinct"] = np.zeros(n, np.int64)
+            batch["n_contaminated"] = np.zeros(n, np.int64)
+            batch["is_contaminated"] = np.zeros(n, bool)
+            return batch
+        has = n_grams > 0
+        tok_ix = _range_indices(starts[has], n_grams[has])
+        hg = _md5_grams_low60(flat, k)
+        if hg is None:
+            ts = pd.Series(flat, dtype=object)
+            joined = ts.str.cat(
+                [ts.shift(-j) for j in range(1, k)], sep=" ", na_rep=""
+            ).to_numpy()
+            h = _md5_low60_py(list(joined[tok_ix]))
+        else:
+            h = hg[tok_ix]
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_grams)
+        order = np.lexsort((h, doc_idx))
+        dso, hso = doc_idx[order], h[order]
+        first = np.empty(len(dso), dtype=bool)
+        first[0] = True
+        first[1:] = (dso[1:] != dso[:-1]) | (hso[1:] != hso[:-1])
+        dd, hh = dso[first], hso[first]  # distinct (doc, gram hash)
+        pos = np.searchsorted(self.bench, hh)
+        hit = np.zeros(len(hh), dtype=bool)
+        inb = pos < len(self.bench)
+        hit[inb] = self.bench[pos[inb]] == hh[inb]
+        batch["n_grams_distinct"] = np.bincount(dd, minlength=n).astype(np.int64)
+        batch["n_contaminated"] = np.bincount(
+            dd[hit], minlength=n
+        ).astype(np.int64)
+        batch["is_contaminated"] = batch["n_contaminated"].to_numpy() >= self.min_hits
+        return batch

@@ -1,0 +1,181 @@
+"""PII redaction + benchmark decontamination stages (stages/text.py).
+
+The redaction patterns are pinned RE2-compatible so the DuckDB
+regexp_replace oracle matches byte-for-byte — the fuzz test here asserts
+that engine-vs-RE2 parity directly, independent of the driver's oracle gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fdpg_query_data_validation_ray.stages.text import (
+    PII_RULES,
+    DecontaminateStage,
+    PIIRedactStage,
+    benchmark_gram_hashes,
+)
+
+
+def _redact(texts):
+    df = pd.DataFrame({"text": texts})
+    return PIIRedactStage("text")(df)
+
+
+def test_pii_redact_planted_cases():
+    out = _redact(
+        [
+            "mail bob.smith+x@sub.example.org now",
+            "call +4917012345678 or +123456 too-short",
+            "host 10.0.255.1 and 999.999.999.999 both match",
+            "combo a@b.co +9876543 1.2.3.4",
+            "clean text with no pii at all",
+            None,
+            "",
+        ]
+    )
+    red = [None if pd.isna(v) else v for v in out["text_redacted"]]
+    assert red == [
+        "mail <EMAIL> now",
+        # +123456 is 6 digits — below the 7-digit minimum, kept
+        "call <PHONE> or +123456 too-short",
+        # the pattern is deliberately naive: any dotted digit quad matches
+        "host <IP> and <IP> both match",
+        "combo <EMAIL> <PHONE> <IP>",
+        "clean text with no pii at all",
+        None,  # null in, null out
+        "",
+    ]
+    assert out["n_emails"].tolist() == [1, 0, 0, 1, 0, 0, 0]
+    assert out["n_phones"].tolist() == [0, 1, 0, 1, 0, 0, 0]
+    assert out["n_ips"].tolist() == [0, 0, 2, 1, 0, 0, 0]
+
+
+def test_pii_redact_phone_boundary():
+    # 16 digits: \b fails after any 7..15-digit prefix (a digit follows), so
+    # the whole run is NOT a phone — identical in Python re and RE2
+    out = _redact(["+1234567890123456", "+123456789012345"])
+    assert out["text_redacted"].tolist() == ["+1234567890123456", "<PHONE>"]
+
+
+def test_pii_redact_matches_duckdb_re2_fuzz():
+    duckdb = pytest.importorskip("duckdb")
+    rng = np.random.default_rng(7)
+    pieces = [
+        "user@example.com", "a.b-c_d%e+f@mail.sub.domain.io", "x@y.zz",
+        "+4912345678901", "+1234567", "+12345678901234567890",
+        "10.1.2.3", "256.256.256.256", "1.2.3", "no-pii", "dots...",
+        "@@", "a@b", "word", "42", "+", ".", "a@-.xy", "9.9.9.9.9",
+    ]
+    texts = [
+        " ".join(rng.choice(pieces, rng.integers(0, 8)).tolist())
+        for _ in range(300)
+    ]
+    got = _redact(texts)
+    con = duckdb.connect()
+    import pyarrow as pa
+
+    con.register("t", pa.table({"text": pa.array(texts, pa.string())}))
+    expr = "text"
+    for _, pat, repl in PII_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    want = con.execute(f"SELECT {expr} AS r FROM t").df()["r"]
+    assert got["text_redacted"].tolist() == want.tolist()
+
+
+def _decontam(texts, bench_texts, k=3, min_hits=1):
+    bench = benchmark_gram_hashes(bench_texts, k=k)
+    st = DecontaminateStage(bench, text_column="text", k=k, min_hits=min_hits)
+    return st(pd.DataFrame({"text": texts}))
+
+
+def test_decontaminate_known_overlap():
+    bench = ["alpha beta gamma delta epsilon"]
+    out = _decontam(
+        [
+            "alpha beta gamma delta epsilon",  # identical: all 3 grams hit
+            "x alpha beta gamma y",            # shares exactly one 3-gram
+            "alpha beta x gamma delta",        # no contiguous 3-gram shared
+            "zeta eta theta iota",             # disjoint
+            "alpha beta",                      # < k tokens: no grams
+            None,
+        ],
+        bench,
+    )
+    assert out["n_contaminated"].tolist() == [3, 1, 0, 0, 0, 0]
+    assert out["is_contaminated"].tolist() == [True, True, False, False, False, False]
+    # distinct-gram counting: a doc repeating one gram counts it once
+    rep = _decontam(["alpha beta gamma alpha beta gamma alpha beta gamma"], bench)
+    # grams: [abg, bga, gab] x distinct — only 'alpha beta gamma' is in bench
+    assert rep["n_contaminated"].tolist() == [1]
+    assert rep["n_grams_distinct"].tolist() == [3]
+
+
+def test_decontaminate_min_hits_threshold():
+    bench = ["a b c d e f"]
+    out = _decontam(["a b c d x", "a b c d e"], bench, k=3, min_hits=2)
+    # doc 0 shares grams {abc, bcd}; doc 1 shares {abc, bcd, cde}
+    assert out["n_contaminated"].tolist() == [2, 3]
+    assert out["is_contaminated"].tolist() == [True, True]
+    out1 = _decontam(["a b c x y"], bench, k=3, min_hits=2)
+    assert out1["is_contaminated"].tolist() == [False]
+
+
+def test_decontaminate_bruteforce_crosscheck():
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [" ".join(rng.choice(vocab, 20).tolist()) for _ in range(60)]
+    bench_texts = docs[:5]
+    out = _decontam(docs, bench_texts, k=3, min_hits=1)
+
+    def grams(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    bench_set = set().union(*(grams(b) for b in bench_texts))
+    want = [len(grams(d) & bench_set) for d in docs]
+    assert out["n_contaminated"].tolist() == want
+
+
+def test_decontaminate_objectref_broadcast(ray_session):
+    import ray
+
+    bench = benchmark_gram_hashes(["p q r s t"], k=3)
+    ref = ray.put(bench)
+    st = DecontaminateStage(ref, text_column="text", k=3)
+    out = st(pd.DataFrame({"text": ["p q r s", "p q r z"]}))
+    assert out["n_contaminated"].tolist() == [2, 1]
+
+
+def test_queries_end_to_end_vs_duckdb(ray_session):
+    """Both new queries hash-exact vs their oracles at sf0.001 — the same
+    compare the driver gate runs, kept in-tree as a regression guard."""
+    duckdb = pytest.importorskip("duckdb")
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    for name in ("redact_pii_docs", "decontaminate_docs"):
+        got = (
+            entrymod.queries()[name](sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            con.execute(entrymod.oracle_sql()[name])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[got.columns]
+        )
+        for c in got.columns:
+            assert got[c].astype(object).tolist() == want[c].astype(object).tolist(), (
+                name,
+                c,
+            )
