@@ -239,6 +239,98 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_contaminated, 0) >= 3 AS is_contaminated
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
+        # composed pretraining pipeline: one CTE per engine stage —
+        # normalize → lang-ID 'en' filter → md5 keep-first dedup on the
+        # normalized text → 3-gram decontamination vs the mod-97 benchmark
+        # (drop at >= 3 distinct shared grams) → the 3 PII regexp_replace
+        # passes → token cumsum + generate_series packing. Each CTE replays
+        # the exact formula its standalone oracle uses, so this checks the
+        # COMPOSITION, not new math.
+        "pretrain_corpus": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(nfc_normalize(text)),
+                                         '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS text_norm
+              FROM documents),
+            lbase AS (
+              SELECT doc_id, coalesce(text,'') AS t,
+                     len(coalesce(text,'')) AS nc,
+                     len(regexp_extract_all(coalesce(text,''), '[一-鿿]')) AS cjk,
+                     regexp_extract_all(lower(coalesce(text,'')), '[a-zà-ÿ]+') AS ws
+              FROM documents),
+            lwords AS (SELECT doc_id, unnest(ws) AS w FROM lbase),
+            lscores AS (
+              SELECT doc_id,
+                CAST(SUM(CASE WHEN w IN ({en_sw}) THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS s_en,
+                CAST(SUM(CASE WHEN w IN ({de_sw}) THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS s_de,
+                CAST(SUM(CASE WHEN w IN ({fr_sw}) THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS s_fr,
+                CAST(SUM(CASE WHEN w IN ({es_sw}) THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS s_es
+              FROM lwords GROUP BY doc_id),
+            en AS (
+              SELECT n.doc_id, n.text_norm
+              FROM norm n JOIN lbase b USING (doc_id)
+              LEFT JOIN lscores s USING (doc_id)
+              WHERE b.nc > 0
+                AND NOT (b.cjk > 0.05 * greatest(1, b.nc))
+                AND len(b.ws) > 0
+                AND greatest(s.s_en, s.s_de, s.s_fr, s.s_es) > 0.01
+                AND s.s_en >= s.s_de AND s.s_en >= s.s_fr AND s.s_en >= s.s_es),
+            dedup AS (
+              SELECT doc_id, text_norm FROM (
+                SELECT doc_id, text_norm,
+                       ROW_NUMBER() OVER (PARTITION BY md5(text_norm)
+                                          ORDER BY doc_id) AS rn
+                FROM en)
+              WHERE rn = 1),
+            ntoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text_norm,'')), '\\S+') AS t
+              FROM norm),
+            ngrams AS (
+              SELECT doc_id,
+                     [array_to_string(t[x:x+2], ' ')
+                      for x in generate_series(1, len(t)-2)] AS gs
+              FROM ntoks WHERE len(t) >= 3),
+            nh AS (
+              SELECT DISTINCT doc_id,
+                CAST(md5_number_lower(g.gram) & 1152921504606846975 AS BIGINT) AS hv
+              FROM ngrams, LATERAL (SELECT unnest(gs) AS gram) g),
+            nbench AS (SELECT DISTINCT hv FROM nh WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT nh.doc_id,
+                     CAST(SUM(CASE WHEN b.hv IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hit
+              FROM nh LEFT JOIN nbench b ON nh.hv = b.hv
+              GROUP BY nh.doc_id),
+            clean AS (
+              SELECT d.doc_id, d.text_norm
+              FROM dedup d LEFT JOIN hits h USING (doc_id)
+              WHERE coalesce(h.n_hit, 0) < 3),
+            red AS (
+              SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(text_norm,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                  '<EMAIL>', 'g'),
+                  '\\+[0-9]{{7,15}}\\b', '<PHONE>', 'g'),
+                  '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+                  '<IP>', 'g') AS text_red
+              FROM clean),
+            toks AS (
+              SELECT doc_id, 1 + len(text_red) // 4 AS tokens FROM red),
+            offs AS (
+              SELECT doc_id, tokens,
+                     COALESCE(SUM(tokens) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS start
+              FROM toks)
+            SELECT doc_id,
+                   unnest(generate_series(
+                       CAST(start // 1024 AS BIGINT),
+                       CAST((start + tokens - 1) // 1024 AS BIGINT)
+                   )) AS seq_id
+            FROM offs
+        """,
         # sequence-packing replay: concat-and-chunk in doc_id order; each
         # doc's global token offset is a window cumsum, and it belongs to
         # every 1024-token window its span [start, start+tokens) overlaps.

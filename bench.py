@@ -103,6 +103,8 @@ HEADLINE = [
     "decontaminate_docs",
     "dedup_clusters",
     "dedup_jaccard_keep",
+    # the composed normalize→langid→dedup→decontaminate→scrub→pack pipeline
+    "pretrain_corpus",
 ]
 
 

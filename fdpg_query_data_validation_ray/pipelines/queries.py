@@ -1406,10 +1406,117 @@ def q_decontaminate_docs(sf_dir: str):
         DecontaminateStage,
         fn_constructor_kwargs=dict(bench=bench_ref, text_column="text", k=3, min_hits=3),
         batch_format="pandas",
+        # coalesce the reader's small blocks: the per-batch md5-gram kernel
+        # has a fixed cost that 70-row batches pay 70x over
+        batch_size=1024,
         concurrency=(1, 8),
     ).select_columns(
         ["doc_id", "n_grams_distinct", "n_contaminated", "is_contaminated"]
     )
+
+
+def q_pretrain_corpus(sf_dir: str):
+    """Composed end-to-end pretraining-data pipeline — the flagship LLM
+    use case, every stage streaming in ONE lazy Ray pipeline (no driver
+    materialization between stages):
+
+        normalize → lang-ID (keep predicted 'en') → exact dedup keep-first
+        on the normalized text → benchmark decontamination (drop docs
+        sharing ≥3 distinct 3-grams with the mod-97 benchmark) → PII scrub
+        → pack into 1024-token training sequences.
+
+    Each stage is the SAME operator its standalone query exercises; the
+    value here is proving they compose — and the whole composition is
+    hash-exact against a single DuckDB oracle (one CTE per stage). The PII
+    scrub is a structural no-op on this corpus (vocabulary words only) but
+    runs for real; token counts are taken from the scrubbed text on both
+    sides. Output: (doc_id, seq_id) training-sequence assignments."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.dedup import exact_dedup
+    from fdpg_query_data_validation_ray.stages.pack import pack_sequences
+    from fdpg_query_data_validation_ray.stages.text import (
+        DecontaminateStage,
+        LangIdStage,
+        NormalizeTextStage,
+        PIIRedactStage,
+        benchmark_gram_hashes,
+    )
+
+    # benchmark = normalized text of the mod-97 docs (benchmark suites are
+    # small; built driver-side once, broadcast). Normalization reuses the
+    # SAME stage kernels so the gram basis cannot drift from the pipeline.
+    bench_df = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.equal(
+                    pc.subtract(
+                        t["doc_id"],
+                        pc.multiply(pc.divide(t["doc_id"], 97), 97),
+                    ),
+                    0,
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    bench_norm = NormalizeTextStage("text")(pa.Table.from_pandas(bench_df))
+    bench_ref = ray.put(
+        benchmark_gram_hashes(bench_norm["text_norm"].to_pandas(), k=3)
+    )
+
+    ds = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(NormalizeTextStage("text"), batch_format="pyarrow")
+        .map_batches(LangIdStage("text"), batch_format="pandas")
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["lang_pred"], "en")).select(
+                ["doc_id", "text_norm"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    ds = exact_dedup(ds, "text_norm", "doc_id")
+    ds = (
+        ds.map_batches(
+            DecontaminateStage,
+            fn_constructor_kwargs=dict(
+                bench=bench_ref, text_column="text_norm", k=3, min_hits=3
+            ),
+            batch_format="pandas",
+            batch_size=1024,
+            concurrency=(1, 8),
+        )
+        .map_batches(
+            lambda t: t.filter(pc.less(t["n_contaminated"], 3)).select(
+                ["doc_id", "text_norm"]
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(PIIRedactStage("text_norm"), batch_format="pandas")
+        .map_batches(
+            # tokens = 1 + len(text)//4; lengths are non-negative so Arrow's
+            # trunc divide == SQL's floor //
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].combine_chunks(),
+                    "tokens": pc.add(
+                        pc.divide(
+                            pc.cast(
+                                pc.utf8_length(t["text_redacted"]), pa.int64()
+                            ),
+                            4,
+                        ),
+                        1,
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return pack_sequences(ds, "doc_id", "tokens", budget=1024, n_ranges=64)
 
 
 def q_mixture_docs(sf_dir: str):
@@ -1495,6 +1602,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "redact_pii_docs": q_redact_pii_docs,
     "decontaminate_docs": q_decontaminate_docs,
+    "pretrain_corpus": q_pretrain_corpus,
     "corpus_validate": q_corpus_validate,
 }
 

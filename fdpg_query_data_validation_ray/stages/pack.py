@@ -48,6 +48,22 @@ def pack_sequences(
     from ray.data.aggregate import Sum
 
     assert budget > 0
+    # Packing needs THREE passes over its input (id bounds → per-range token
+    # totals → emission). Materialize the 16 B/row (id, tokens) projection
+    # ONCE so those passes read narrow materialized blocks instead of
+    # re-executing the upstream pipeline three times — composed callers
+    # (q_pretrain_corpus: normalize→langid→dedup→decontaminate→scrub) would
+    # otherwise pay their whole chain per pass. The projection spills fine at
+    # scale and is strictly cheaper than any one upstream recompute.
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                id_column: pc.cast(t[id_column], pa.int64()),
+                token_column: pc.cast(t[token_column], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
     stats = ds.map_batches(
         lambda t: pa.table(
             {

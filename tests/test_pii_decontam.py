@@ -161,17 +161,14 @@ def test_queries_end_to_end_vs_duckdb(ray_session):
     sf = "/root/testdata/sf0.001"
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
-    for name in ("redact_pii_docs", "decontaminate_docs"):
-        got = (
-            entrymod.queries()[name](sf)
-            .to_pandas()
-            .sort_values("doc_id")
-            .reset_index(drop=True)
-        )
+    for name in ("redact_pii_docs", "decontaminate_docs", "pretrain_corpus"):
+        got = entrymod.queries()[name](sf).to_pandas()
+        keys = list(got.columns[:2])  # (doc_id[, seq_id]) identify rows
+        got = got.sort_values(keys).reset_index(drop=True)
         want = (
             con.execute(entrymod.oracle_sql()[name])
             .df()
-            .sort_values("doc_id")
+            .sort_values(keys)
             .reset_index(drop=True)[got.columns]
         )
         for c in got.columns:
