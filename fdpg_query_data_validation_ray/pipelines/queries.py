@@ -435,7 +435,7 @@ def _top_building_orders_join(sf_dir: str):
     building_orders = orders.join(
         cust,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=8,
         on=("o_custkey",),
         right_on=("c_custkey",),
     ).select_columns(["o_orderkey"])
@@ -501,10 +501,14 @@ def q_segment_order_totals(sf_dir: str):
         batch_format="pyarrow",
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    # partition count trades shuffle-aggregator fixed cost against reducer
+    # parallelism: Ray 2.49 runs one 1-CPU aggregator actor per partition,
+    # so at bench scale fewer is faster (16->8 saved ~0.5 s); on a real
+    # cluster size this ~2x total cores (see cluster._join_partitions)
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=8,
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -964,14 +968,14 @@ def q_multimodal_decode(sf_dir: str):
             fn_constructor_kwargs=dict(factor=2, mode="real"),
             batch_format="pyarrow",
             batch_size=256,
-            concurrency=(1, 4),
+            concurrency=(1, 8),
         )
         .map_batches(
             DecodeStage,
             fn_constructor_kwargs=dict(mode="real"),
             batch_format="pyarrow",
             batch_size=256,
-            concurrency=(1, 4),
+            concurrency=(1, 8),
         )
     )
     return decoded.map_batches(
