@@ -239,6 +239,38 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_contaminated, 0) >= 3 AS is_contaminated
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
+        # Gopher repetition signals: per-doc word/bigram frequency maxima,
+        # fixed-point via the same FLOOR(x*1e6+0.5) IEEE sequence as the
+        # engine. Bigram identity is positional (list slicing), word counts
+        # by GROUP BY; zero-token docs and docs without bigrams coalesce 0.
+        "repetition_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text,'')), '\\S+') AS t
+              FROM documents),
+            words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+            wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+            agg AS (
+              SELECT doc_id, SUM(c) AS nw, MAX(c) AS maxw, COUNT(*) AS ndist
+              FROM wc GROUP BY doc_id),
+            bg AS (
+              SELECT doc_id, array_to_string(t[x:x+1], ' ') AS g
+              FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS x)
+              WHERE len(t) >= 2),
+            bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+            bga AS (SELECT doc_id, MAX(c) AS maxbg, SUM(c) AS nbg
+                    FROM bgc GROUP BY doc_id)
+            SELECT d.doc_id,
+              CAST(coalesce(FLOOR(1e6 * a.maxw / a.nw + 0.5), 0) AS BIGINT)
+                AS rep_top_word_e6,
+              CAST(coalesce(FLOOR(1e6 * (a.nw - a.ndist) / a.nw + 0.5), 0) AS BIGINT)
+                AS dup_word_frac_e6,
+              CAST(coalesce(FLOOR(1e6 * b.maxbg / b.nbg + 0.5), 0) AS BIGINT)
+                AS rep_top_bigram_e6
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN bga b USING (doc_id)
+        """,
         # composed pretraining pipeline: one CTE per engine stage —
         # normalize → lang-ID 'en' filter → md5 keep-first dedup on the
         # normalized text → 3-gram decontamination vs the mod-97 benchmark

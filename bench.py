@@ -105,6 +105,7 @@ HEADLINE = [
     "dedup_jaccard_keep",
     # the composed normalize→langid→dedup→decontaminate→scrub→pack pipeline
     "pretrain_corpus",
+    "repetition_docs",
 ]
 
 

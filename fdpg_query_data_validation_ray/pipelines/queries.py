@@ -1419,6 +1419,19 @@ def q_decontaminate_docs(sf_dir: str):
     )
 
 
+def q_repetition_docs(sf_dir: str):
+    """Gopher repetition signals per doc (top-word / duplicate-word /
+    top-bigram fractions, fixed-point e6) — stages/text.py RepetitionStage."""
+    from fdpg_query_data_validation_ray.stages.text import RepetitionStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        RepetitionStage("text"), batch_format="pandas", batch_size=1024
+    ).select_columns(
+        ["doc_id", "rep_top_word_e6", "dup_word_frac_e6", "rep_top_bigram_e6"]
+    )
+
+
 def q_pretrain_corpus(sf_dir: str):
     """Composed end-to-end pretraining-data pipeline — the flagship LLM
     use case, every stage streaming in ONE lazy Ray pipeline (no driver
@@ -1607,6 +1620,7 @@ QUERIES = {
     "redact_pii_docs": q_redact_pii_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "pretrain_corpus": q_pretrain_corpus,
+    "repetition_docs": q_repetition_docs,
     "corpus_validate": q_corpus_validate,
 }
 

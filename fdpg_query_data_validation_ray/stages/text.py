@@ -608,3 +608,79 @@ class DecontaminateStage:
         ).astype(np.int64)
         batch["is_contaminated"] = batch["n_contaminated"].to_numpy() >= self.min_hits
         return batch
+
+
+class RepetitionStage:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1) — the
+    filters every pretraining pipeline applies to kill boilerplate/spam:
+
+      rep_top_word_e6    = 1e6 * count(most frequent word) / n_words
+      dup_word_frac_e6   = 1e6 * (n_words - n_distinct_words) / n_words
+      rep_top_bigram_e6  = 1e6 * count(most frequent bigram) / n_bigrams
+
+    Fixed-point FLOOR(x*1e6 + 0.5) so the DuckDB oracle is hash-exact (the
+    multiply→divide→add→floor sequence is replayed in the same IEEE order).
+    Zero-token docs emit 0s; the fractions are tie-free (max over counts,
+    no argmax word exposed). Fully vectorized: one tokenize pass, words and
+    bigrams identified by 64-bit hashes (a cross-word hash collision would
+    merge two counts; at ~100-token docs the probability is ~1e-16 — the
+    same exactness caveat as the lang-ID stopword membership)."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+        self.token_re = re.compile(r"\S+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        cols = ("rep_top_word_e6", "dup_word_frac_e6", "rep_top_bigram_e6")
+        if n == 0:
+            for c in cols:
+                batch[c] = pd.Series([], dtype=np.int64)
+            return batch
+        s = batch[self.text_column].fillna("").str.lower()
+        flat, counts, starts = _tokenize_batch(s, self.token_re)
+        th = hash64(flat) if len(flat) else np.empty(0, np.uint64)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+        def _per_doc_run_stats(keys: np.ndarray, docs: np.ndarray):
+            """(max run length, run count) per doc for (doc, key) runs."""
+            maxrun = np.zeros(n, dtype=np.int64)
+            nruns = np.zeros(n, dtype=np.int64)
+            if len(keys) == 0:
+                return maxrun, nruns
+            order = np.lexsort((keys, docs))
+            d, k = docs[order], keys[order]
+            first = np.empty(len(d), dtype=bool)
+            first[0] = True
+            first[1:] = (d[1:] != d[:-1]) | (k[1:] != k[:-1])
+            bounds = np.flatnonzero(first)
+            lens = np.diff(np.append(bounds, len(d)))
+            rd_ = d[bounds]
+            np.maximum.at(maxrun, rd_, lens)
+            nruns += np.bincount(rd_, minlength=n)
+            return maxrun, nruns
+
+        w_max, w_distinct = _per_doc_run_stats(th, doc_idx)
+        nw = counts.astype(np.int64)
+
+        # bigrams: adjacent positions within the same doc
+        if len(th) >= 2:
+            same = doc_idx[:-1] == doc_idx[1:]
+            bh = (th[:-1] * np.uint64(0x9E3779B97F4A7C15)) ^ th[1:]
+            b_max, _ = _per_doc_run_stats(bh[same], doc_idx[:-1][same])
+        else:
+            b_max = np.zeros(n, dtype=np.int64)
+        nbg = np.maximum(nw - 1, 0)
+
+        def _e6(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+            out = np.zeros(n, dtype=np.int64)
+            ok = den > 0
+            out[ok] = np.floor(
+                1e6 * num[ok].astype(np.float64) / den[ok] + 0.5
+            ).astype(np.int64)
+            return out
+
+        batch["rep_top_word_e6"] = _e6(w_max, nw)
+        batch["dup_word_frac_e6"] = _e6(nw - w_distinct, nw)
+        batch["rep_top_bigram_e6"] = _e6(b_max, nbg)
+        return batch

@@ -176,3 +176,51 @@ def test_queries_end_to_end_vs_duckdb(ray_session):
                 name,
                 c,
             )
+
+
+def test_repetition_stage_planted():
+    from fdpg_query_data_validation_ray.stages.text import RepetitionStage
+
+    out = RepetitionStage("text")(
+        pd.DataFrame(
+            {
+                "text": [
+                    "a a a a",          # top word 4/4, dup (4-1)/4, bigram 'a a' 3/3
+                    "a b c d",          # all distinct
+                    "spam spam eggs spam",  # top 3/4; bigram max 1/3
+                    "",                 # zero tokens
+                    None,
+                    "solo",             # one token, no bigrams
+                ]
+            }
+        )
+    )
+    assert out["rep_top_word_e6"].tolist() == [
+        1000000, 250000, 750000, 0, 0, 1000000
+    ]
+    assert out["dup_word_frac_e6"].tolist() == [750000, 0, 500000, 0, 0, 0]
+    assert out["rep_top_bigram_e6"].tolist() == [1000000, 333333, 333333, 0, 0, 0]
+
+
+def test_repetition_stage_bruteforce_crosscheck():
+    from collections import Counter
+
+    from fdpg_query_data_validation_ray.stages.text import RepetitionStage
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(6)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(0, 15)).tolist()) for _ in range(200)]
+    out = RepetitionStage("text")(pd.DataFrame({"text": docs}))
+    import math
+
+    for i, d in enumerate(docs):
+        toks = d.lower().split()
+        nw = len(toks)
+        wc = Counter(toks)
+        bg = Counter(zip(toks, toks[1:]))
+        e6 = lambda num, den: math.floor(1e6 * num / den + 0.5) if den else 0
+        assert out["rep_top_word_e6"][i] == e6(max(wc.values(), default=0), nw)
+        assert out["dup_word_frac_e6"][i] == e6(nw - len(wc), nw)
+        assert out["rep_top_bigram_e6"][i] == e6(
+            max(bg.values(), default=0), max(nw - 1, 0)
+        )
