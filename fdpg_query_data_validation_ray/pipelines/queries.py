@@ -888,7 +888,7 @@ def q_token_count_docs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        TokenCountStage(), batch_format="pandas"
+        TokenCountStage(), batch_format="pandas", batch_size=1024
     ).map_batches(lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow")
 
 
@@ -897,7 +897,7 @@ def q_lang_id_docs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     return ds.map_batches(
-        LangIdStage(), batch_format="pandas"
+        LangIdStage(), batch_format="pandas", batch_size=1024
     ).map_batches(lambda t: t.select(["doc_id", "lang", "lang_pred"]), batch_format="pyarrow")
 
 
@@ -909,7 +909,7 @@ def q_quality_docs(sf_dir: str):
     # this query is oracle-checked (the float ratios stay available on the
     # stage for pipeline use)
     return ds.map_batches(
-        QualityScoreStage(), batch_format="pandas"
+        QualityScoreStage(), batch_format="pandas", batch_size=1024
     ).map_batches(
         lambda t: t.select(
             ["doc_id", "n_chars_q", "n_words", "n_stop_words", "n_punct_chars",
@@ -924,7 +924,7 @@ def q_fingerprint_docs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        FingerprintStage(), batch_format="pandas"
+        FingerprintStage(), batch_format="pandas", batch_size=1024
     ).map_batches(
         lambda t: t.select(["doc_id", "fingerprint_min", "n_fingerprints"]),
         batch_format="pyarrow",

@@ -720,6 +720,9 @@ def minhash_near_duplicates(
             text_column=text_column, id_column=id_column, shingle_n=shingle_n
         ),
         batch_format="pyarrow",
+        # coalesce small reader blocks: the per-batch shingle+perm kernel has
+        # fixed setup cost that tiny batches multiply
+        batch_size=1024,
     ).materialize()
     exploded = sigs.map_batches(BandExplodeStage(bands=bands), batch_format="pyarrow")
 
@@ -885,6 +888,7 @@ def simhash_near_duplicates(
     sigs = ds.map_batches(
         SimHashSignatureStage(text_column=text_column, id_column=id_column),
         batch_format="pyarrow",
+        batch_size=1024,
     ).materialize()
     exploded = sigs.map_batches(SimHashBandExplodeStage(), batch_format="pyarrow")
 
@@ -1050,6 +1054,9 @@ def jaccard_verify_buckets(
             text_column=text_column, id_column=id_column, shingle_n=shingle_n
         ),
         batch_format="pyarrow",
+        # coalesce small reader blocks: the per-batch shingle+perm kernel has
+        # fixed setup cost that tiny batches multiply
+        batch_size=1024,
     ).materialize()
     exploded = sigs.map_batches(BandExplodeStage(bands=bands), batch_format="pyarrow")
     sieved, n_multi = _sieve_multi_buckets(exploded, "bucket")

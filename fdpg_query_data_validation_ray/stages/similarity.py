@@ -410,6 +410,9 @@ def cosine_near_duplicates(
     signs = ds.map_batches(
         LSHSignStage(planes=planes, vec_column=vec_column, id_column=id_column),
         batch_format="pyarrow",
+        # coalesce small reader blocks: the per-batch matmul/sign kernel has
+        # fixed setup cost that tiny batches multiply
+        batch_size=1024,
     ).materialize()
     exploded = signs.map_batches(
         TableExplodeStage(n_tables=n_tables, id_column=id_column),
