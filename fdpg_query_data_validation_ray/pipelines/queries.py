@@ -963,19 +963,17 @@ def q_multimodal_decode(sf_dir: str):
 
     decoded = (
         ds.map_batches(attach_payload, batch_format="pyarrow", batch_size=256)
+        # task-based instances: the codec stages hold no per-process state
+        # (mode flags only), so an actor pool only added startup latency
         .map_batches(
-            ResizeStage,
-            fn_constructor_kwargs=dict(factor=2, mode="real"),
+            ResizeStage(factor=2, mode="real"),
             batch_format="pyarrow",
             batch_size=256,
-            concurrency=(1, 8),
         )
         .map_batches(
-            DecodeStage,
-            fn_constructor_kwargs=dict(mode="real"),
+            DecodeStage(mode="real"),
             batch_format="pyarrow",
             batch_size=256,
-            concurrency=(1, 8),
         )
     )
     return decoded.map_batches(
@@ -1056,11 +1054,9 @@ def q_multimodal_frames(sf_dir: str):
     return (
         ds.map_batches(attach_video, batch_format="pyarrow", batch_size=256)
         .map_batches(
-            FrameSampleStage,
-            fn_constructor_kwargs=dict(every=2),
+            FrameSampleStage(every=2),
             batch_format="pyarrow",
             batch_size=256,
-            concurrency=(1, 4),
         )
     )
 
@@ -1407,13 +1403,14 @@ def q_decontaminate_docs(sf_dir: str):
     bench_ref = ray.put(benchmark_gram_hashes(bench_tbl["text"], k=3))
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        DecontaminateStage,
-        fn_constructor_kwargs=dict(bench=bench_ref, text_column="text", k=3, min_hits=3),
+        # task-based instance: the sorted benchmark array is baked into the
+        # serialized callable — one plasma object, cached per worker — so a
+        # dedicated actor pool only added startup latency
+        DecontaminateStage(bench=bench_ref, text_column="text", k=3, min_hits=3),
         batch_format="pandas",
         # coalesce the reader's small blocks: the per-batch md5-gram kernel
         # has a fixed cost that 70-row batches pay 70x over
         batch_size=1024,
-        concurrency=(1, 8),
     ).select_columns(
         ["doc_id", "n_grams_distinct", "n_contaminated", "is_contaminated"]
     )
@@ -1498,13 +1495,11 @@ def q_pretrain_corpus(sf_dir: str):
     ds = exact_dedup(ds, "text_norm", "doc_id")
     ds = (
         ds.map_batches(
-            DecontaminateStage,
-            fn_constructor_kwargs=dict(
+            DecontaminateStage(
                 bench=bench_ref, text_column="text_norm", k=3, min_hits=3
             ),
             batch_format="pandas",
             batch_size=1024,
-            concurrency=(1, 8),
         )
         .map_batches(
             lambda t: t.filter(pc.less(t["n_contaminated"], 3)).select(
