@@ -84,8 +84,7 @@ HEADLINE = [
     "sample_docs",
     "normalize_docs",
     # late round-3: the remaining cheap oracle-checked queries, so the
-    # headline covers the full surface (only the O(n²)-by-design exact
-    # jaccard family stays out — see the note above).
+    # headline covers the full surface.
     "dedup_exact_props",
     "dedup_keep_first",
     "events_hourly_moving",
@@ -103,6 +102,7 @@ HEADLINE = [
     "decontaminate_docs",
     "dedup_clusters",
     "dedup_jaccard_keep",
+    "dedup_ngram_jaccard",
     # the composed normalize→langid→dedup→decontaminate→scrub→pack pipeline
     "pretrain_corpus",
     "repetition_docs",
