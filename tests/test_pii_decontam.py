@@ -224,3 +224,38 @@ def test_repetition_stage_bruteforce_crosscheck():
         assert out["rep_top_bigram_e6"][i] == e6(
             max(bg.values(), default=0), max(nw - 1, 0)
         )
+
+
+def test_new_stages_batch_split_invariant():
+    """PII redaction, decontamination and repetition are per-doc pure
+    functions: any batch split must produce identical rows (the engine-wide
+    order-insensitivity invariant, SURVEY.md §2.9)."""
+    from fdpg_query_data_validation_ray.stages.text import (
+        DecontaminateStage,
+        PIIRedactStage,
+        RepetitionStage,
+        benchmark_gram_hashes,
+    )
+
+    rng = np.random.default_rng(19)
+    vocab = [f"w{i}" for i in range(8)] + ["a@b.co", "+1234567", "1.2.3.4"]
+    docs = [" ".join(rng.choice(vocab, rng.integers(0, 12)).tolist()) for _ in range(97)]
+    df = pd.DataFrame({"text": docs})
+    bench = benchmark_gram_hashes(docs[:3], k=3)
+
+    def run(stage_factory, frame, splits):
+        outs = []
+        for lo, hi in splits:
+            outs.append(stage_factory()(frame.iloc[lo:hi].copy().reset_index(drop=True)))
+        return pd.concat(outs, ignore_index=True)
+
+    whole_splits = [(0, 97)]
+    ragged = [(0, 1), (1, 40), (40, 41), (41, 97)]
+    for factory in (
+        lambda: PIIRedactStage("text"),
+        lambda: DecontaminateStage(bench, text_column="text", k=3),
+        lambda: RepetitionStage("text"),
+    ):
+        a = run(factory, df, whole_splits)
+        b = run(factory, df, ragged)
+        pd.testing.assert_frame_equal(a, b)
