@@ -59,12 +59,22 @@ def q_row_checks_documents(sf_dir: str):
 
 
 def q_issue_dedup_counts(sf_dir: str):
-    """A1 IssueSet semantics: dedup-count issues by identity key."""
-    from ray.data.aggregate import Count
+    """A1 IssueSet semantics: dedup-count issues by identity key, with a
+    per-batch combiner so the exchange moves (key, partial count) rows
+    rather than every violation."""
+    from ray.data.aggregate import Sum
 
-    return q_row_checks_documents(sf_dir).groupby(
-        ["rule_id", "severity", "location", "diagnostics"]
-    ).aggregate(Count(alias_name="n_issues"))
+    keys = ["rule_id", "severity", "location", "diagnostics"]
+    return (
+        q_row_checks_documents(sf_dir)
+        .map_batches(
+            lambda t: t.group_by(keys).aggregate([([], "count_all")]),
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
+        .groupby(keys)
+        .aggregate(Sum("count_all", alias_name="n_issues"))
+    )
 
 
 def q_unique_docs_lang_nchars(sf_dir: str):
@@ -157,9 +167,9 @@ def q_distinct_exact(sf_dir: str):
             )
         return pa.concat_tables(parts)
 
-    pairs = ds.map_batches(local_distinct, batch_format="pyarrow").groupby(
-        ["col_name", "value"]
-    ).aggregate(Count(alias_name="_n"))
+    pairs = ds.map_batches(
+        local_distinct, batch_format="pyarrow", batch_size=4096
+    ).groupby(["col_name", "value"]).aggregate(Count(alias_name="_n"))
     counts = pairs.groupby("col_name").aggregate(Count(alias_name="n_distinct"))
     # build from the declared column list: an empty/partial aggregate result
     # (zero-row input loses its schema through to_pandas) still yields one
@@ -178,15 +188,26 @@ def q_distinct_exact(sf_dir: str):
 
 
 def q_lang_distribution(sf_dir: str):
-    from ray.data.aggregate import Count
+    """Distribution via combiner pre-aggregation: per-batch pyarrow
+    group_by collapses rows to (lang, partial count) before the exchange —
+    at corpus scale the shuffle moves one row per (batch, lang), not one
+    per document. count_all keeps the null-lang group (a plain "count"
+    would drop it)."""
+    from ray.data.aggregate import Sum
 
-    return _read(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(
-        Count(alias_name="n_docs")
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["lang"]).aggregate([([], "count_all")])
+
+    return (
+        _read(sf_dir, "documents", ["lang"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("lang")
+        .aggregate(Sum("count_all", alias_name="n_docs"))
     )
 
 
 def q_content_length_hist(sf_dir: str):
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "documents", ["n_chars"])
 
@@ -196,9 +217,14 @@ def q_content_length_hist(sf_dir: str):
         )
         return pa.table({"bucket": b})
 
-    return ds.map_batches(bucketize, batch_format="pyarrow").groupby(
-        "bucket"
-    ).aggregate(Count(alias_name="n_docs"))
+    def partial(t: pa.Table) -> pa.Table:
+        return bucketize(t).group_by(["bucket"]).aggregate([([], "count_all")])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("bucket")
+        .aggregate(Sum("count_all", alias_name="n_docs"))
+    )
 
 
 def q_events_hourly(sf_dir: str):
@@ -221,10 +247,20 @@ def q_events_hourly(sf_dir: str):
             }
         )
 
-    return ds.map_batches(prep, batch_format="pyarrow").groupby(
-        ["event_type", "hour"]
-    ).aggregate(
-        Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents")
+    def partial(t: pa.Table) -> pa.Table:
+        # combiner: (event_type, hour) partial count+sum per batch; the
+        # exchange then moves one row per (batch, key) instead of per event
+        return prep(t).group_by(["event_type", "hour"]).aggregate(
+            [([], "count_all"), ("value_cents", "sum")]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("count_all", alias_name="n_events"),
+            Sum("value_cents_sum", alias_name="sum_value_cents"),
+        )
     )
 
 
@@ -311,14 +347,29 @@ def q_pricing_summary(sf_dir: str):
             }
         )
 
-    return ds.map_batches(prep, batch_format="pyarrow").groupby(
-        ["l_returnflag", "l_linestatus"]
-    ).aggregate(
-        Sum("qty_cents", alias_name="sum_qty_cents"),
-        Sum("base_price_cents", alias_name="sum_base_price_cents"),
-        Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
-        Sum("charge_e6", alias_name="sum_charge_e6"),
-        Count(alias_name="count_order"),
+    def partial(t: pa.Table) -> pa.Table:
+        # combiner: partial sums per (flag, status) per batch — the exchange
+        # moves a handful of rows per batch instead of every lineitem
+        return prep(t).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("qty_cents", "sum"),
+                ("base_price_cents", "sum"),
+                ("disc_price_e4", "sum"),
+                ("charge_e6", "sum"),
+                ([], "count_all"),
+            ]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_cents_sum", alias_name="sum_qty_cents"),
+            Sum("base_price_cents_sum", alias_name="sum_base_price_cents"),
+            Sum("disc_price_e4_sum", alias_name="sum_disc_price_e4"),
+            Sum("charge_e6_sum", alias_name="sum_charge_e6"),
+            Sum("count_all", alias_name="count_order"),
+        )
     )
 
 
@@ -469,10 +520,17 @@ def _top_building_orders_join(sf_dir: str):
 
 
 def q_top_users_by_events(sf_dir: str):
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
-    agg = _read(sf_dir, "events", ["user_id"]).groupby("user_id").aggregate(
-        Count(alias_name="n_events")
+    agg = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(
+            lambda t: t.group_by(["user_id"]).aggregate([([], "count_all")]),
+            batch_format="pyarrow",
+            batch_size=16384,
+        )
+        .groupby("user_id")
+        .aggregate(Sum("count_all", alias_name="n_events"))
     )
     return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(20)
 
@@ -512,9 +570,19 @@ def q_segment_order_totals(sf_dir: str):
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
-    return joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"),
-        Sum("totalprice_cents", alias_name="sum_totalprice_cents"),
+    return (
+        joined.map_batches(
+            lambda t: t.group_by(["c_mktsegment"]).aggregate(
+                [([], "count_all"), ("totalprice_cents", "sum")]
+            ),
+            batch_format="pyarrow",
+            batch_size=16384,
+        )
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("count_all", alias_name="n_orders"),
+            Sum("totalprice_cents_sum", alias_name="sum_totalprice_cents"),
+        )
     )
 
 
@@ -877,9 +945,9 @@ def q_top_words(sf_dir: str):
         vc = words.value_counts()
         return pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
 
-    counts = ds.map_batches(explode_count, batch_format="pandas").groupby(
-        "word"
-    ).aggregate(Sum("n", alias_name="n_occurrences"))
+    counts = ds.map_batches(
+        explode_count, batch_format="pandas", batch_size=4096
+    ).groupby("word").aggregate(Sum("n", alias_name="n_occurrences"))
     return top_k(counts, 50, ["n_occurrences", "word"], descending=[True, False])
 
 
@@ -1089,7 +1157,7 @@ def q_psi_terms_lang(sf_dir: str):
     Aggregation is a tiny groupby count per half (nothing O(rows) at the
     driver)."""
     import numpy as np
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     from fdpg_query_data_validation_ray.stages.drift import _EPS
 
@@ -1114,9 +1182,16 @@ def q_psi_terms_lang(sf_dir: str):
         )
 
     counted = (
-        ds.map_batches(keyed, batch_format="pyarrow")
+        ds.map_batches(
+            # combiner: partial (lang, parity) counts per batch
+            lambda t: keyed(t).group_by(["lang", "parity"]).aggregate(
+                [([], "count_all")]
+            ),
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
         .groupby(["lang", "parity"])
-        .aggregate(Count(alias_name="c"))
+        .aggregate(Sum("count_all", alias_name="c"))
     )
     expected, actual = {}, {}
     for b in counted.iter_batches(batch_format="pyarrow"):
