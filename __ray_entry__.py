@@ -239,6 +239,56 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_contaminated, 0) >= 3 AS is_contaminated
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
+        # CCNet-style LM quality filter: interpolated word-bigram LM trained
+        # on the doc_id % 17 == 0 reference subset, every doc scored by its
+        # quantized bigram NLL. Per-gram NLL is floored to e6 integers
+        # BEFORE the per-doc SUM, so the sum is exact (no float order
+        # drift); ln parity rests on the documented libm assumption
+        # (see the quantiles_nchars note).
+        "lm_score_docs": """
+            WITH ttoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text,'')), '\\S+') AS t
+              FROM documents WHERE doc_id % 17 = 0),
+            twords AS (SELECT unnest(t) AS w FROM ttoks),
+            uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM twords GROUP BY w),
+            stats AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n_tok,
+                             CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+            tbg AS (
+              SELECT t[x] AS a, t[x+1] AS b
+              FROM ttoks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS x)
+              WHERE len(t) >= 2),
+            bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM tbg GROUP BY a, b),
+            atoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text,'')), '\\S+') AS t
+              FROM documents),
+            abg AS (
+              SELECT doc_id, t[x] AS a, t[x+1] AS b
+              FROM atoks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS x)
+              WHERE len(t) >= 2),
+            g AS (
+              SELECT abg.doc_id,
+                CAST(FLOOR(1e6 * -ln(
+                  0.75 * (CASE WHEN ua.c IS NULL THEN 0
+                               ELSE coalesce(bi.c, 0) / ua.c END)
+                  + 0.25 * ((coalesce(ub.c, 0) + 1) / (s.n_tok + s.v))
+                ) + 0.5) AS BIGINT) AS nll
+              FROM abg
+              LEFT JOIN uni ua ON abg.a = ua.w
+              LEFT JOIN uni ub ON abg.b = ub.w
+              LEFT JOIN bi ON abg.a = bi.a AND abg.b = bi.b
+              CROSS JOIN stats s),
+            agg AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(nll) AS BIGINT) AS sm
+              FROM g GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n, 0) AS n_bigrams,
+                   coalesce(a.sm, 0) AS nll_e6_sum
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         # Gopher repetition signals: per-doc word/bigram frequency maxima,
         # fixed-point via the same FLOOR(x*1e6+0.5) IEEE sequence as the
         # engine. Bigram identity is positional (list slicing), word counts

@@ -106,6 +106,7 @@ HEADLINE = [
     # the composed normalize→langid→dedup→decontaminate→scrub→pack pipeline
     "pretrain_corpus",
     "repetition_docs",
+    "lm_score_docs",
 ]
 
 

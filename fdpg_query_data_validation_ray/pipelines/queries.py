@@ -1504,6 +1504,44 @@ def q_repetition_docs(sf_dir: str):
     )
 
 
+def q_lm_score_docs(sf_dir: str):
+    """CCNet-style LM quality filter: a word-bigram LM trained driver-side
+    on the deterministic reference subset (doc_id % 17 == 0 — CCNet trains
+    on a fixed reference corpus, which also bounds model size), broadcast
+    once, then every doc scored with an integer-exact quantized NLL
+    (stages/text.py LMScoreStage)."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.text import (
+        LMScoreStage,
+        train_bigram_lm,
+    )
+
+    train_df = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.equal(
+                    pc.subtract(
+                        t["doc_id"],
+                        pc.multiply(pc.divide(t["doc_id"], 17), 17),
+                    ),
+                    0,
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    model_ref = ray.put(train_bigram_lm(train_df["text"]))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        LMScoreStage(model_ref, text_column="text"),
+        batch_format="pandas",
+        batch_size=1024,
+    ).select_columns(["doc_id", "n_bigrams", "nll_e6_sum"])
+
+
 def q_pretrain_corpus(sf_dir: str):
     """Composed end-to-end pretraining-data pipeline — the flagship LLM
     use case, every stage streaming in ONE lazy Ray pipeline (no driver
@@ -1691,6 +1729,7 @@ QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "pretrain_corpus": q_pretrain_corpus,
     "repetition_docs": q_repetition_docs,
+    "lm_score_docs": q_lm_score_docs,
     "corpus_validate": q_corpus_validate,
 }
 

@@ -684,3 +684,102 @@ class RepetitionStage:
         batch["dup_word_frac_e6"] = _e6(nw - w_distinct, nw)
         batch["rep_top_bigram_e6"] = _e6(b_max, nbg)
         return batch
+
+
+# ---------------------------------------------------------------------------
+# LM-perplexity quality filter (CCNet-style, Wenzek et al. 2020)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_MIX = 0.75  # interpolation weight of the bigram term
+_PAIR_C = np.uint64(0x9E3779B97F4A7C15)
+
+
+def train_bigram_lm(texts, k_unused: int = 0):
+    """Train an interpolated word-bigram LM on a reference corpus:
+
+        p(b | a) = 0.75 * c(ab)/c(a)  +  0.25 * (c(b)+1)/(N+V)
+
+    (add-one-smoothed unigram backoff keeps p > 0 for OOV words). CCNet
+    trains its KenLM on a fixed reference corpus, not the data being
+    filtered — callers pass a deterministic subset (e.g. doc_id % 17 == 0),
+    which also bounds the model size by construction. Returns the broadcast
+    state tuple (sorted unigram hashes, counts, sorted bigram hashes,
+    counts, N, V) consumed by LMScoreStage."""
+    s = pd.Series(list(texts), dtype=object).fillna("").str.lower()
+    token_re = re.compile(r"\S+")
+    flat, counts, starts = _tokenize_batch(s, token_re)
+    th = hash64(flat) if len(flat) else np.empty(0, np.uint64)
+    uh, uc = np.unique(th, return_counts=True)
+    n_tok = int(counts.sum())
+    if len(th) >= 2:
+        doc_idx = np.repeat(np.arange(len(s), dtype=np.int64), counts)
+        same = doc_idx[:-1] == doc_idx[1:]
+        ph = (th[:-1][same] * _PAIR_C) ^ th[1:][same]
+        bh, bc = np.unique(ph, return_counts=True)
+    else:
+        bh, bc = np.empty(0, np.uint64), np.empty(0, np.int64)
+    return (uh, uc.astype(np.int64), bh, bc.astype(np.int64), n_tok, len(uh))
+
+
+def _lookup_sorted(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    """counts[probe] with 0 for absent keys (keys sorted unique)."""
+    out = np.zeros(len(probe), dtype=np.int64)
+    if len(keys) and len(probe):
+        ix = np.searchsorted(keys, probe)
+        inb = ix < len(keys)
+        hit = np.zeros(len(probe), dtype=bool)
+        hit[inb] = keys[ix[inb]] == probe[inb]
+        out[hit] = vals[ix[hit]]
+    return out
+
+
+class LMScoreStage:
+    """Score each doc's word-bigram negative log-likelihood under a trained
+    reference LM — the CCNet quality-filter shape (docs far from the
+    reference distribution score high and get dropped/bucketed).
+
+    Emits integer columns only: per-gram NLL is quantized to
+    floor(1e6 * -ln(p) + 0.5) BEFORE the per-doc sum, so the sum is an
+    exact integer (no float summation-order drift) and the whole operator
+    is hash-exact against a DuckDB oracle replaying the same IEEE
+    expression (ln/exp libm parity — the documented quantiles_nchars
+    assumption). Word/bigram identity by 64-bit hash (same collision
+    caveat as the other text stages). Fully vectorized: one tokenize pass,
+    three searchsorted lookups, one reduceat per batch."""
+
+    def __init__(self, model, text_column: str = "text"):
+        import ray
+
+        if not isinstance(model, tuple):
+            model = ray.get(model)
+        self.uh, self.uc, self.bh, self.bc, self.n_tok, self.vocab = model
+        self.text_column = text_column
+        self.token_re = re.compile(r"\S+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        if n == 0:
+            batch["n_bigrams"] = pd.Series([], dtype=np.int64)
+            batch["nll_e6_sum"] = pd.Series([], dtype=np.int64)
+            return batch
+        s = batch[self.text_column].fillna("").str.lower()
+        flat, counts, starts = _tokenize_batch(s, self.token_re)
+        th = hash64(flat) if len(flat) else np.empty(0, np.uint64)
+        n_bi = np.maximum(counts - 1, 0).astype(np.int64)
+        sums = np.zeros(n, dtype=np.int64)
+        if len(th) >= 2:
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+            same = doc_idx[:-1] == doc_idx[1:]
+            a = th[:-1][same]
+            b = th[1:][same]
+            c_a = _lookup_sorted(self.uh, self.uc, a)
+            c_b = _lookup_sorted(self.uh, self.uc, b)
+            c_ab = _lookup_sorted(self.bh, self.bc, (a * _PAIR_C) ^ b)
+            p_bi = np.where(c_a > 0, c_ab / np.maximum(c_a, 1), 0.0)
+            p_uni = (c_b + 1) / (self.n_tok + self.vocab)
+            p = _BIGRAM_MIX * p_bi + (1.0 - _BIGRAM_MIX) * p_uni
+            nll_e6 = np.floor(1e6 * -np.log(p) + 0.5).astype(np.int64)
+            np.add.at(sums, doc_idx[:-1][same], nll_e6)
+        batch["n_bigrams"] = n_bi
+        batch["nll_e6_sum"] = sums
+        return batch

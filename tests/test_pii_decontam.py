@@ -259,3 +259,47 @@ def test_new_stages_batch_split_invariant():
         a = run(factory, df, whole_splits)
         b = run(factory, df, ragged)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_lm_score_bruteforce_crosscheck():
+    import math
+
+    from fdpg_query_data_validation_ray.stages.text import (
+        LMScoreStage,
+        train_bigram_lm,
+    )
+
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i}" for i in range(10)]
+    train = [" ".join(rng.choice(vocab, 25).tolist()) for _ in range(8)]
+    score = [" ".join(rng.choice(vocab + ["oov1", "oov2"], rng.integers(0, 12)).tolist()) for _ in range(80)]
+    score += ["", "solo", None, train[0]]
+
+    model = train_bigram_lm(train)
+    out = LMScoreStage(model, text_column="text")(pd.DataFrame({"text": score}))
+
+    from collections import Counter
+
+    uni = Counter()
+    bi = Counter()
+    for t in train:
+        toks = t.lower().split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    N, V = sum(uni.values()), len(uni)
+
+    for i, t in enumerate(score):
+        toks = (t or "").lower().split()
+        grams = list(zip(toks, toks[1:]))
+        want_n = max(len(toks) - 1, 0)
+        want_sum = 0
+        for a, b in grams:
+            p_bi = bi.get((a, b), 0) / uni[a] if uni.get(a, 0) > 0 else 0.0
+            p = 0.75 * p_bi + 0.25 * ((uni.get(b, 0) + 1) / (N + V))
+            want_sum += math.floor(1e6 * -math.log(p) + 0.5)
+        assert out["n_bigrams"][i] == want_n, (i, t)
+        assert out["nll_e6_sum"][i] == want_sum, (i, t)
+
+    # the training doc itself must score lower (per gram) than OOV-heavy docs
+    in_dist = out.iloc[len(score) - 1]
+    assert in_dist["nll_e6_sum"] / max(in_dist["n_bigrams"], 1) < 1e6 * math.log(N + V)
