@@ -239,6 +239,23 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_contaminated, 0) >= 3 AS is_contaminated
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
+        # per-label embedding centroid sums: each float32 element promoted
+        # to double and floored to e6 integers BEFORE the sum — the
+        # (label, dim) sums are order-free exact integers. dim is 1-based
+        # on both sides.
+        "embedding_centroids": """
+            WITH e AS (
+              SELECT label,
+                     u.dim,
+                     CAST(FLOOR(1e6 * u.v + 0.5) AS BIGINT) AS q
+              FROM embeddings,
+              LATERAL (SELECT unnest(embedding) AS v,
+                              unnest(generate_series(1, len(embedding))) AS dim) u)
+            SELECT label, CAST(dim AS BIGINT) AS dim,
+                   CAST(SUM(q) AS BIGINT) AS sum_e6,
+                   CAST(COUNT(*) AS BIGINT) AS n_vectors
+            FROM e GROUP BY label, dim
+        """,
         # CCNet-style LM quality filter: interpolated word-bigram LM trained
         # on the doc_id % 17 == 0 reference subset, every doc scored by its
         # quantized bigram NLL. Per-gram NLL is floored to e6 integers

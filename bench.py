@@ -107,6 +107,7 @@ HEADLINE = [
     "pretrain_corpus",
     "repetition_docs",
     "lm_score_docs",
+    "embedding_centroids",
 ]
 
 

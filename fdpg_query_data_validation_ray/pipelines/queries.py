@@ -1504,6 +1504,19 @@ def q_repetition_docs(sf_dir: str):
     )
 
 
+def q_embedding_centroids(sf_dir: str):
+    """Per-label embedding centroid sums (the IVF / spherical-k-means
+    training step as a first-class aggregate), integer-exact via e6
+    quantization before aggregation — stages/similarity.py
+    embedding_centroid_sums."""
+    from fdpg_query_data_validation_ray.stages.similarity import (
+        embedding_centroid_sums,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return embedding_centroid_sums(ds, "embedding", "label")
+
+
 def q_lm_score_docs(sf_dir: str):
     """CCNet-style LM quality filter: a word-bigram LM trained driver-side
     on the deterministic reference subset (doc_id % 17 == 0 — CCNet trains
@@ -1730,6 +1743,7 @@ QUERIES = {
     "pretrain_corpus": q_pretrain_corpus,
     "repetition_docs": q_repetition_docs,
     "lm_score_docs": q_lm_score_docs,
+    "embedding_centroids": q_embedding_centroids,
     "corpus_validate": q_corpus_validate,
 }
 

@@ -481,3 +481,62 @@ def cosine_near_duplicates(
         .groupby("part")
         .map_groups(part_pairs, batch_format="pyarrow")
     )
+
+
+def embedding_centroid_sums(ds, vec_column: str = "embedding",
+                            group_column: str = "label"):
+    """Per-group embedding centroid SUMS, integer-exact: every element is
+    quantized to floor(1e6*x + 0.5) int64 BEFORE aggregation, so the
+    (group, dim) sums are order-independent and hash-exact against a SQL
+    oracle (float centroid = sum_e6 / n / 1e6 to within quantization —
+    callers divide at the edge). The combiner collapses each batch to one
+    row per (group, dim) before the exchange; variable-length vectors are
+    handled via the Arrow list offsets (row i contributes to dims
+    1..len(i)). The centroid is the training step of IVF/spherical k-means
+    (stages/similarity.py train path) — this operator is that step as a
+    first-class, oracle-checkable aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[vec_column].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = np.asarray(arr.offsets)
+        vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = np.diff(offs).astype(np.int64)
+        grp = t[group_column].to_numpy(zero_copy_only=False)
+        g_el = np.repeat(grp, lens)
+        total = int(lens.sum())
+        dim_el = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs[:-1].astype(np.int64), lens)
+            + 1
+        )
+        q = np.floor(1e6 * vals + 0.5).astype(np.int64)
+        order = np.lexsort((dim_el, g_el))
+        g_s, d_s, q_s = g_el[order], dim_el[order], q[order]
+        first = np.empty(total, dtype=bool)
+        if total:
+            first[0] = True
+            first[1:] = (g_s[1:] != g_s[:-1]) | (d_s[1:] != d_s[:-1])
+        bounds = np.flatnonzero(first)
+        sums = np.add.reduceat(q_s, bounds) if total else np.empty(0, np.int64)
+        cnts = np.diff(np.append(bounds, total))
+        return pa.table(
+            {
+                group_column: pa.array(g_s[bounds]),
+                "dim": pa.array(d_s[bounds]),
+                "sum_e6": pa.array(sums, pa.int64()),
+                "n_vectors": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby([group_column, "dim"])
+        .aggregate(
+            Sum("sum_e6", alias_name="sum_e6"),
+            Sum("n_vectors", alias_name="n_vectors"),
+        )
+    )

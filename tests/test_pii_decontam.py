@@ -303,3 +303,37 @@ def test_lm_score_bruteforce_crosscheck():
     # the training doc itself must score lower (per gram) than OOV-heavy docs
     in_dist = out.iloc[len(score) - 1]
     assert in_dist["nll_e6_sum"] / max(in_dist["n_bigrams"], 1) < 1e6 * math.log(N + V)
+
+
+def test_embedding_centroid_sums_ragged_and_null(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.similarity import (
+        embedding_centroid_sums,
+    )
+
+    t = pa.table(
+        {
+            "label": pa.array([0, 0, 1, 1], pa.int32()),
+            "embedding": pa.array(
+                [[1.0, 2.0], [3.0], [0.5, -0.5, 2.25], None],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = (
+        embedding_centroid_sums(rd.from_arrow(t), "embedding", "label")
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    # label 0: dim1 = 1e6+3e6 (2 vecs), dim2 = 2e6 (1 vec);
+    # label 1: the null row contributes nothing
+    assert out.to_records(index=False).tolist() == [
+        (0, 1, 4_000_000, 2),
+        (0, 2, 2_000_000, 1),
+        (1, 1, 500_000, 1),
+        (1, 2, -500_000, 1),
+        (1, 3, 2_250_000, 1),
+    ]
