@@ -339,12 +339,14 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN bga b USING (doc_id)
         """,
         # composed pretraining pipeline: one CTE per engine stage —
-        # normalize → lang-ID 'en' filter → md5 keep-first dedup on the
+        # normalize → lang-ID 'en' filter → Gopher repetition filter
+        # (top-word fraction <= 0.16) → md5 keep-first dedup on the
         # normalized text → 3-gram decontamination vs the mod-97 benchmark
-        # (drop at >= 3 distinct shared grams) → the 3 PII regexp_replace
-        # passes → token cumsum + generate_series packing. Each CTE replays
-        # the exact formula its standalone oracle uses, so this checks the
-        # COMPOSITION, not new math.
+        # (drop at >= 3 distinct shared grams) → CCNet LM filter (bigram LM
+        # on the normalized mod-17 subset, integer avg-NLL compare) → the 3
+        # PII regexp_replace passes → token cumsum + generate_series
+        # packing. Each CTE replays the exact formula its standalone oracle
+        # uses, so this checks the COMPOSITION, not new math.
         "pretrain_corpus": f"""
             WITH norm AS (
               SELECT doc_id,
@@ -374,13 +376,40 @@ def oracle_sql() -> dict[str, str]:
                 AND len(b.ws) > 0
                 AND greatest(s.s_en, s.s_de, s.s_fr, s.s_es) > 0.01
                 AND s.s_en >= s.s_de AND s.s_en >= s.s_fr AND s.s_en >= s.s_es),
+            enw AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text_norm,'')),
+                                               '\S+')) AS w
+              FROM en),
+            enwc AS (SELECT doc_id, w, COUNT(*) AS c FROM enw GROUP BY doc_id, w),
+            rep AS (
+              SELECT doc_id,
+                     CAST(FLOOR(1e6 * MAX(c) / SUM(c) + 0.5) AS BIGINT) AS r
+              FROM enwc GROUP BY doc_id),
+            enr AS (
+              SELECT e.doc_id, e.text_norm
+              FROM en e JOIN rep USING (doc_id) WHERE rep.r <= 160000),
             dedup AS (
               SELECT doc_id, text_norm FROM (
                 SELECT doc_id, text_norm,
                        ROW_NUMBER() OVER (PARTITION BY md5(text_norm)
                                           ORDER BY doc_id) AS rn
-                FROM en)
+                FROM enr)
               WHERE rn = 1),
+            lt AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text_norm,'')), '\S+') AS t
+              FROM norm WHERE doc_id % 17 = 0),
+            lw AS (SELECT unnest(t) AS w FROM lt),
+            luni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM lw GROUP BY w),
+            lstats AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n_tok,
+                              CAST(COUNT(*) AS BIGINT) AS v FROM luni),
+            ltbg AS (
+              SELECT t[x] AS a, t[x+1] AS b
+              FROM lt, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS x)
+              WHERE len(t) >= 2),
+            lbi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM ltbg GROUP BY a, b),
             ntoks AS (
               SELECT doc_id,
                      regexp_extract_all(lower(coalesce(text_norm,'')), '\\S+') AS t
@@ -405,6 +434,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT d.doc_id, d.text_norm
               FROM dedup d LEFT JOIN hits h USING (doc_id)
               WHERE coalesce(h.n_hit, 0) < 3),
+            cbg AS (
+              SELECT c.doc_id, t.t[x] AS a, t.t[x+1] AS b
+              FROM clean c JOIN ntoks t USING (doc_id),
+              LATERAL (SELECT unnest(generate_series(1, len(t.t)-1)) AS x)
+              WHERE len(t.t) >= 2),
+            lg AS (
+              SELECT cbg.doc_id,
+                CAST(FLOOR(1e6 * -ln(
+                  0.75 * (CASE WHEN ua.c IS NULL THEN 0
+                               ELSE coalesce(lbi.c, 0) / ua.c END)
+                  + 0.25 * ((coalesce(ub.c, 0) + 1) / (s.n_tok + s.v))
+                ) + 0.5) AS BIGINT) AS nll
+              FROM cbg
+              LEFT JOIN luni ua ON cbg.a = ua.w
+              LEFT JOIN luni ub ON cbg.b = ub.w
+              LEFT JOIN lbi ON cbg.a = lbi.a AND cbg.b = lbi.b
+              CROSS JOIN lstats s),
+            lagg AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(nll) AS BIGINT) AS sm
+              FROM lg GROUP BY doc_id),
+            lclean AS (
+              SELECT c.doc_id, c.text_norm
+              FROM clean c LEFT JOIN lagg USING (doc_id)
+              WHERE coalesce(lagg.sm, 0) <= 3826000 * coalesce(lagg.n, 0)),
             red AS (
               SELECT doc_id,
                 regexp_replace(regexp_replace(regexp_replace(text_norm,
@@ -413,7 +467,7 @@ def oracle_sql() -> dict[str, str]:
                   '\\+[0-9]{{7,15}}\\b', '<PHONE>', 'g'),
                   '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
                   '<IP>', 'g') AS text_red
-              FROM clean),
+              FROM lclean),
             toks AS (
               SELECT doc_id, 1 + len(text_red) // 4 AS tokens FROM red),
             offs AS (

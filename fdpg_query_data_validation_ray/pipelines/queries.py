@@ -1560,10 +1560,14 @@ def q_pretrain_corpus(sf_dir: str):
     use case, every stage streaming in ONE lazy Ray pipeline (no driver
     materialization between stages):
 
-        normalize → lang-ID (keep predicted 'en') → exact dedup keep-first
+        normalize → lang-ID (keep predicted 'en') → Gopher repetition
+        filter (rep_top_word_e6 ≤ 160000, ~p95) → exact dedup keep-first
         on the normalized text → benchmark decontamination (drop docs
-        sharing ≥3 distinct 3-grams with the mod-97 benchmark) → PII scrub
-        → pack into 1024-token training sequences.
+        sharing ≥3 distinct 3-grams with the mod-97 benchmark) → CCNet LM
+        filter (bigram LM trained on the mod-17 reference subset; drop
+        docs with avg NLL > 3.826 nats ≈ p95, compared as exact integers
+        nll_e6_sum ≤ THR·n_bigrams) → PII scrub → pack into 1024-token
+        training sequences.
 
     Each stage is the SAME operator its standalone query exercises; the
     value here is proving they compose — and the whole composition is
@@ -1578,33 +1582,46 @@ def q_pretrain_corpus(sf_dir: str):
     from fdpg_query_data_validation_ray.stages.text import (
         DecontaminateStage,
         LangIdStage,
+        LMScoreStage,
         NormalizeTextStage,
         PIIRedactStage,
+        RepetitionStage,
         benchmark_gram_hashes,
+        train_bigram_lm,
     )
 
     # benchmark = normalized text of the mod-97 docs (benchmark suites are
     # small; built driver-side once, broadcast). Normalization reuses the
     # SAME stage kernels so the gram basis cannot drift from the pipeline.
-    bench_df = (
+    # ONE scan pulls both reference subsets (decontamination benchmark =
+    # mod-97 docs, LM train set = mod-17 docs; trunc-division remainder ==
+    # SQL % for any sign); both normalized with the SAME stage kernels.
+    def _mod_eq(t, m):
+        return pc.equal(
+            pc.subtract(
+                t["doc_id"], pc.multiply(pc.divide(t["doc_id"], m), m)
+            ),
+            0,
+        )
+
+    ref_df = (
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(
-            lambda t: t.filter(
-                pc.equal(
-                    pc.subtract(
-                        t["doc_id"],
-                        pc.multiply(pc.divide(t["doc_id"], 97), 97),
-                    ),
-                    0,
-                )
-            ),
+            lambda t: t.filter(pc.or_(_mod_eq(t, 97), _mod_eq(t, 17))),
             batch_format="pyarrow",
         )
         .to_pandas()
     )
-    bench_norm = NormalizeTextStage("text")(pa.Table.from_pandas(bench_df))
+    ref_norm = NormalizeTextStage("text")(
+        pa.Table.from_pandas(ref_df)
+    ).to_pandas()
     bench_ref = ray.put(
-        benchmark_gram_hashes(bench_norm["text_norm"].to_pandas(), k=3)
+        benchmark_gram_hashes(
+            ref_norm[ref_norm["doc_id"] % 97 == 0]["text_norm"], k=3
+        )
+    )
+    lm_ref = ray.put(
+        train_bigram_lm(ref_norm[ref_norm["doc_id"] % 17 == 0]["text_norm"])
     )
 
     ds = (
@@ -1615,6 +1632,14 @@ def q_pretrain_corpus(sf_dir: str):
             lambda t: t.filter(pc.equal(t["lang_pred"], "en")).select(
                 ["doc_id", "text_norm"]
             ),
+            batch_format="pyarrow",
+        )
+        .map_batches(RepetitionStage("text_norm"), batch_format="pandas",
+                     batch_size=1024)
+        .map_batches(
+            lambda t: t.filter(
+                pc.less_equal(t["rep_top_word_e6"], 160000)
+            ).select(["doc_id", "text_norm"]),
             batch_format="pyarrow",
         )
     )
@@ -1631,6 +1656,21 @@ def q_pretrain_corpus(sf_dir: str):
             lambda t: t.filter(pc.less(t["n_contaminated"], 3)).select(
                 ["doc_id", "text_norm"]
             ),
+            batch_format="pyarrow",
+        )
+        .map_batches(LMScoreStage(lm_ref, text_column="text_norm"),
+                     batch_format="pandas", batch_size=1024)
+        .map_batches(
+            # exact integer compare: avg NLL <= 3.826 nats; n_bigrams == 0
+            # docs trivially pass (0 <= 0)
+            lambda t: t.filter(
+                pc.less_equal(
+                    t["nll_e6_sum"],
+                    pc.multiply(
+                        t["n_bigrams"], pa.scalar(3_826_000, pa.int64())
+                    ),
+                )
+            ).select(["doc_id", "text_norm"]),
             batch_format="pyarrow",
         )
         .map_batches(PIIRedactStage("text_norm"), batch_format="pandas")
