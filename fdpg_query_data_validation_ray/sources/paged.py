@@ -68,9 +68,12 @@ class HttpJsonFetcher:
 
     def __init__(self, base_url: str, user: str | None = None,
                  password: str | None = None, token: str | None = None,
-                 timeout_s: float = 30.0):
+                 timeout_s: float = 30.0, max_retries: int = 3,
+                 backoff_s: float = 0.5):
         self.base_url = base_url.rstrip("/")
         self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
         self.headers = {"Content-Type": "application/json"}
         if token:
             self.headers["Authorization"] = f"Bearer {token}"
@@ -88,13 +91,38 @@ class HttpJsonFetcher:
         return f"{self.base_url}?{urlencode(params)}"
 
     def __call__(self, params: dict | None) -> dict:
+        """GET with bounded retries on TRANSIENT failures (HTTP 5xx / 429,
+        socket errors, truncated bodies) and deterministic linear backoff —
+        a live endpoint hiccup must not kill a multi-hour ingest, and Ray's
+        default task retry does not cover application exceptions. 4xx other
+        than 429 (auth, bad request) raise immediately: retrying those only
+        hides a config error."""
+        import time
+        import urllib.error
         from urllib.request import Request, urlopen
 
-        req = Request(self.url_for(params), headers=self.headers)
-        with urlopen(req, timeout=self.timeout_s) as resp:  # noqa: S310
-            if resp.status != 200:
-                raise RuntimeError(f"paged fetch failed: HTTP {resp.status}")
-            return json.loads(resp.read().decode("utf-8"))
+        last: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            if attempt:
+                time.sleep(self.backoff_s * attempt)
+            try:
+                req = Request(self.url_for(params), headers=self.headers)
+                with urlopen(req, timeout=self.timeout_s) as resp:  # noqa: S310
+                    if resp.status != 200:
+                        raise RuntimeError(
+                            f"paged fetch failed: HTTP {resp.status}"
+                        )
+                    return json.loads(resp.read().decode("utf-8"))
+            except urllib.error.HTTPError as e:
+                if e.code < 500 and e.code != 429:
+                    raise
+                last = e
+            except (urllib.error.URLError, TimeoutError, OSError,
+                    json.JSONDecodeError) as e:
+                last = e
+        raise RuntimeError(
+            f"paged fetch failed after {self.max_retries + 1} attempts: {last}"
+        ) from last
 
 
 class _OffsetPageFetch:

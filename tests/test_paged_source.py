@@ -213,3 +213,71 @@ def test_job_cli_from_paged_offset_endpoint(ray_session, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_fetcher_retries_transient_5xx(ray_session, tmp_path):
+    """A flaky endpoint (one 500 per page before succeeding) must not kill
+    the ingest: HttpJsonFetcher retries transient failures with bounded
+    backoff; a 401 (config error) must NOT be retried."""
+    import json as json_mod
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    import pytest
+
+    from fdpg_query_data_validation_ray.sources.paged import (
+        HttpJsonFetcher,
+        read_paged_offset,
+    )
+
+    rows = [{"x": i} for i in range(40)]
+    state = {"failed_once": set(), "auth_hits": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            if q.get("mode") == ["denied"]:
+                state["auth_hits"] += 1
+                self.send_response(401)
+                self.end_headers()
+                return
+            key = self.path
+            if key not in state["failed_once"]:
+                state["failed_once"].add(key)
+                self.send_response(503)  # transient: must be retried
+                self.end_headers()
+                return
+            off, lim = int(q["offset"][0]), int(q["limit"][0])
+            body = json_mod.dumps({"rows": rows[off : off + lim]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/api"
+
+        def factory():
+            return HttpJsonFetcher(url, max_retries=2, backoff_s=0.01)
+
+        ds = read_paged_offset(
+            factory, page_size=16, total=len(rows), rows_key="rows",
+            schema=None, concurrency=(1, 2),
+        )
+        got = sorted(r["x"] for r in ds.take_all())
+        assert got == list(range(40))  # every page survived its 503
+
+        # non-transient 4xx: exactly one request, immediate raise
+        with pytest.raises(Exception) as ei:
+            factory()({"mode": "denied"})
+        assert "401" in str(ei.value)
+        assert state["auth_hits"] == 1
+    finally:
+        srv.shutdown()
+        srv.server_close()
