@@ -233,7 +233,9 @@ def asof_join_events(
             }
         )
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    # coalesce before the exchange: the sort shuffle pays per-block
+    # machinery, so 64 reader blocks of ~3k rows cost more than 13 of 16k
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=16384)
     if presplit:
         tagged = tagged.materialize()  # consumed twice: seed scan + merge
         seeds.update(
@@ -452,7 +454,7 @@ def range_join_count(
             }
         )
 
-    routed = ds.map_batches(route, batch_format="pyarrow")
+    routed = ds.map_batches(route, batch_format="pyarrow", batch_size=16384)
     return routed.groupby("part").map_groups(per_part, batch_format="pandas")
 
 
@@ -563,7 +565,7 @@ def sessionize(
             }
         )
 
-    pruned = ds.map_batches(route, batch_format="pyarrow")
+    pruned = ds.map_batches(route, batch_format="pyarrow", batch_size=16384)
     blocks = pruned.groupby("part").map_groups(per_part, batch_format="pandas")
     out_cols = [user_col, "n_events", "n_sessions", "longest_session"]
     if not presplit:
