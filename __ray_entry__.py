@@ -239,6 +239,17 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_contaminated, 0) >= 3 AS is_contaminated
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
+        # global dense rank by (n_chars DESC, doc_id) — the engine computes
+        # it shuffle-light (histogram combiner + broadcast bases + one
+        # groupby); the oracle is the plain window function. Null keys
+        # excluded on both sides.
+        "docs_ranked_by_len": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM documents
+            WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+        """,
         # per-label embedding centroid sums: each float32 element promoted
         # to double and floored to e6 integers BEFORE the sum — the
         # (label, dim) sums are order-free exact integers. dim is 1-based

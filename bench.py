@@ -108,6 +108,7 @@ HEADLINE = [
     "repetition_docs",
     "lm_score_docs",
     "embedding_centroids",
+    "docs_ranked_by_len",
 ]
 
 

@@ -1504,6 +1504,17 @@ def q_repetition_docs(sf_dir: str):
     )
 
 
+def q_docs_ranked_by_len(sf_dir: str):
+    """Global dense ROW_NUMBER by (n_chars DESC, doc_id) without a full
+    sort — histogram combiner → driver cumsum of per-key bases → one
+    groupby exchange (stages/topk.py global_rank). Null n_chars excluded
+    on both sides."""
+    from fdpg_query_data_validation_ray.stages.topk import global_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return global_rank(ds, "n_chars", "doc_id", descending=True)
+
+
 def q_embedding_centroids(sf_dir: str):
     """Per-label embedding centroid sums (the IVF / spherical-k-means
     training step as a first-class aggregate), integer-exact via e6
@@ -1784,6 +1795,7 @@ QUERIES = {
     "repetition_docs": q_repetition_docs,
     "lm_score_docs": q_lm_score_docs,
     "embedding_centroids": q_embedding_centroids,
+    "docs_ranked_by_len": q_docs_ranked_by_len,
     "corpus_validate": q_corpus_validate,
 }
 

@@ -337,3 +337,42 @@ def test_embedding_centroid_sums_ragged_and_null(ray_session):
         (1, 2, -500_000, 1),
         (1, 3, 2_250_000, 1),
     ]
+
+
+def test_global_rank_matches_row_number(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.topk import global_rank
+
+    rng = np.random.default_rng(31)
+    keys = rng.integers(0, 12, 200)  # heavy ties
+    ids = rng.permutation(200).astype(np.int64)
+    t = pa.table({"k": pa.array(keys, pa.int64()), "id": pa.array(ids)})
+    for desc in (True, False):
+        out = (
+            global_rank(rd.from_arrow(t), "k", "id", descending=desc)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        df = pd.DataFrame({"k": keys, "id": ids}).sort_values(
+            ["k", "id"], ascending=[not desc, True]
+        )
+        df["rank"] = np.arange(1, len(df) + 1)
+        want = df.sort_values("id").reset_index(drop=True)
+        assert out["rank"].tolist() == want["rank"].tolist(), desc
+
+    # null keys excluded, ranks stay dense over the survivors
+    t2 = pa.table(
+        {"k": pa.array([5, None, 3, 5], pa.int64()),
+         "id": pa.array([1, 2, 3, 4], pa.int64())}
+    )
+    out2 = (
+        global_rank(rd.from_arrow(t2), "k", "id")
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert out2["id"].tolist() == [1, 4, 3]
+    assert out2["rank"].tolist() == [1, 2, 3]
