@@ -294,7 +294,8 @@ def _labels_ccf(pairs, col_a: str, col_b: str, num_partitions: int | None = None
     for _round in range(max_iters):
         LAST_CCF_ROUNDS = _round + 1
         ls = (
-            E.map_batches(route_sym, batch_format="pyarrow")
+            E.map_batches(route_sym, batch_format="pyarrow",
+                          batch_size=65536)
             .groupby("part")
             .map_groups(_large_star_kernel, batch_format="pyarrow")
         )
@@ -304,7 +305,8 @@ def _labels_ccf(pairs, col_a: str, col_b: str, num_partitions: int | None = None
         ls_new = ls.sum("new") or 0
         ss = (
             ls.select_columns(["src", "dst"])
-            .map_batches(route_canon, batch_format="pyarrow")
+            .map_batches(route_canon, batch_format="pyarrow",
+                          batch_size=65536)
             .groupby("part")
             .map_groups(_small_star_kernel, batch_format="pyarrow")
         )
@@ -323,7 +325,7 @@ def _labels_ccf(pairs, col_a: str, col_b: str, num_partitions: int | None = None
     # At convergence E == {(member, root)} (possibly with cross-part
     # duplicates, collapsed by the kernel's group masks).
     final = (
-        E.map_batches(route_sym, batch_format="pyarrow")
+        E.map_batches(route_sym, batch_format="pyarrow", batch_size=65536)
         .groupby("part")
         .map_groups(_label_kernel, batch_format="pyarrow")
     )
