@@ -239,6 +239,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_contaminated, 0) >= 3 AS is_contaminated
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
+        # deterministic stratified sample: 10 smallest salted-md5 hashes
+        # per lang (same _h60 mechanism as split/sample/mixture)
+        "sample_n_per_lang": f"""
+            SELECT lang, doc_id, CAST(rn AS BIGINT) AS rank FROM (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY {_h60.format(salt="strat")}, doc_id
+                       ) AS rn
+                FROM documents
+                WHERE lang IS NOT NULL AND doc_id IS NOT NULL)
+            WHERE rn <= 10
+        """,
         # global dense rank by (n_chars DESC, doc_id) — the engine computes
         # it shuffle-light (histogram combiner + broadcast bases + one
         # groupby); the oracle is the plain window function. Null keys

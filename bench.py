@@ -109,6 +109,7 @@ HEADLINE = [
     "lm_score_docs",
     "embedding_centroids",
     "docs_ranked_by_len",
+    "sample_n_per_lang",
 ]
 
 

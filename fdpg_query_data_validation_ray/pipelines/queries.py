@@ -1504,6 +1504,38 @@ def q_repetition_docs(sf_dir: str):
     )
 
 
+def q_sample_n_per_lang(sf_dir: str):
+    """Deterministic stratified sampling: exactly min(10, |stratum|) docs
+    per lang, chosen as the 10 smallest salted-md5 hashes — uniform without
+    replacement WITHIN each stratum, stable under re-runs, partitioning and
+    corpus growth (a doc enters/leaves the sample only when its own hash
+    rank crosses the boundary). Composes stages/split.py's hash mechanism
+    with stages/sampling.py's distributed per-key cap."""
+    from fdpg_query_data_validation_ray.stages.sampling import first_n_per_key
+    from fdpg_query_data_validation_ray.stages.split import _row_hashes
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t["lang"]), pc.is_valid(t["doc_id"]))
+        )
+        h = _row_hashes(t, "doc_id", "strat").astype(np.int64)
+        return t.append_column("h", pa.array(h, pa.int64()))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        add_hash, batch_format="pyarrow", batch_size=8192
+    )
+    out = first_n_per_key(ds, 10, "lang", ["h", "doc_id"], rank_column="rank")
+    return out.map_batches(
+        lambda t: t.select(["lang", "doc_id", "rank"]).cast(
+            pa.schema(
+                [("lang", pa.string()), ("doc_id", pa.int64()),
+                 ("rank", pa.int64())]
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_docs_ranked_by_len(sf_dir: str):
     """Global dense ROW_NUMBER by (n_chars DESC, doc_id) without a full
     sort — histogram combiner → driver cumsum of per-key bases → one
@@ -1796,6 +1828,7 @@ QUERIES = {
     "lm_score_docs": q_lm_score_docs,
     "embedding_centroids": q_embedding_centroids,
     "docs_ranked_by_len": q_docs_ranked_by_len,
+    "sample_n_per_lang": q_sample_n_per_lang,
     "corpus_validate": q_corpus_validate,
 }
 

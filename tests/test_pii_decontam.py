@@ -376,3 +376,33 @@ def test_global_rank_matches_row_number(ray_session):
     )
     assert out2["id"].tolist() == [1, 4, 3]
     assert out2["rank"].tolist() == [1, 2, 3]
+
+
+def test_sample_n_per_lang_growth_stability(ray_session):
+    """Adding new docs must never evict a sampled doc unless the newcomer's
+    own hash ranks inside the top-n — the property that makes hash-order
+    stratified sampling safe on a growing corpus."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.sampling import first_n_per_key
+    from fdpg_query_data_validation_ray.stages.split import _row_hashes
+
+    def sample(ids):
+        t = pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "lang": pa.array(["en"] * len(ids))}
+        )
+        h = _row_hashes(t, "doc_id", "strat").astype(np.int64)
+        ds = rd.from_arrow(t.append_column("h", pa.array(h, pa.int64())))
+        out = first_n_per_key(ds, 5, "lang", ["h", "doc_id"], rank_column="rank")
+        return set(out.to_pandas()["doc_id"])
+
+    base = list(range(100))
+    s1 = sample(base)
+    s2 = sample(base + list(range(100, 140)))
+    # the old sample can only shrink by members displaced by new top-5 hashes
+    assert s1 & s2 == s2 - set(range(100, 140)) or (s2 - s1) <= set(range(100, 140))
+    assert len(s2) == 5 and len(s1) == 5
+    # determinism: same input, same sample
+    assert sample(base) == s1
