@@ -403,7 +403,7 @@ def oracle_sql() -> dict[str, str]:
             enw AS (
               SELECT doc_id,
                      unnest(regexp_extract_all(lower(coalesce(text_norm,'')),
-                                               '\S+')) AS w
+                                               '\\S+')) AS w
               FROM en),
             enwc AS (SELECT doc_id, w, COUNT(*) AS c FROM enw GROUP BY doc_id, w),
             rep AS (
@@ -422,7 +422,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE rn = 1),
             lt AS (
               SELECT doc_id,
-                     regexp_extract_all(lower(coalesce(text_norm,'')), '\S+') AS t
+                     regexp_extract_all(lower(coalesce(text_norm,'')), '\\S+') AS t
               FROM norm WHERE doc_id % 17 = 0),
             lw AS (SELECT unnest(t) AS w FROM lt),
             luni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM lw GROUP BY w),

@@ -115,12 +115,21 @@ def _ccf_parts() -> int:
     heap)."""
     env = os.environ.get("QDV_CCF_PARTS")
     if env:
-        return int(env)
+        return _next_pow2(int(env))
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return _next_pow2(4 * cpus)
+
+
+def _next_pow2(n: int) -> int:
+    """Round up to a power of two ≥ 1 — the hash routing is `& (parts-1)`,
+    so any other count silently leaves part-space gaps (correct labels,
+    degraded parallelism). Caller/env-supplied counts go through here too."""
+    if n < 1:
+        raise ValueError(f"partition count must be >= 1, got {n}")
     p = 1
-    while p < 4 * cpus:
+    while p < n:
         p <<= 1
     return p
 
@@ -260,7 +269,9 @@ def _labels_ccf(pairs, col_a: str, col_b: str, num_partitions: int | None = None
 
     from fdpg_query_data_validation_ray.functions.hashing import hash64
 
-    n_parts = num_partitions if num_partitions is not None else _ccf_parts()
+    n_parts = (
+        _next_pow2(int(num_partitions)) if num_partitions is not None else _ccf_parts()
+    )
     edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
     E = pairs.map_batches(
         lambda t: pa.table(

@@ -110,8 +110,9 @@ def fk_violations_broadcast(
     # task-based instance: the dim value-set array is built once driver-side
     # and rides the serialized callable (one plasma object, cached per
     # worker) — a dedicated actor pool only added ~0.5-1 s startup latency.
-    # `concurrency` is kept in the signature for callers that want to bound
-    # parallelism explicitly, but tasks are the default.
+    # An explicit int `concurrency` caps task parallelism (memory guard for
+    # huge dim key sets); tuples were the old actor-pool spec and mean
+    # "unbounded tasks" now, as does None.
     checker = BroadcastFKChecker(
         columns=columns,
         key_columns=key_columns,
@@ -119,10 +120,14 @@ def fk_violations_broadcast(
         dim_name=dim_name,
         **kwargs,
     )
+    mb_kwargs = {}
+    if isinstance(concurrency, int):
+        mb_kwargs["concurrency"] = concurrency
     return ds.map_batches(
         checker,
         batch_format="pyarrow",
         batch_size=8192,
+        **mb_kwargs,
     )
 
 

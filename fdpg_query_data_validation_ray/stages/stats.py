@@ -303,8 +303,9 @@ def collect_partials(
     # time). The merge stage folds each 256-partial batch within one task —
     # StatsMerger keeps no cross-batch state, so an actor pool here bought
     # nothing but its ~0.5-1 s startup latency (measured; removing it cut
-    # col_stats_lineitem ~2.4 → ~1.5 s at sf0.1/32). merge_concurrency is
-    # retained in the signature for callers but no longer reserves actors.
+    # col_stats_lineitem ~2.4 → ~1.5 s at sf0.1/32). merge_concurrency now
+    # caps the merge stage's task parallelism (sketch payloads are the big
+    # per-task heap item) rather than reserving actors.
     partial_fn = PartialStats(columns=columns, categorical=categorical)
     partial_ds = ds.map_batches(
         partial_fn,
@@ -314,6 +315,7 @@ def collect_partials(
         StatsMerger(),
         batch_format="pyarrow",
         batch_size=256,
+        concurrency=int(merge_concurrency) if merge_concurrency else None,
     )
     merged: dict[str, ColumnPartial] = {}
     for b in partial_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):

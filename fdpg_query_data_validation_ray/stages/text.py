@@ -491,7 +491,13 @@ class PIIRedactStage:
     def __init__(self, text_column: str = "text", out_column: str = "text_redacted"):
         self.text_column = text_column
         self.out_column = out_column
-        self.rules = [(name, re.compile(pat), repl) for name, pat, repl in PII_RULES]
+        # re.ASCII pins \b to ASCII word boundaries, matching RE2: on
+        # '+1234567é' default Python re treats é as a word char (no boundary
+        # after the 7 → no match) while RE2's ASCII \b matches — the flag
+        # makes both engines redact, keeping the oracle byte-for-byte.
+        self.rules = [
+            (name, re.compile(pat, re.ASCII), repl) for name, pat, repl in PII_RULES
+        ]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.text_column]

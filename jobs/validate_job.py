@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import hashlib
 import json
 import os
 import sys
@@ -212,7 +213,17 @@ def stage_paged(spec_path: str, out_dir: str) -> list[str]:
 
     staged = os.path.join(out_dir, "_staged_parquet")
     manifest_path = os.path.join(out_dir, "_staging_manifest.json")
-    fingerprint = {"kind": "paged-offset", "spec": spec, "total": total}
+    # The manifest lands in the (shareable) output tree — never persist
+    # credentials there. Fingerprint the spec with the auth block replaced
+    # by a sha256 digest: re-staging detection still fires on any credential
+    # rotation, but the plaintext token/password never touches disk.
+    spec_fp = dict(spec)
+    if auth:
+        auth_digest = hashlib.sha256(
+            json.dumps(auth, sort_keys=True).encode()
+        ).hexdigest()
+        spec_fp["auth"] = {"sha256": auth_digest}
+    fingerprint = {"kind": "paged-offset", "spec": spec_fp, "total": total}
     if os.path.exists(manifest_path) and os.path.isdir(staged):
         if json.load(open(manifest_path)) == fingerprint:
             return sorted(glob.glob(os.path.join(staged, "*.parquet")))

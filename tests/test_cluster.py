@@ -66,6 +66,26 @@ def test_driver_matches_union_find_reference(ray_session):
     assert got == ref
 
 
+def test_non_power_of_two_parts_rounded_up(ray_session, force_mode, monkeypatch):
+    # the hash routing is `& (parts-1)`: a non-power-of-two env/caller count
+    # must be rounded UP, never used verbatim (gaps in part space)
+    from fdpg_query_data_validation_ray.stages.cluster import _ccf_parts, _next_pow2
+
+    assert [_next_pow2(n) for n in (1, 2, 3, 5, 8, 9, 100)] == [
+        1, 2, 4, 8, 8, 16, 128,
+    ]
+    with pytest.raises(ValueError):
+        _next_pow2(0)
+    monkeypatch.setenv("QDV_CCF_PARTS", "12")
+    assert _ccf_parts() == 16
+    # labels stay correct end-to-end under an odd env count
+    t = _random_pairs(n_nodes=120, n_edges=200)
+    force_mode("shuffle")
+    assert _labels_of(t) == _ref_components(
+        t["id_a"].to_pylist(), t["id_b"].to_pylist()
+    )
+
+
 def test_shuffle_matches_driver_on_random_graph(ray_session, force_mode):
     t = _random_pairs(n_nodes=200, n_edges=300)
     force_mode("sieve")

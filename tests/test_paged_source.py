@@ -202,6 +202,13 @@ def test_job_cli_from_paged_offset_endpoint(ray_session, tmp_path):
         assert report["total_violations"] >= 5
         assert hits == {"count": 1, "pages": 7}  # ceil(400/64)
 
+        # the staging manifest lives in the shareable output tree: it must
+        # carry a digest of the auth block, never the plaintext credential
+        manifest_text = (out / "_staging_manifest.json").read_text()
+        assert "sesame" not in manifest_text
+        manifest = json_mod.loads(manifest_text)
+        assert set(manifest["spec"]["auth"]) == {"sha256"}
+
         # unchanged endpoint → one probe, zero page fetches, same report
         staged = sorted((out / "_staged_parquet").glob("*.parquet"))
         mtimes = [p.stat().st_mtime_ns for p in staged]

@@ -68,6 +68,10 @@ def test_pii_redact_matches_duckdb_re2_fuzz():
         "+4912345678901", "+1234567", "+12345678901234567890",
         "10.1.2.3", "256.256.256.256", "1.2.3", "no-pii", "dots...",
         "@@", "a@b", "word", "42", "+", ".", "a@-.xy", "9.9.9.9.9",
+        # non-ASCII adjacent to digit runs: Unicode-aware \b (no re.ASCII)
+        # diverges from RE2 here — these pieces pin the ASCII compile flag
+        "+1234567é", "é+1234567", "1.2.3.4é", "é10.1.2.3", "ü@ü.de",
+        "+49123456789 x", "名前+7654321", "7.7.7.7☃",
     ]
     texts = [
         " ".join(rng.choice(pieces, rng.integers(0, 8)).tolist())
