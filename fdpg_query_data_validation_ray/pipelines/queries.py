@@ -1445,37 +1445,35 @@ def q_redact_pii_docs(sf_dir: str):
 def q_decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 97 == 0 stand in for
     the benchmark suite; their distinct word-3-gram md5 hashes are built
-    driver-side (benchmark suites are small by nature), ray.put once, and
-    every other doc is flagged when it shares >= 3 distinct grams. 3-grams
-    (not the literature's 8-13) because the synthetic corpus draws from a
-    30-word vocabulary: at k=3 real cross-doc overlap exists (16 flagged at
-    sf0.01, of which 10 are non-benchmark docs), so the oracle
-    discriminates; at k=5 only the benchmark members self-hit."""
+    DISTRIBUTIVELY (per-batch distinct → groupby dedup — the driver only
+    receives the gram-vocabulary-bounded hash array, never the benchmark
+    text), ray.put once, and every other doc is flagged when it shares
+    >= 3 distinct grams. 3-grams (not the literature's 8-13) because the
+    synthetic corpus draws from a 30-word vocabulary: at k=3 real
+    cross-doc overlap exists (16 flagged at sf0.01, of which 10 are
+    non-benchmark docs), so the oracle discriminates; at k=5 only the
+    benchmark members self-hit."""
     import ray
 
     from fdpg_query_data_validation_ray.stages.text import (
         DecontaminateStage,
-        benchmark_gram_hashes,
+        benchmark_gram_hashes_distributed,
     )
 
-    bench_tbl = (
-        _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(
-            # trunc-division remainder == SQL % for any sign (both C-style)
-            lambda t: t.filter(
-                pc.equal(
-                    pc.subtract(
-                        t["doc_id"],
-                        pc.multiply(pc.divide(t["doc_id"], 97), 97),
-                    ),
-                    0,
-                )
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
+    bench_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        # trunc-division remainder == SQL % for any sign (both C-style)
+        lambda t: t.filter(
+            pc.equal(
+                pc.subtract(
+                    t["doc_id"],
+                    pc.multiply(pc.divide(t["doc_id"], 97), 97),
+                ),
+                0,
+            )
+        ),
+        batch_format="pyarrow",
     )
-    bench_ref = ray.put(benchmark_gram_hashes(bench_tbl["text"], k=3))
+    bench_ref = ray.put(benchmark_gram_hashes_distributed(bench_ds, "text", k=3))
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         # task-based instance: the sorted benchmark array is baked into the
@@ -1561,35 +1559,33 @@ def q_embedding_centroids(sf_dir: str):
 
 
 def q_lm_score_docs(sf_dir: str):
-    """CCNet-style LM quality filter: a word-bigram LM trained driver-side
-    on the deterministic reference subset (doc_id % 17 == 0 — CCNet trains
-    on a fixed reference corpus, which also bounds model size), broadcast
+    """CCNet-style LM quality filter: a word-bigram LM trained
+    DISTRIBUTIVELY on the deterministic reference subset (doc_id % 17 == 0
+    — CCNet trains on a fixed reference corpus): per-batch (hash, count)
+    partials → groupby-Sum → the driver receives only the
+    vocabulary-bounded model arrays, never the reference text. Broadcast
     once, then every doc scored with an integer-exact quantized NLL
     (stages/text.py LMScoreStage)."""
     import ray
 
     from fdpg_query_data_validation_ray.stages.text import (
         LMScoreStage,
-        train_bigram_lm,
+        train_bigram_lm_distributed,
     )
 
-    train_df = (
-        _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(
-            lambda t: t.filter(
-                pc.equal(
-                    pc.subtract(
-                        t["doc_id"],
-                        pc.multiply(pc.divide(t["doc_id"], 17), 17),
-                    ),
-                    0,
-                )
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
+    train_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.subtract(
+                    t["doc_id"],
+                    pc.multiply(pc.divide(t["doc_id"], 17), 17),
+                ),
+                0,
+            )
+        ),
+        batch_format="pyarrow",
     )
-    model_ref = ray.put(train_bigram_lm(train_df["text"]))
+    model_ref = ray.put(train_bigram_lm_distributed(train_ds, "text"))
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         LMScoreStage(model_ref, text_column="text"),
@@ -1629,16 +1625,18 @@ def q_pretrain_corpus(sf_dir: str):
         NormalizeTextStage,
         PIIRedactStage,
         RepetitionStage,
-        benchmark_gram_hashes,
-        train_bigram_lm,
+        benchmark_gram_hashes_distributed,
+        train_bigram_lm_distributed,
     )
 
-    # benchmark = normalized text of the mod-97 docs (benchmark suites are
-    # small; built driver-side once, broadcast). Normalization reuses the
-    # SAME stage kernels so the gram basis cannot drift from the pipeline.
-    # ONE scan pulls both reference subsets (decontamination benchmark =
+    # Reference sets are built DISTRIBUTIVELY (decontamination benchmark =
     # mod-97 docs, LM train set = mod-17 docs; trunc-division remainder ==
-    # SQL % for any sign); both normalized with the SAME stage kernels.
+    # SQL % for any sign): filter → the SAME NormalizeTextStage kernels the
+    # main pipeline runs (so the gram basis cannot drift) → per-batch
+    # partials → one groupby exchange. The driver receives only the
+    # vocabulary-bounded model/hash arrays — the reference subsets, which
+    # grow with the corpus, never materialize in one process. Two small
+    # subset scans instead of the old single driver-side pull.
     def _mod_eq(t, m):
         return pc.equal(
             pc.subtract(
@@ -1647,25 +1645,21 @@ def q_pretrain_corpus(sf_dir: str):
             0,
         )
 
-    ref_df = (
-        _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(
-            lambda t: t.filter(pc.or_(_mod_eq(t, 97), _mod_eq(t, 17))),
-            batch_format="pyarrow",
+    def _ref_subset(m):
+        return (
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(
+                lambda t, m=m: t.filter(_mod_eq(t, m)),
+                batch_format="pyarrow",
+            )
+            .map_batches(NormalizeTextStage("text"), batch_format="pyarrow")
+            .select_columns(["text_norm"])
         )
-        .to_pandas()
-    )
-    ref_norm = NormalizeTextStage("text")(
-        pa.Table.from_pandas(ref_df)
-    ).to_pandas()
+
     bench_ref = ray.put(
-        benchmark_gram_hashes(
-            ref_norm[ref_norm["doc_id"] % 97 == 0]["text_norm"], k=3
-        )
+        benchmark_gram_hashes_distributed(_ref_subset(97), "text_norm", k=3)
     )
-    lm_ref = ray.put(
-        train_bigram_lm(ref_norm[ref_norm["doc_id"] % 17 == 0]["text_norm"])
-    )
+    lm_ref = ray.put(train_bigram_lm_distributed(_ref_subset(17), "text_norm"))
 
     ds = (
         _read(sf_dir, "documents", ["doc_id", "text"])

@@ -727,6 +727,88 @@ def train_bigram_lm(texts, k_unused: int = 0):
     return (uh, uc.astype(np.int64), bh, bc.astype(np.int64), n_tok, len(uh))
 
 
+def train_bigram_lm_distributed(ds, text_column: str = "text"):
+    """Scale-safe twin of `train_bigram_lm`: the reference corpus is a
+    Dataset that is NEVER materialized at the driver. Each batch emits its
+    local (kind, hash, count) partials — kind 0 = unigram, 1 = bigram,
+    2 = total-token sentinel — built by the SAME `train_bigram_lm` kernel,
+    so the two builders cannot drift; a groupby-Sum exchange combines them
+    across batches, and the driver receives only the vocabulary-bounded
+    (hash, count) arrays. Counts are additive and distinct sets order-free,
+    so the assembled model is bit-identical to the driver-side builder
+    (asserted in tests/test_pii_decontam.py).
+
+    Hashes travel as int64 bit-views (reinterpret, not cast) because the
+    sort-based shuffle orders keys — the view is lossless and re-sorted as
+    uint64 on assembly."""
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        uh, uc, bh, bc, n_tok, _v = train_bigram_lm(batch[text_column])
+        kind = np.concatenate(
+            [
+                np.zeros(len(uh), np.int32),
+                np.ones(len(bh), np.int32),
+                np.full(1, 2, np.int32),
+            ]
+        )
+        h = np.concatenate(
+            [uh.view(np.int64), bh.view(np.int64), np.zeros(1, np.int64)]
+        )
+        c = np.concatenate([uc, bc, np.asarray([n_tok], np.int64)])
+        return pd.DataFrame({"kind": kind, "h": h, "c": c})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partials, batch_format="pandas", batch_size=1024)
+        .groupby(["kind", "h"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    if len(agg) == 0:
+        z64 = np.empty(0, np.uint64)
+        zi = np.empty(0, np.int64)
+        return (z64, zi, z64.copy(), zi.copy(), 0, 0)
+
+    def _grab(kind: int):
+        sub = agg[agg["kind"] == kind]
+        h = sub["h"].to_numpy(np.int64).view(np.uint64)
+        c = sub["c"].to_numpy(np.int64)
+        order = np.argsort(h)
+        return h[order], c[order]
+
+    uh, uc = _grab(0)
+    bh, bc = _grab(1)
+    n_tok = int(agg[agg["kind"] == 2]["c"].sum())
+    return (uh, uc, bh, bc, n_tok, len(uh))
+
+
+def benchmark_gram_hashes_distributed(ds, text_column: str = "text",
+                                      k: int = 5) -> np.ndarray:
+    """Scale-safe twin of `benchmark_gram_hashes`: per-batch distinct gram
+    hashes (same kernel) → one groupby exchange dedups globally → the
+    driver receives only the gram-vocabulary-bounded distinct hash array,
+    never the benchmark text. Bit-identical output (distinct is
+    order-free)."""
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        h = benchmark_gram_hashes(batch[text_column], k=k)
+        return pd.DataFrame({"h": h.view(np.int64)})
+
+    from ray.data.aggregate import Count
+
+    agg = (
+        ds.map_batches(partials, batch_format="pandas", batch_size=1024)
+        .groupby("h")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    if len(agg) == 0:
+        return np.empty(0, dtype=np.uint64)
+    h = agg["h"].to_numpy(np.int64).view(np.uint64)
+    return np.sort(h)
+
+
 def _lookup_sorted(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray) -> np.ndarray:
     """counts[probe] with 0 for absent keys (keys sorted unique)."""
     out = np.zeros(len(probe), dtype=np.int64)

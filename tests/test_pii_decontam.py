@@ -153,6 +153,46 @@ def test_decontaminate_objectref_broadcast(ray_session):
     assert out["n_contaminated"].tolist() == [2, 1]
 
 
+def test_distributed_builders_match_driver_side(ray_session):
+    """The scale-safe reference-set builders (per-batch partials → groupby)
+    must be BIT-identical to the driver-side kernels they twin — counts are
+    additive and distinct sets order-free, so any divergence is a bug. Run
+    at a batch size that forces multiple partials per subset."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.text import (
+        benchmark_gram_hashes_distributed,
+        train_bigram_lm,
+        train_bigram_lm_distributed,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 30)))
+        for _ in range(500)
+    ] + ["", None, "solo"]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(13)
+
+    want = train_bigram_lm(texts)
+    got = train_bigram_lm_distributed(ds, "text")
+    for i, (g, w) in enumerate(zip(got, want)):
+        if isinstance(w, np.ndarray):
+            assert np.array_equal(g, w), f"model field {i}"
+        else:
+            assert g == w, f"model field {i}"
+
+    want_h = benchmark_gram_hashes(texts, k=3)
+    got_h = benchmark_gram_hashes_distributed(ds, "text", k=3)
+    assert np.array_equal(got_h, want_h)
+
+    # empty reference corpus: both builders agree on the degenerate shape
+    empty = ray.data.from_pandas(pd.DataFrame({"text": pd.Series([], dtype=object)}))
+    g0 = train_bigram_lm_distributed(empty, "text")
+    assert g0[4] == 0 and g0[5] == 0 and len(g0[0]) == 0
+    assert len(benchmark_gram_hashes_distributed(empty, "text", k=3)) == 0
+
+
 def test_queries_end_to_end_vs_duckdb(ray_session):
     """Both new queries hash-exact vs their oracles at sf0.001 — the same
     compare the driver gate runs, kept in-tree as a regression guard."""
