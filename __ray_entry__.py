@@ -263,6 +263,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
         """,
+        # exact ROW_NUMBER by a near-unique FLOAT key — the range-partitioned
+        # total-sort leg (KLL boundaries + exact per-range counts). NaN and
+        # null excluded on both sides; DuckDB orders NaN above all reals,
+        # numpy sorts it last, so the filter keeps the orders identical.
+        "events_ranked_by_value": """
+            SELECT event_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY value DESC, event_id)
+                        AS BIGINT) AS rank
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+                  AND event_id IS NOT NULL
+        """,
         # per-label embedding centroid sums: each float32 element promoted
         # to double and floored to e6 integers BEFORE the sum — the
         # (label, dim) sums are order-free exact integers. dim is 1-based

@@ -1545,6 +1545,21 @@ def q_docs_ranked_by_len(sf_dir: str):
     return global_rank(ds, "n_chars", "doc_id", descending=True)
 
 
+def q_events_ranked_by_value(sf_dir: str):
+    """Exact global ROW_NUMBER by (value DESC, event_id) where `value` is a
+    near-unique float — the UNBOUNDED-cardinality regime where
+    global_rank's driver histogram would be O(n). stages/topk.py
+    range_rank: KLL-sampled range boundaries → monotone route → exact
+    per-range counts → per-range local sort + base offsets. Null/NaN
+    values excluded on both sides (NaN ordering is engine-dependent)."""
+    from fdpg_query_data_validation_ray.stages.topk import range_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return range_rank(
+        ds, "value", "event_id", descending=True, n_ranges=16
+    )
+
+
 def q_embedding_centroids(sf_dir: str):
     """Per-label embedding centroid sums (the IVF / spherical-k-means
     training step as a first-class aggregate), integer-exact via e6
@@ -1822,6 +1837,7 @@ QUERIES = {
     "lm_score_docs": q_lm_score_docs,
     "embedding_centroids": q_embedding_centroids,
     "docs_ranked_by_len": q_docs_ranked_by_len,
+    "events_ranked_by_value": q_events_ranked_by_value,
     "sample_n_per_lang": q_sample_n_per_lang,
     "corpus_validate": q_corpus_validate,
 }

@@ -128,3 +128,140 @@ def global_rank(ds, key_column: str, id_column: str, descending: bool = True,
         .groupby(key_column)
         .map_groups(rank_group, batch_format="pyarrow")
     )
+
+
+def range_rank(ds, key_column: str, id_column: str, descending: bool = False,
+               rank_column: str = "rank", n_ranges: int | None = None,
+               rows_per_range: int = 2_000_000):
+    """Exact global ROW_NUMBER for UNBOUNDED-cardinality keys — the
+    range-partitioned total-sort leg next to `top_k` (limit-k) and
+    `global_rank` (bounded key cardinality / heavy ties):
+
+    1. boundary estimation: per-batch mergeable KLL sketches of the key →
+       one intermediate merge level (`repartition(8)`) → the driver merges
+       ≤ 8 fixed-size sketches and reads evenly spaced quantiles. Driver
+       state is O(sketch), never O(rows) or O(blocks); boundary error only
+       affects range BALANCE, never rank correctness.
+    2. route: each row gets range_id = searchsorted(boundaries, key) — a
+       monotone map, so ranges are contiguous key intervals and rows with
+       EQUAL keys always share a range (the tie-containment ranking needs).
+    3. per-range exact counts via combiner count → groupby-Sum (O(n_ranges)
+       rows to the driver) → cumulative base offsets per range.
+    4. one groupby(range_id) exchange: each range sorts locally by
+       (key [DESC], id) and adds its base.
+
+    Exactly ROW_NUMBER() OVER (ORDER BY key [DESC], id): ranks are exact for
+    ANY boundary placement because bases come from exact counts and ties
+    never straddle ranges. Null keys/ids and NaN keys are EXCLUDED (mirror
+    the oracle with `WHERE key IS NOT NULL AND NOT isnan(key)` — NaN
+    ordering is engine-dependent). Non-float keys route through a monotone
+    float64 cast (collisions only merge adjacent ranges; correctness is
+    unaffected).
+
+    `n_ranges` defaults to ceil(n / rows_per_range) clamped to [1, 4096],
+    using the sketch's exact row count — a range must fit one worker's
+    heap. A fully-degenerate key (every row identical) collapses to one
+    range; that regime is `global_rank`'s job (its histogram is tiny there).
+
+    Note: `ds` is consumed three times (sketch, count, rank); pass the lazy
+    read so each pass re-reads only the two pruned columns rather than
+    re-running an expensive upstream pipeline."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from fdpg_query_data_validation_ray.functions.sketches import KLL
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = t[key_column]
+        mask = pc.and_(pc.is_valid(k), pc.is_valid(t[id_column]))
+        if pa.types.is_floating(k.type):
+            mask = pc.and_kleene(mask, pc.invert(pc.is_nan(k)))
+        return t.select([key_column, id_column]).filter(mask)
+
+    def batch_sketch(t: pa.Table) -> pa.Table:
+        t = keyed(t)
+        sk = KLL()
+        if t.num_rows:
+            sk.add_values(
+                t[key_column].to_numpy(zero_copy_only=False).astype(np.float64)
+            )
+        return pa.table({"sk": pa.array([sk.to_bytes()], pa.binary())})
+
+    def merge_sketches(t: pa.Table) -> pa.Table:
+        sk = KLL()
+        for b in t["sk"].to_pylist():
+            sk.merge(KLL.from_bytes(b))
+        return pa.table({"sk": pa.array([sk.to_bytes()], pa.binary())})
+
+    sk = KLL()
+    merged = (
+        ds.map_batches(batch_sketch, batch_format="pyarrow", batch_size=65536)
+        .repartition(8)
+        .map_batches(merge_sketches, batch_format="pyarrow")
+        .take_all()
+    )
+    for r in merged:
+        sk.merge(KLL.from_bytes(r["sk"]))
+
+    empty = pa.table(
+        {id_column: pa.array([], pa.int64()),
+         rank_column: pa.array([], pa.int64())}
+    )
+    if sk.n == 0:
+        return ray.data.from_arrow(empty)
+
+    if n_ranges is None:
+        n_ranges = int(min(4096, max(1, -(-sk.n // rows_per_range))))
+    qs = [i / n_ranges for i in range(1, n_ranges)]
+    bnd = np.unique(np.asarray(sk.quantiles(qs), dtype=np.float64))
+
+    def route(t: pa.Table) -> pa.Table:
+        t = keyed(t)
+        kv = t[key_column].to_numpy(zero_copy_only=False).astype(np.float64)
+        rid = np.searchsorted(bnd, kv, side="left").astype(np.int64)
+        return t.append_column("_range", pa.array(rid, pa.int64()))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            route(t).select(["_range"]).group_by(["_range"])
+            .aggregate([([], "count_all")])
+        )
+
+    hist = (
+        ds.map_batches(count_partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("_range")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+        .sort_values("_range")
+    )
+    rids = hist["_range"].to_numpy(np.int64)
+    cnts = hist["n"].to_numpy(np.int64)
+    if descending:
+        # ranks start at the ranges holding the LARGEST keys
+        after = np.concatenate([np.cumsum(cnts[::-1])[-2::-1], [0]])
+        bases = dict(zip(rids.tolist(), after.tolist()))
+    else:
+        before = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        bases = dict(zip(rids.tolist(), before.tolist()))
+
+    sort_keys = [
+        (key_column, "descending" if descending else "ascending"),
+        (id_column, "ascending"),
+    ]
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        base = bases[g["_range"][0].as_py()]
+        g2 = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        ranks = base + 1 + np.arange(g2.num_rows, dtype=np.int64)
+        return pa.table(
+            {id_column: g2[id_column], rank_column: pa.array(ranks, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=16384)
+        .groupby("_range")
+        .map_groups(rank_group, batch_format="pyarrow")
+    )

@@ -1,0 +1,85 @@
+"""range_rank (stages/topk.py): exact ROW_NUMBER over unbounded-cardinality
+keys via KLL-sampled range boundaries + exact per-range counts.
+
+Correctness must hold for ANY boundary placement (bases come from exact
+counts; ties never straddle ranges because routing is monotone in the key),
+so the tests sweep n_ranges including degenerate values.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fdpg_query_data_validation_ray.stages.topk import range_rank
+
+
+def _expected(df: pd.DataFrame, descending: bool) -> pd.DataFrame:
+    d = df[df["k"].notna() & ~np.isnan(df["k"].fillna(0.0)) & df["i"].notna()]
+    d = d.sort_values(["k", "i"], ascending=[not descending, True])
+    return pd.DataFrame(
+        {"i": d["i"].to_numpy(np.int64),
+         "rank": np.arange(1, len(d) + 1, dtype=np.int64)}
+    )
+
+
+@pytest.mark.parametrize("descending", [True, False])
+@pytest.mark.parametrize("n_ranges", [1, 3, 16])
+def test_range_rank_matches_row_number(ray_session, descending, n_ranges):
+    import ray
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    k = rng.normal(size=n)
+    k[rng.choice(n, 200, replace=False)] = 0.5  # a heavy tie group
+    df = pd.DataFrame({"i": np.arange(n, dtype=np.int64), "k": k})
+    df.loc[10, "k"] = np.nan
+    df.loc[11, "k"] = None
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = (
+        range_rank(ds, "k", "i", descending=descending, n_ranges=n_ranges)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    want = _expected(df, descending).sort_values("rank").reset_index(drop=True)
+    assert got["i"].tolist() == want["i"].tolist()
+    assert got["rank"].tolist() == want["rank"].tolist()
+
+
+def test_range_rank_degenerate_and_empty(ray_session):
+    import ray
+
+    # every key identical → everything collapses into one range; ranks are
+    # then pure id order
+    df = pd.DataFrame({"i": np.arange(100, dtype=np.int64), "k": 3.14})
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = range_rank(ds, "k", "i", n_ranges=8).to_pandas().sort_values("rank")
+    assert got["i"].tolist() == list(range(100))
+
+    empty = ray.data.from_pandas(pd.DataFrame({"i": pd.Series([], dtype=np.int64),
+                                               "k": pd.Series([], dtype=float)}))
+    assert range_rank(empty, "k", "i").count() == 0
+
+
+def test_range_rank_auto_ranges_int_key(ray_session):
+    """Integer keys route through the monotone float cast; auto n_ranges
+    derives from the sketch's exact count."""
+    import ray
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame(
+        {"i": np.arange(n, dtype=np.int64),
+         "k": rng.integers(0, 1_000_000, n).astype(np.int64)}
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = (
+        range_rank(ds, "k", "i", descending=True, rows_per_range=500)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    d = df.sort_values(["k", "i"], ascending=[False, True])
+    assert got["i"].tolist() == d["i"].tolist()
+    assert got["rank"].tolist() == list(range(1, n + 1))
