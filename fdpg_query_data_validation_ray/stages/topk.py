@@ -28,7 +28,14 @@ def top_k(ds, k: int, columns: list[str], descending: list[bool] | bool = False)
 
     Exact: local-top-k pruning never discards a global-top-k row, because a
     row outside its own block's top k is beaten by ≥ k rows already.
-    """
+
+    Three prune levels instead of a final `sort().limit(k)` — the all-to-all
+    Sort cost fixed boundary sampling + 2 tasks per surviving BLOCK, ~1 s of
+    pure scheduling on a 64-block input (BENCH r3→r4 regression; NOTES.md
+    round 5). Level 1 prunes per block; level 2 re-prunes over ~1M-row
+    bundles (bounds survivors to k per 20k blocks — the coalesce knob for
+    the 1e6-block regime); the final single-block prune is exact by the
+    same argument and emits the rows already sorted."""
     if isinstance(descending, bool):
         descending = [descending] * len(columns)
     keys = _sort_keys(columns, descending)
@@ -39,8 +46,16 @@ def top_k(ds, k: int, columns: list[str], descending: list[bool] | bool = False)
         idx = pc.sort_indices(t, sort_keys=keys)
         return t.take(idx.slice(0, k))
 
-    pruned = ds.map_batches(local_topk, batch_format="pyarrow")
-    return pruned.sort(columns, descending=descending).limit(k)
+    def final_topk(t: pa.Table) -> pa.Table:
+        # the single coalesced block still needs the sort even when
+        # num_rows <= k: callers read the output in rank order
+        idx = pc.sort_indices(t, sort_keys=keys)
+        return t.take(idx.slice(0, min(k, t.num_rows)))
+
+    pruned = ds.map_batches(local_topk, batch_format="pyarrow").map_batches(
+        local_topk, batch_format="pyarrow", batch_size=1_000_000
+    )
+    return pruned.repartition(1).map_batches(final_topk, batch_format="pyarrow")
 
 
 def global_rank(ds, key_column: str, id_column: str, descending: bool = True,
