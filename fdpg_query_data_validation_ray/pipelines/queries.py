@@ -956,7 +956,7 @@ def q_token_count_docs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        TokenCountStage(), batch_format="pandas", batch_size=1024
+        TokenCountStage(), batch_format="pyarrow", batch_size=1024
     ).map_batches(lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow")
 
 
@@ -965,7 +965,7 @@ def q_lang_id_docs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     return ds.map_batches(
-        LangIdStage(), batch_format="pandas", batch_size=1024
+        LangIdStage(), batch_format="pyarrow", batch_size=1024
     ).map_batches(lambda t: t.select(["doc_id", "lang", "lang_pred"]), batch_format="pyarrow")
 
 
@@ -977,7 +977,7 @@ def q_quality_docs(sf_dir: str):
     # this query is oracle-checked (the float ratios stay available on the
     # stage for pipeline use)
     return ds.map_batches(
-        QualityScoreStage(), batch_format="pandas", batch_size=1024
+        QualityScoreStage(), batch_format="pyarrow", batch_size=1024
     ).map_batches(
         lambda t: t.select(
             ["doc_id", "n_chars_q", "n_words", "n_stop_words", "n_punct_chars",
@@ -1437,7 +1437,7 @@ def q_redact_pii_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         aug, batch_format="pyarrow"
     )
-    return ds.map_batches(PIIRedactStage("text"), batch_format="pandas").select_columns(
+    return ds.map_batches(PIIRedactStage("text"), batch_format="pyarrow").select_columns(
         ["doc_id", "text_redacted", "n_emails", "n_phones", "n_ips"]
     )
 
@@ -1480,7 +1480,7 @@ def q_decontaminate_docs(sf_dir: str):
         # serialized callable — one plasma object, cached per worker — so a
         # dedicated actor pool only added startup latency
         DecontaminateStage(bench=bench_ref, text_column="text", k=3, min_hits=3),
-        batch_format="pandas",
+        batch_format="pyarrow",
         # coalesce the reader's small blocks: the per-batch md5-gram kernel
         # has a fixed cost that 70-row batches pay 70x over
         batch_size=1024,
@@ -1496,7 +1496,7 @@ def q_repetition_docs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        RepetitionStage("text"), batch_format="pandas", batch_size=1024
+        RepetitionStage("text"), batch_format="pyarrow", batch_size=1024
     ).select_columns(
         ["doc_id", "rep_top_word_e6", "dup_word_frac_e6", "rep_top_bigram_e6"]
     )
@@ -1604,7 +1604,7 @@ def q_lm_score_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         LMScoreStage(model_ref, text_column="text"),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=1024,
     ).select_columns(["doc_id", "n_bigrams", "nll_e6_sum"])
 
@@ -1679,14 +1679,14 @@ def q_pretrain_corpus(sf_dir: str):
     ds = (
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(NormalizeTextStage("text"), batch_format="pyarrow")
-        .map_batches(LangIdStage("text"), batch_format="pandas")
+        .map_batches(LangIdStage("text"), batch_format="pyarrow")
         .map_batches(
             lambda t: t.filter(pc.equal(t["lang_pred"], "en")).select(
                 ["doc_id", "text_norm"]
             ),
             batch_format="pyarrow",
         )
-        .map_batches(RepetitionStage("text_norm"), batch_format="pandas",
+        .map_batches(RepetitionStage("text_norm"), batch_format="pyarrow",
                      batch_size=1024)
         .map_batches(
             lambda t: t.filter(
@@ -1701,7 +1701,7 @@ def q_pretrain_corpus(sf_dir: str):
             DecontaminateStage(
                 bench=bench_ref, text_column="text_norm", k=3, min_hits=3
             ),
-            batch_format="pandas",
+            batch_format="pyarrow",
             batch_size=1024,
         )
         .map_batches(
@@ -1711,7 +1711,7 @@ def q_pretrain_corpus(sf_dir: str):
             batch_format="pyarrow",
         )
         .map_batches(LMScoreStage(lm_ref, text_column="text_norm"),
-                     batch_format="pandas", batch_size=1024)
+                     batch_format="pyarrow", batch_size=1024)
         .map_batches(
             # exact integer compare: avg NLL <= 3.826 nats; n_bigrams == 0
             # docs trivially pass (0 <= 0)
@@ -1725,7 +1725,7 @@ def q_pretrain_corpus(sf_dir: str):
             ).select(["doc_id", "text_norm"]),
             batch_format="pyarrow",
         )
-        .map_batches(PIIRedactStage("text_norm"), batch_format="pandas")
+        .map_batches(PIIRedactStage("text_norm"), batch_format="pyarrow")
         .map_batches(
             # tokens = 1 + len(text)//4; lengths are non-negative so Arrow's
             # trunc divide == SQL's floor //

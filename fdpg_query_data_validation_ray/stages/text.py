@@ -18,6 +18,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from fdpg_query_data_validation_ray.functions.hashing import hash64, mix64
 
@@ -72,6 +73,42 @@ def _per_doc_sums(values: np.ndarray, counts: np.ndarray, starts: np.ndarray) ->
     return out
 
 
+def _nrows(batch) -> int:
+    return batch.num_rows if isinstance(batch, pa.Table) else len(batch)
+
+
+def _col_series(batch, col: str) -> pd.Series:
+    """The one column a text stage reads, as a pandas Series — for an Arrow
+    batch only THAT column converts (the pandas str kernels need it); the
+    rest of the table stays zero-copy Arrow."""
+    if isinstance(batch, pa.Table):
+        return batch.column(col).to_pandas()
+    return batch[col]
+
+
+def _emit(batch, cols: dict):
+    """Append/replace output columns in the batch's NATIVE container —
+    the text stages accept both `pa.Table` (preferred: no whole-table
+    Arrow↔pandas round-trip at stage boundaries) and `pd.DataFrame`
+    (legacy). `cols` maps name → (values, arrow_type|None)."""
+    if isinstance(batch, pa.Table):
+        for name, (vals, typ) in cols.items():
+            if isinstance(vals, pd.Series):
+                arr = pa.Array.from_pandas(vals, type=typ)
+            else:
+                arr = pa.array(vals, type=typ)
+            if name in batch.column_names:
+                batch = batch.set_column(
+                    batch.column_names.index(name), name, arr
+                )
+            else:
+                batch = batch.append_column(name, arr)
+        return batch
+    for name, (vals, _typ) in cols.items():
+        batch[name] = vals
+    return batch
+
+
 class LangIdStage:
     """Heuristic language ID: CJK-codepoint ratio for zh, else best
     stopword-profile hit; 'und' (undetermined) below confidence floor.
@@ -94,13 +131,15 @@ class LangIdStage:
             for lang in self.langs
         ]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[self.text_column]
+    def __call__(self, batch):
+        s = _col_series(batch, self.text_column)
         filled = s.fillna("")
         n = len(filled)
         if n == 0:
-            batch[self.out_column] = pd.Series([], dtype=object)
-            return batch
+            return _emit(
+                batch,
+                {self.out_column: (pd.Series([], dtype=object), pa.string())},
+            )
         n_chars = filled.str.len().to_numpy(dtype=np.int64)
         cjk_counts = filled.str.count(self.cjk_re).to_numpy(dtype=np.int64)
         is_cjk = cjk_counts > 0.05 * np.maximum(1, n_chars)
@@ -119,8 +158,7 @@ class LangIdStage:
         pred = np.where(counts == 0, "und", pred)
         pred = np.where(is_cjk, "zh", pred)
         pred = np.where(n_chars == 0, "und", pred)
-        batch[self.out_column] = pred
-        return batch
+        return _emit(batch, {self.out_column: (pred, pa.string())})
 
 
 TOKEN_RE = r"\s+"
@@ -136,14 +174,21 @@ class TokenCountStage:
         self.text_column = text_column
         self.bpe = re.compile(BPE_RE)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[self.text_column].fillna("")
+    def __call__(self, batch):
+        s = _col_series(batch, self.text_column).fillna("")
         stripped = s.str.strip()
-        batch["n_tokens"] = np.where(
+        n_tokens = np.where(
             stripped.eq(""), 0, stripped.str.count(TOKEN_RE) + 1
         ).astype(np.int64)
-        batch["n_bpe_tokens"] = s.str.count(self.bpe).astype(np.int64)
-        return batch
+        return _emit(
+            batch,
+            {
+                "n_tokens": (n_tokens, pa.int64()),
+                "n_bpe_tokens": (
+                    s.str.count(self.bpe).to_numpy(np.int64), pa.int64()
+                ),
+            },
+        )
 
 
 class QualityScoreStage:
@@ -165,18 +210,25 @@ class QualityScoreStage:
         self.stop = set().union(*STOPWORDS.values())
         self.stop_hashes = np.sort(hash64(np.array(sorted(self.stop), dtype=object)))
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[self.text_column]
+    def __call__(self, batch):
+        s = _col_series(batch, self.text_column)
         filled = s.fillna("")
         n = len(filled)
         if n == 0:
-            for k in ("n_chars_q", "n_words", "n_stop_words", "n_punct_chars",
-                      "n_distinct_words", "quality_score_e4"):
-                batch[k] = pd.Series([], dtype=np.int64)
-            for k in ("mean_word_len", "stopword_ratio", "punct_ratio",
-                      "distinct_word_ratio", "quality_score"):
-                batch[k] = pd.Series([], dtype=np.float64)
-            return batch
+            out = {
+                k: (pd.Series([], dtype=np.int64), pa.int64())
+                for k in ("n_chars_q", "n_words", "n_stop_words",
+                          "n_punct_chars", "n_distinct_words",
+                          "quality_score_e4")
+            }
+            out.update(
+                {
+                    k: (pd.Series([], dtype=np.float64), pa.float64())
+                    for k in ("mean_word_len", "stopword_ratio", "punct_ratio",
+                              "distinct_word_ratio", "quality_score")
+                }
+            )
+            return _emit(batch, out)
         n_chars = filled.str.len().to_numpy(dtype=np.int64)
         n_punct = filled.str.count(self.punct_re).to_numpy(dtype=np.int64)
 
@@ -226,20 +278,26 @@ class QualityScoreStage:
         )
         score = 0.5 ** fails.astype(np.float64)
 
-        batch["n_chars_q"] = n_chars
-        batch["mean_word_len"] = np.round(mwl, 4)
-        batch["stopword_ratio"] = np.round(stop_r, 4)
-        batch["punct_ratio"] = np.round(punct_r, 4)
-        batch["distinct_word_ratio"] = np.round(distinct_r, 4)
-        batch["quality_score"] = score
-        batch["n_words"] = counts
-        batch["n_stop_words"] = stop_hits.astype(np.int64)
-        batch["n_punct_chars"] = n_punct
-        batch["n_distinct_words"] = n_distinct
         # 10000 // 2^fails is integer-exact for fails ≤ 4 (10000, 5000, 2500,
         # 1250, 625) → hash-stable oracle comparisons
-        batch["quality_score_e4"] = (10_000 // (2 ** fails)).astype(np.int64)
-        return batch
+        return _emit(
+            batch,
+            {
+                "n_chars_q": (n_chars, pa.int64()),
+                "mean_word_len": (np.round(mwl, 4), pa.float64()),
+                "stopword_ratio": (np.round(stop_r, 4), pa.float64()),
+                "punct_ratio": (np.round(punct_r, 4), pa.float64()),
+                "distinct_word_ratio": (np.round(distinct_r, 4), pa.float64()),
+                "quality_score": (score, pa.float64()),
+                "n_words": (counts, pa.int64()),
+                "n_stop_words": (stop_hits.astype(np.int64), pa.int64()),
+                "n_punct_chars": (n_punct, pa.int64()),
+                "n_distinct_words": (n_distinct, pa.int64()),
+                "quality_score_e4": (
+                    (10_000 // (2 ** fails)).astype(np.int64), pa.int64()
+                ),
+            },
+        )
 
 
 _LOW60 = np.uint64((1 << 60) - 1)
@@ -499,19 +557,20 @@ class PIIRedactStage:
             (name, re.compile(pat, re.ASCII), repl) for name, pat, repl in PII_RULES
         ]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[self.text_column]
+    def __call__(self, batch):
+        s = _col_series(batch, self.text_column)
         nulls = s.isna()
         filled = s.fillna("")
+        out = {}
         for name, cre, _ in self.rules:
-            batch[name] = filled.str.count(cre).astype(np.int64)
+            out[name] = (filled.str.count(cre).to_numpy(np.int64), pa.int64())
         red = filled
         for _, cre, repl in self.rules:
             red = red.str.replace(cre, repl, regex=True)
         if nulls.any():
             red = red.mask(nulls)
-        batch[self.out_column] = red
-        return batch
+        out[self.out_column] = (red, pa.string())
+        return _emit(batch, out)
 
 
 # ---------------------------------------------------------------------------
@@ -569,23 +628,31 @@ class DecontaminateStage:
         self.min_hits = min_hits
         self.token_re = re.compile(r"\S+")
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch):
         k = self.k
-        n = len(batch)
+        n = _nrows(batch)
         if n == 0:
-            for c in ("n_grams_distinct", "n_contaminated"):
-                batch[c] = pd.Series([], dtype=np.int64)
-            batch["is_contaminated"] = pd.Series([], dtype=bool)
-            return batch
-        s = batch[self.text_column].fillna("").str.lower()
+            return _emit(
+                batch,
+                {
+                    "n_grams_distinct": (pd.Series([], dtype=np.int64), pa.int64()),
+                    "n_contaminated": (pd.Series([], dtype=np.int64), pa.int64()),
+                    "is_contaminated": (pd.Series([], dtype=bool), pa.bool_()),
+                },
+            )
+        s = _col_series(batch, self.text_column).fillna("").str.lower()
         flat, counts, starts = _tokenize_batch(s, self.token_re)
         n_grams = np.where(counts >= k, counts - (k - 1), 0).astype(np.int64)
         total = int(n_grams.sum())
         if total == 0:
-            batch["n_grams_distinct"] = np.zeros(n, np.int64)
-            batch["n_contaminated"] = np.zeros(n, np.int64)
-            batch["is_contaminated"] = np.zeros(n, bool)
-            return batch
+            return _emit(
+                batch,
+                {
+                    "n_grams_distinct": (np.zeros(n, np.int64), pa.int64()),
+                    "n_contaminated": (np.zeros(n, np.int64), pa.int64()),
+                    "is_contaminated": (np.zeros(n, bool), pa.bool_()),
+                },
+            )
         has = n_grams > 0
         tok_ix = _range_indices(starts[has], n_grams[has])
         hg = _md5_grams_low60(flat, k)
@@ -608,12 +675,19 @@ class DecontaminateStage:
         hit = np.zeros(len(hh), dtype=bool)
         inb = pos < len(self.bench)
         hit[inb] = self.bench[pos[inb]] == hh[inb]
-        batch["n_grams_distinct"] = np.bincount(dd, minlength=n).astype(np.int64)
-        batch["n_contaminated"] = np.bincount(
-            dd[hit], minlength=n
-        ).astype(np.int64)
-        batch["is_contaminated"] = batch["n_contaminated"].to_numpy() >= self.min_hits
-        return batch
+        n_contaminated = np.bincount(dd[hit], minlength=n).astype(np.int64)
+        return _emit(
+            batch,
+            {
+                "n_grams_distinct": (
+                    np.bincount(dd, minlength=n).astype(np.int64), pa.int64()
+                ),
+                "n_contaminated": (n_contaminated, pa.int64()),
+                "is_contaminated": (
+                    n_contaminated >= self.min_hits, pa.bool_()
+                ),
+            },
+        )
 
 
 class RepetitionStage:
@@ -636,14 +710,15 @@ class RepetitionStage:
         self.text_column = text_column
         self.token_re = re.compile(r"\S+")
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
+    def __call__(self, batch):
+        n = _nrows(batch)
         cols = ("rep_top_word_e6", "dup_word_frac_e6", "rep_top_bigram_e6")
         if n == 0:
-            for c in cols:
-                batch[c] = pd.Series([], dtype=np.int64)
-            return batch
-        s = batch[self.text_column].fillna("").str.lower()
+            return _emit(
+                batch,
+                {c: (pd.Series([], dtype=np.int64), pa.int64()) for c in cols},
+            )
+        s = _col_series(batch, self.text_column).fillna("").str.lower()
         flat, counts, starts = _tokenize_batch(s, self.token_re)
         th = hash64(flat) if len(flat) else np.empty(0, np.uint64)
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
@@ -686,10 +761,14 @@ class RepetitionStage:
             ).astype(np.int64)
             return out
 
-        batch["rep_top_word_e6"] = _e6(w_max, nw)
-        batch["dup_word_frac_e6"] = _e6(nw - w_distinct, nw)
-        batch["rep_top_bigram_e6"] = _e6(b_max, nbg)
-        return batch
+        return _emit(
+            batch,
+            {
+                "rep_top_word_e6": (_e6(w_max, nw), pa.int64()),
+                "dup_word_frac_e6": (_e6(nw - w_distinct, nw), pa.int64()),
+                "rep_top_bigram_e6": (_e6(b_max, nbg), pa.int64()),
+            },
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -757,14 +836,27 @@ def train_bigram_lm_distributed(ds, text_column: str = "text"):
         c = np.concatenate([uc, bc, np.asarray([n_tok], np.int64)])
         return pd.DataFrame({"kind": kind, "h": h, "c": c})
 
-    from ray.data.aggregate import Sum
+    def combine(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["kind", "h"]).aggregate([("c", "sum")])
+            .rename_columns(["kind", "h", "c"])
+        )
 
-    agg = (
+    # two bundled combine levels instead of a Ray groupby: the sort-based
+    # Aggregate exchange costs ~8x in fixed overhead here, while each
+    # combine level is an embarrassingly-parallel pyarrow group_by over
+    # ~1M-row bundles that shrinks its bundle to ≤ vocab rows. The driver
+    # receives ≤ vocab rows per surviving level-2 bundle and finishes with
+    # one in-memory sum — integer-exact under any bundling.
+    rows = (
         ds.map_batches(partials, batch_format="pandas", batch_size=1024)
-        .groupby(["kind", "h"])
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
+        .map_batches(combine, batch_format="pyarrow", batch_size=1_000_000)
+        .map_batches(combine, batch_format="pyarrow", batch_size=10_000_000)
+        .take_all()
     )
+    agg = pd.DataFrame(rows)
+    if len(agg):
+        agg = agg.groupby(["kind", "h"], as_index=False)["c"].sum()
     if len(agg) == 0:
         z64 = np.empty(0, np.uint64)
         zi = np.empty(0, np.int64)
@@ -795,18 +887,22 @@ def benchmark_gram_hashes_distributed(ds, text_column: str = "text",
         h = benchmark_gram_hashes(batch[text_column], k=k)
         return pd.DataFrame({"h": h.view(np.int64)})
 
-    from ray.data.aggregate import Count
+    def dedup(t: pa.Table) -> pa.Table:
+        return pa.table({"h": pc.unique(t["h"])})
 
-    agg = (
+    # bundled distinct levels (same rationale as the LM builder's combine
+    # tree: the Ray groupby exchange is pure fixed overhead at this result
+    # size); each level shrinks its bundle to the gram vocabulary.
+    rows = (
         ds.map_batches(partials, batch_format="pandas", batch_size=1024)
-        .groupby("h")
-        .aggregate(Count(alias_name="_n"))
-        .to_pandas()
+        .map_batches(dedup, batch_format="pyarrow", batch_size=1_000_000)
+        .map_batches(dedup, batch_format="pyarrow", batch_size=10_000_000)
+        .take_all()
     )
-    if len(agg) == 0:
+    if not rows:
         return np.empty(0, dtype=np.uint64)
-    h = agg["h"].to_numpy(np.int64).view(np.uint64)
-    return np.sort(h)
+    h = np.asarray([r["h"] for r in rows], dtype=np.int64).view(np.uint64)
+    return np.unique(h)
 
 
 def _lookup_sorted(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray) -> np.ndarray:
@@ -844,13 +940,17 @@ class LMScoreStage:
         self.text_column = text_column
         self.token_re = re.compile(r"\S+")
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
+    def __call__(self, batch):
+        n = _nrows(batch)
         if n == 0:
-            batch["n_bigrams"] = pd.Series([], dtype=np.int64)
-            batch["nll_e6_sum"] = pd.Series([], dtype=np.int64)
-            return batch
-        s = batch[self.text_column].fillna("").str.lower()
+            return _emit(
+                batch,
+                {
+                    "n_bigrams": (pd.Series([], dtype=np.int64), pa.int64()),
+                    "nll_e6_sum": (pd.Series([], dtype=np.int64), pa.int64()),
+                },
+            )
+        s = _col_series(batch, self.text_column).fillna("").str.lower()
         flat, counts, starts = _tokenize_batch(s, self.token_re)
         th = hash64(flat) if len(flat) else np.empty(0, np.uint64)
         n_bi = np.maximum(counts - 1, 0).astype(np.int64)
@@ -868,6 +968,10 @@ class LMScoreStage:
             p = _BIGRAM_MIX * p_bi + (1.0 - _BIGRAM_MIX) * p_uni
             nll_e6 = np.floor(1e6 * -np.log(p) + 0.5).astype(np.int64)
             np.add.at(sums, doc_idx[:-1][same], nll_e6)
-        batch["n_bigrams"] = n_bi
-        batch["nll_e6_sum"] = sums
-        return batch
+        return _emit(
+            batch,
+            {
+                "n_bigrams": (n_bi, pa.int64()),
+                "nll_e6_sum": (sums, pa.int64()),
+            },
+        )
