@@ -1610,6 +1610,21 @@ def q_lm_score_docs(sf_dir: str):
 
 
 def q_pretrain_corpus(sf_dir: str):
+    return _pretrain_pipeline(sf_dir, dedup="exact")
+
+
+def q_pretrain_corpus_fuzzy(sf_dir: str):
+    """The pretrain pipeline with the dedup stage swapped for
+    MinHash+LSH near-dup keep (stages/cluster.py minhash_dedup_keep) —
+    the composition real web corpora run, where byte-exact MD5 dedup
+    rarely fires. No SQL oracle (LSH bucketing + connected components are
+    not SQL-expressible); correctness via the cross-check test: the fuzzy
+    keep-set equals the exact keep-set minus near-dup losers on a
+    seeded-clone fixture (tests/test_pii_decontam.py)."""
+    return _pretrain_pipeline(sf_dir, dedup="minhash")
+
+
+def _pretrain_pipeline(sf_dir: str, dedup: str = "exact"):
     """Composed end-to-end pretraining-data pipeline — the flagship LLM
     use case, every stage streaming in ONE lazy Ray pipeline (no driver
     materialization between stages):
@@ -1695,7 +1710,14 @@ def q_pretrain_corpus(sf_dir: str):
             batch_format="pyarrow",
         )
     )
-    ds = exact_dedup(ds, "text_norm", "doc_id")
+    if dedup == "minhash":
+        from fdpg_query_data_validation_ray.stages.cluster import (
+            minhash_dedup_keep,
+        )
+
+        ds = minhash_dedup_keep(ds, "text_norm", "doc_id")
+    else:
+        ds = exact_dedup(ds, "text_norm", "doc_id")
     ds = (
         ds.map_batches(
             DecontaminateStage(
@@ -1833,6 +1855,7 @@ QUERIES = {
     "redact_pii_docs": q_redact_pii_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "pretrain_corpus": q_pretrain_corpus,
+    "pretrain_corpus_fuzzy": q_pretrain_corpus_fuzzy,
     "repetition_docs": q_repetition_docs,
     "lm_score_docs": q_lm_score_docs,
     "embedding_centroids": q_embedding_centroids,

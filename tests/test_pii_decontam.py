@@ -450,3 +450,57 @@ def test_sample_n_per_lang_growth_stability(ray_session):
     assert len(s2) == 5 and len(s1) == 5
     # determinism: same input, same sample
     assert sample(base) == s1
+
+
+def test_pretrain_fuzzy_crosscheck(ray_session):
+    """pretrain_corpus_fuzzy has no SQL oracle (LSH + connected components);
+    its correctness contract vs the exact-dedup variant: (a) the fuzzy
+    keep-set is a SUBSET of the exact keep-set (exact duplicates have
+    jaccard 1.0, so every exact loser is a fuzzy loser), and (b) every doc
+    the fuzzy variant drops BEYOND exact dedup is a verified near-dup —
+    3-gram jaccard >= the 0.7 threshold with some other pre-dedup survivor."""
+    import ray
+
+    from fdpg_query_data_validation_ray.pipelines.queries import QUERIES
+    from fdpg_query_data_validation_ray.stages.text import (
+        LangIdStage,
+        NormalizeTextStage,
+        RepetitionStage,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = QUERIES["pretrain_corpus"](sf).to_pandas()
+    fuzzy = QUERIES["pretrain_corpus_fuzzy"](sf).to_pandas()
+    kept_e, kept_f = set(exact["doc_id"]), set(fuzzy["doc_id"])
+    assert kept_f <= kept_e
+    extra_dropped = kept_e - kept_f
+
+    # rebuild the pre-dedup survivor corpus with the same stages
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).take_all()
+    df = pd.DataFrame(t)
+    tb = pa.Table.from_pandas(df)
+    tb = NormalizeTextStage("text")(tb)
+    tb = LangIdStage("text")(tb)
+    tb = tb.filter(pc.equal(tb["lang_pred"], "en"))
+    tb = RepetitionStage("text_norm")(tb)
+    tb = tb.filter(pc.less_equal(tb["rep_top_word_e6"], 160000))
+    survivors = tb.select(["doc_id", "text_norm"]).to_pandas()
+
+    def grams(s):
+        toks = s.lower().split()
+        return {tuple(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    gmap = {r.doc_id: grams(r.text_norm) for r in survivors.itertuples()}
+    for d in extra_dropped:
+        g = gmap[d]
+        best = max(
+            (len(g & go) / max(1, len(g | go)))
+            for o, go in gmap.items()
+            if o != d
+        )
+        assert best >= 0.7, (d, best)
