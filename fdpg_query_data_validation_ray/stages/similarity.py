@@ -238,12 +238,17 @@ def knn_cosine_ivf(
     seed: int = 11,
     concurrency=(1, 4),
     train: bool = True,
+    centroids: np.ndarray | None = None,
 ):
     """Approximate top-k cosine neighbors via IVF bucketing (the scale path
     next to the brute-force baseline `knn_cosine`). Same output shape.
     train=True fits spherical-k-means centroids on a sample (better recall
-    per probe); train=False uses seeded data-independent directions."""
-    if train:
+    per probe); train=False uses seeded data-independent directions; a
+    caller that already trained (e.g. at a larger sample size, or reusing
+    an index across query rounds) passes `centroids` directly."""
+    if centroids is not None:
+        pass
+    elif train:
         centroids = train_centroids(
             ds, n_centroids, dim, vec_column=vec_column, seed=seed
         )
