@@ -74,8 +74,63 @@ def _md_table(headers: list[str], rows: list[list]) -> str:
     return "\n".join(out)
 
 
-def render_markdown(report: dict, title: str = "Data Quality Report") -> str:
-    """report dict (pipelines/report.py build_report shape) → markdown."""
+def routing_breakdown(report: dict, registry) -> list[dict]:
+    """Two-level (route → sub-route) issue rollup in REGISTRY ORDER.
+
+    Reference parity: the LaTeX report orders resource types by the
+    configured test_type list and renders per-LOINC Observation sub-tables
+    (latex_report/report_visualizer.py:144-230). Here the route order is
+    the registry's insertion order (never alphabetized), and a route with
+    sub_routes expands into one row per sub value. Issues attribute to a
+    route via suite membership of their rule_id; a rule shared between
+    suites counts under each (documented, matches the reference's
+    per-profile duplicate listing). Missing-route warnings
+    (rule_id 'missing_suite') roll up into an '(unrouted)' row."""
+    issues = list(report.get("validation", [])) + list(report.get("general", []))
+    by_rule: dict[str, int] = {}
+    unrouted = 0
+    for i in issues:
+        rid = i.get("rule_id", "")
+        cnt = int(i.get("count", 1))
+        if rid == "missing_suite":
+            unrouted += cnt
+        else:
+            by_rule[rid] = by_rule.get(rid, 0) + cnt
+
+    def suite_total(suite) -> int:
+        return sum(by_rule.get(r.rule_id, 0) for r in suite.rules)
+
+    rows: list[dict] = []
+    for key, suite in registry.routes.items():
+        if registry.has_sub_routes(key):
+            for skey, ssuite in registry.sub_routes[key].items():
+                rows.append(
+                    {"route": key, "sub_route": skey, "suite": ssuite.name,
+                     "n_issues": suite_total(ssuite)}
+                )
+            # level-1 fallback row for sub values not in the sub table
+            rows.append(
+                {"route": key, "sub_route": "(other)", "suite": suite.name,
+                 "n_issues": suite_total(suite)}
+            )
+        else:
+            rows.append(
+                {"route": key, "sub_route": None, "suite": suite.name,
+                 "n_issues": suite_total(suite)}
+            )
+    if unrouted:
+        rows.append(
+            {"route": "(unrouted)", "sub_route": None, "suite": None,
+             "n_issues": unrouted}
+        )
+    return rows
+
+
+def render_markdown(report: dict, title: str = "Data Quality Report",
+                    registry=None) -> str:
+    """report dict (pipelines/report.py build_report shape) → markdown.
+    With a `registry`, a two-level routing-breakdown section is rendered
+    (suite → sub-route, reference report parity)."""
     lines = [f"# {title}", ""]
     lines.append(f"**Verdict: {'PASSED' if report.get('passed') else 'FAILED'}**  ")
     lines.append(f"Rows checked: {report.get('total_rows_checked', 0):,}  ")
@@ -97,6 +152,22 @@ def render_markdown(report: dict, title: str = "Data Quality Report") -> str:
             )
         )
         lines.append("")
+
+    if registry is not None:
+        rows = routing_breakdown(report, registry)
+        if rows:
+            lines.append("## Routing breakdown (suite → sub-route)")
+            lines.append(
+                _md_table(
+                    ["route", "sub-route", "suite", "issues"],
+                    [
+                        [r["route"], r["sub_route"] or "", r["suite"] or "",
+                         r["n_issues"]]
+                        for r in rows
+                    ],
+                )
+            )
+            lines.append("")
 
     for channel, heading in (
         ("validation", "Validation issues"),

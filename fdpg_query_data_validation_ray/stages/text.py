@@ -806,6 +806,27 @@ def train_bigram_lm(texts, k_unused: int = 0):
     return (uh, uc.astype(np.int64), bh, bc.astype(np.int64), n_tok, len(uh))
 
 
+def _streamed_combine(ds, combine_fn, cap_rows: int = 4_000_000) -> pa.Table:
+    """Stream a (pre-combined) partials Dataset to the driver, compacting
+    with `combine_fn` whenever the buffer exceeds `cap_rows` — the driver
+    never holds more than O(cap_rows + result size) rows regardless of how
+    many bundles the cluster produced."""
+    bufs: list[pa.Table] = []
+    buffered = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if t.num_rows == 0:
+            continue
+        bufs.append(t)
+        buffered += t.num_rows
+        if buffered > cap_rows:
+            bufs = [combine_fn(pa.concat_tables(bufs))]
+            buffered = bufs[0].num_rows
+    if not bufs:
+        return None
+    return combine_fn(pa.concat_tables(bufs))
+
+
 def train_bigram_lm_distributed(ds, text_column: str = "text"):
     """Scale-safe twin of `train_bigram_lm`: the reference corpus is a
     Dataset that is NEVER materialized at the driver. Each batch emits its
@@ -842,21 +863,21 @@ def train_bigram_lm_distributed(ds, text_column: str = "text"):
             .rename_columns(["kind", "h", "c"])
         )
 
-    # two bundled combine levels instead of a Ray groupby: the sort-based
-    # Aggregate exchange costs ~8x in fixed overhead here, while each
-    # combine level is an embarrassingly-parallel pyarrow group_by over
-    # ~1M-row bundles that shrinks its bundle to ≤ vocab rows. The driver
-    # receives ≤ vocab rows per surviving level-2 bundle and finishes with
-    # one in-memory sum — integer-exact under any bundling.
-    rows = (
-        ds.map_batches(partials, batch_format="pandas", batch_size=1024)
-        .map_batches(combine, batch_format="pyarrow", batch_size=1_000_000)
-        .map_batches(combine, batch_format="pyarrow", batch_size=10_000_000)
-        .take_all()
+    # bundled combine level instead of a Ray groupby (the sort-based
+    # Aggregate exchange costs ~8x in fixed overhead here): each ~1M-row
+    # bundle shrinks to ≤ vocab rows in parallel, then the driver STREAMS
+    # the combined bundles, compacting every ~4M buffered rows — peak
+    # driver memory is O(max(compaction cap, vocab)), never O(corpus) or
+    # O(bundles × vocab). Integer-exact under any bundling/compaction.
+    lvl = ds.map_batches(partials, batch_format="pandas", batch_size=1024
+                         ).map_batches(combine, batch_format="pyarrow",
+                                       batch_size=1_000_000)
+    agg_t = _streamed_combine(lvl, combine)
+    agg = (
+        agg_t.to_pandas()
+        if agg_t is not None
+        else pd.DataFrame({"kind": [], "h": [], "c": []})
     )
-    agg = pd.DataFrame(rows)
-    if len(agg):
-        agg = agg.groupby(["kind", "h"], as_index=False)["c"].sum()
     if len(agg) == 0:
         z64 = np.empty(0, np.uint64)
         zi = np.empty(0, np.int64)
@@ -890,19 +911,16 @@ def benchmark_gram_hashes_distributed(ds, text_column: str = "text",
     def dedup(t: pa.Table) -> pa.Table:
         return pa.table({"h": pc.unique(t["h"])})
 
-    # bundled distinct levels (same rationale as the LM builder's combine
-    # tree: the Ray groupby exchange is pure fixed overhead at this result
-    # size); each level shrinks its bundle to the gram vocabulary.
-    rows = (
-        ds.map_batches(partials, batch_format="pandas", batch_size=1024)
-        .map_batches(dedup, batch_format="pyarrow", batch_size=1_000_000)
-        .map_batches(dedup, batch_format="pyarrow", batch_size=10_000_000)
-        .take_all()
-    )
-    if not rows:
+    # bundled distinct level + streamed driver compaction (same rationale
+    # and bounds as the LM builder's combine path).
+    lvl = ds.map_batches(partials, batch_format="pandas", batch_size=1024
+                         ).map_batches(dedup, batch_format="pyarrow",
+                                       batch_size=1_000_000)
+    agg_t = _streamed_combine(lvl, dedup)
+    if agg_t is None or agg_t.num_rows == 0:
         return np.empty(0, dtype=np.uint64)
-    h = np.asarray([r["h"] for r in rows], dtype=np.int64).view(np.uint64)
-    return np.unique(h)
+    h = agg_t["h"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    return np.sort(h)
 
 
 def _lookup_sorted(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray) -> np.ndarray:

@@ -97,7 +97,8 @@ def main() -> None:
     corpora = {}
     for n in sizes:
         path = f"/tmp/refset_corpus_{n}.parquet"
-        gen_corpus(path, n)
+        if not os.path.exists(path):
+            gen_corpus(path, n)
         corpora[n] = path
     for mode in ("distributed", "driver"):
         for n in sizes:
