@@ -220,8 +220,10 @@ def render_markdown(report: dict, title: str = "Data Quality Report",
     return "\n".join(lines)
 
 
-def write_markdown_report(report: dict, path: str, title: str = "Data Quality Report") -> str:
-    md = render_markdown(report, title)
+def write_markdown_report(report: dict, path: str,
+                          title: str = "Data Quality Report",
+                          registry=None) -> str:
+    md = render_markdown(report, title, registry=registry)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         f.write(md)

@@ -96,9 +96,12 @@ def _page_stream(lines: list[str]) -> bytes:
     return b"\n".join(parts)
 
 
-def render_pdf_bytes(report: dict, title: str = "Data Quality Report") -> bytes:
-    """build_report dict → complete PDF file bytes (multi-page)."""
-    text_lines = render_markdown(report, title).splitlines() or [""]
+def render_pdf_bytes(report: dict, title: str = "Data Quality Report",
+                     registry=None) -> bytes:
+    """build_report dict → complete PDF file bytes (multi-page). With a
+    `registry`, the two-level routing-breakdown section renders here too
+    (the PDF text IS the markdown, so the sinks cannot drift)."""
+    text_lines = render_markdown(report, title, registry=registry).splitlines() or [""]
     pages = [
         text_lines[i : i + LINES_PER_PAGE]
         for i in range(0, len(text_lines), LINES_PER_PAGE)
@@ -149,9 +152,10 @@ def render_pdf_bytes(report: dict, title: str = "Data Quality Report") -> bytes:
     return bytes(out)
 
 
-def write_pdf_report(report: dict, path: str, title: str = "Data Quality Report") -> str:
+def write_pdf_report(report: dict, path: str, title: str = "Data Quality Report",
+                     registry=None) -> str:
     """Atomic PDF sink next to the markdown/json sinks."""
-    data = render_pdf_bytes(report, title)
+    data = render_pdf_bytes(report, title, registry=registry)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)

@@ -1225,10 +1225,14 @@ def run_validation(
     RunManifest._atomic_json(
         meta_path, {"config_hash": cfg_hash, "partitions_hash": partitions_hash}
     )
-    write_markdown_report(report, os.path.join(out_dir, "report.md"))
+    write_markdown_report(
+        report, os.path.join(out_dir, "report.md"), registry=plan.registry
+    )
     from fdpg_query_data_validation_ray.pipelines.report_pdf import write_pdf_report
 
-    write_pdf_report(report, os.path.join(out_dir, "report.pdf"))
+    write_pdf_report(
+        report, os.path.join(out_dir, "report.pdf"), registry=plan.registry
+    )
     _tmark("global.write_reports", tg)
     return report
 

@@ -153,3 +153,74 @@ def test_empty_string_routing_value_not_dropped():
     assert len(miss) == 1 and miss.iloc[0]["actual"] == ""
     # every row accounted for: no row escaped both branches
     assert set(v["row_key"]) == {"|f1|zz", "a/r1|f2|zz"}
+
+
+def test_routing_breakdown_golden():
+    """Two-level (suite → sub-route) report breakdown — reference parity
+    with the per-type + per-LOINC sub-table rendering
+    (latex_report/report_visualizer.py:144-230): routes render in REGISTRY
+    order (never alphabetized), a sub-routed key expands into one row per
+    sub value plus the level-1 '(other)' fallback row, and missing-route
+    warnings roll up into '(unrouted)'. Golden snapshot of the markdown
+    section."""
+    from fdpg_query_data_validation_ray.pipelines.report_md import (
+        routing_breakdown,
+    )
+
+    strict, lax = _suites()
+    reg = SuiteRegistry(
+        routing_column="lang",
+        # 'zeta' before 'python' on purpose: the breakdown must keep THIS
+        # order, not sort
+        routes={"zeta": lax, "python": strict},
+        sub_column="repo",
+        sub_routes={"python": {"b/r2": lax}},
+    )
+    report = {
+        "passed": False,
+        "total_rows_checked": 4,
+        "total_violations": 3,
+        "config_hash": "deadbeef",
+        "validation": [
+            {"rule_id": "regex(commit)", "severity": "error",
+             "location": "commit", "diagnostics": "d", "count": 2,
+             "sample_row_keys": []},
+            {"rule_id": "not_null(content)", "severity": "error",
+             "location": "content", "diagnostics": "d", "count": 1,
+             "sample_row_keys": []},
+        ],
+        "general": [
+            {"rule_id": "missing_suite", "severity": "warning",
+             "location": "lang", "diagnostics": "d", "count": 5,
+             "sample_row_keys": []},
+        ],
+    }
+    rows = routing_breakdown(report, reg)
+    assert rows == [
+        {"route": "zeta", "sub_route": None, "suite": "lax", "n_issues": 1},
+        {"route": "python", "sub_route": "b/r2", "suite": "lax", "n_issues": 1},
+        {"route": "python", "sub_route": "(other)", "suite": "strict",
+         "n_issues": 3},
+        {"route": "(unrouted)", "sub_route": None, "suite": None,
+         "n_issues": 5},
+    ]
+
+    md = render_markdown(report, registry=reg)
+    golden = """## Routing breakdown (suite → sub-route)
+| route | sub-route | suite | issues |
+|---|---|---|---|
+| zeta |  | lax | 1 |
+| python | b/r2 | lax | 1 |
+| python | (other) | strict | 3 |
+| (unrouted) |  |  | 5 |"""
+    assert golden in md
+    # without a registry the section is absent (backward compatible)
+    assert "Routing breakdown" not in render_markdown(report)
+
+    # the PDF sink inherits the section (its text IS the markdown)
+    from fdpg_query_data_validation_ray.pipelines.report_pdf import (
+        render_pdf_bytes,
+    )
+
+    pdf = render_pdf_bytes(report, registry=reg)
+    assert b"Routing breakdown" in pdf and pdf.startswith(b"%PDF-1.4")
