@@ -110,6 +110,10 @@ HEADLINE = [
     "embedding_centroids",
     "docs_ranked_by_len",
     "sample_n_per_lang",
+    # round 5: range-partitioned exact rank (unbounded-cardinality keys)
+    # and the fuzzy-dedup pretrain composition.
+    "events_ranked_by_value",
+    "pretrain_corpus_fuzzy",
 ]
 
 
