@@ -1630,8 +1630,9 @@ def _pretrain_pipeline(sf_dir: str, dedup: str = "exact"):
     materialization between stages):
 
         normalize → lang-ID (keep predicted 'en') → Gopher repetition
-        filter (rep_top_word_e6 ≤ 160000, ~p95) → exact dedup keep-first
-        on the normalized text → benchmark decontamination (drop docs
+        filter (rep_top_word_e6 ≤ 160000, ~p95) → dedup keep-first on the
+        normalized text (dedup="exact": md5 groupby; dedup="minhash":
+        MinHash+LSH near-dup keep) → benchmark decontamination (drop docs
         sharing ≥3 distinct 3-grams with the mod-97 benchmark) → CCNet LM
         filter (bigram LM trained on the mod-17 reference subset; drop
         docs with avg NLL > 3.826 nats ≈ p95, compared as exact integers
@@ -1663,7 +1664,7 @@ def _pretrain_pipeline(sf_dir: str, dedup: str = "exact"):
     # mod-97 docs, LM train set = mod-17 docs; trunc-division remainder ==
     # SQL % for any sign): filter → the SAME NormalizeTextStage kernels the
     # main pipeline runs (so the gram basis cannot drift) → per-batch
-    # partials → one groupby exchange. The driver receives only the
+    # partials → bundled combine levels. The driver receives only the
     # vocabulary-bounded model/hash arrays — the reference subsets, which
     # grow with the corpus, never materialize in one process. Two small
     # subset scans instead of the old single driver-side pull.
