@@ -504,3 +504,60 @@ def test_pretrain_fuzzy_crosscheck(ray_session):
             if o != d
         )
         assert best >= 0.7, (d, best)
+
+
+def test_dual_format_stage_equivalence():
+    """Every dual-format text stage must produce IDENTICAL values whether it
+    receives a pa.Table (Arrow-native path: only the text column converts)
+    or a pd.DataFrame (legacy path) — the round-5 Arrow-native refactor's
+    contract. Includes nulls, empties and PII-bearing strings."""
+    import pyarrow as pa
+
+    from fdpg_query_data_validation_ray.stages.text import (
+        DecontaminateStage,
+        LangIdStage,
+        LMScoreStage,
+        PIIRedactStage,
+        QualityScoreStage,
+        RepetitionStage,
+        TokenCountStage,
+        benchmark_gram_hashes,
+        train_bigram_lm,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(10)] + [
+        "a@b.co", "+1234567", "1.2.3.4", "the", "and", "der", "die"
+    ]
+    docs = [" ".join(rng.choice(vocab, rng.integers(0, 15)).tolist())
+            for _ in range(80)] + ["", None]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    tb = pa.Table.from_pandas(df)
+    bench = benchmark_gram_hashes([d for d in docs if d][:3], k=3)
+    model = train_bigram_lm([d for d in docs if d][:10])
+
+    stages = [
+        LangIdStage("text"),
+        TokenCountStage("text"),
+        QualityScoreStage("text"),
+        PIIRedactStage("text"),
+        RepetitionStage("text"),
+        DecontaminateStage(bench, text_column="text", k=3),
+        LMScoreStage(model, text_column="text"),
+    ]
+    for st in stages:
+        out_pd = st(df.copy())
+        out_pa = st(tb)
+        assert isinstance(out_pa, pa.Table), type(st).__name__
+        got = out_pa.to_pandas()
+        for c in out_pd.columns:
+            a = [None if pd.isna(v) else v for v in out_pd[c]]
+            b = [None if pd.isna(v) else v for v in got[c]]
+            assert a == b, (type(st).__name__, c)
+
+    # empty batches agree on shape/columns in both formats
+    for st in stages:
+        e_pd = st(df.iloc[0:0].copy())
+        e_pa = st(tb.slice(0, 0))
+        assert list(e_pd.columns) == list(e_pa.column_names), type(st).__name__
+        assert e_pa.num_rows == 0 and len(e_pd) == 0
