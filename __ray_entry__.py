@@ -263,6 +263,52 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
         """,
+        # C4 duplicate-span removal replay: non-overlapping full 3-token
+        # spans, identity = md5_low60 of the space-joined span (the engine's
+        # exact hash), first (doc_id, span_idx) occurrence wins; text_clean
+        # is the canonical lower + single-space rejoin of kept tokens.
+        "span_dedup_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text,'')), '\\S+') AS t
+              FROM documents),
+            fs AS (
+              SELECT doc_id, CAST(g.si AS BIGINT) AS span_idx,
+                     CAST(md5_number_lower(
+                            array_to_string(t[3*g.si+1 : 3*g.si+3], ' '))
+                          & 1152921504606846975 AS BIGINT) AS h
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(0, len(t)//3 - 1))
+                            AS si) g
+              WHERE len(t) >= 3),
+            ranked AS (
+              SELECT doc_id, span_idx,
+                     ROW_NUMBER() OVER (PARTITION BY h
+                                        ORDER BY doc_id, span_idx) AS rn
+              FROM fs),
+            removed AS (SELECT doc_id, span_idx FROM ranked WHERE rn > 1),
+            kept AS (
+              SELECT p.doc_id, p.x, p.tok
+              FROM (SELECT doc_id, CAST(g.x AS BIGINT) AS x, t[g.x] AS tok
+                    FROM toks,
+                         LATERAL (SELECT unnest(generate_series(1, len(t)))
+                                  AS x) g) p
+              LEFT JOIN removed r
+                ON r.doc_id = p.doc_id AND r.span_idx = (p.x-1)//3
+              WHERE r.doc_id IS NULL)
+            SELECT d.doc_id,
+                   CAST(coalesce(ns.n, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(nr.n, 0) AS BIGINT) AS n_spans_removed,
+                   coalesce(kt.txt, '') AS text_clean
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, count(*) AS n FROM fs
+                       GROUP BY doc_id) ns USING (doc_id)
+            LEFT JOIN (SELECT doc_id, count(*) AS n FROM removed
+                       GROUP BY doc_id) nr USING (doc_id)
+            LEFT JOIN (SELECT doc_id,
+                              string_agg(tok, ' ' ORDER BY x) AS txt
+                       FROM kept GROUP BY doc_id) kt USING (doc_id)
+        """,
         # exact ROW_NUMBER by a near-unique FLOAT key — the range-partitioned
         # total-sort leg (KLL boundaries + exact per-range counts). NaN and
         # null excluded on both sides; DuckDB orders NaN above all reals,

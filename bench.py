@@ -114,6 +114,8 @@ HEADLINE = [
     # and the fuzzy-dedup pretrain composition.
     "events_ranked_by_value",
     "pretrain_corpus_fuzzy",
+    # round 5: C4-style corpus-wide duplicate-span removal
+    "span_dedup_docs",
 ]
 
 

@@ -1560,6 +1560,20 @@ def q_events_ranked_by_value(sf_dir: str):
     )
 
 
+def q_span_dedup_docs(sf_dir: str):
+    """C4-style duplicate-span removal (Raffel et al. 2020 §2.2): every
+    non-overlapping full 3-token span that occurs more than once in the
+    corpus keeps its first (doc_id, span_idx) occurrence; later occurrences
+    are cut from their documents. stages/text.py span_dedup — payload-free
+    span explode, coarse-part winner pick, native left-outer join, per-batch
+    rebuild. k=3 so real cross-doc span collisions exist in the synthetic
+    30-word-vocabulary corpus."""
+    from fdpg_query_data_validation_ray.stages.text import span_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return span_dedup(ds, k=3)
+
+
 def q_embedding_centroids(sf_dir: str):
     """Per-label embedding centroid sums (the IVF / spherical-k-means
     training step as a first-class aggregate), integer-exact via e6
@@ -1862,6 +1876,7 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "docs_ranked_by_len": q_docs_ranked_by_len,
     "events_ranked_by_value": q_events_ranked_by_value,
+    "span_dedup_docs": q_span_dedup_docs,
     "sample_n_per_lang": q_sample_n_per_lang,
     "corpus_validate": q_corpus_validate,
 }

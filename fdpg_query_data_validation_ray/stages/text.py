@@ -993,3 +993,200 @@ class LMScoreStage:
                 "nll_e6_sum": (sums, pa.int64()),
             },
         )
+
+
+# ---------------------------------------------------------------------------
+# C4-style duplicate-span removal (Raffel et al. 2020 §2.2: "we discarded all
+# but one of any three-sentence span occurring more than once in the data
+# set"). Spans here are non-overlapping FULL k-token windows of the
+# lowercased \S+ token stream (sentence segmentation is locale-soup; k-token
+# windows are the deterministic, oracle-exact analog). The FIRST occurrence
+# in (doc_id, span_idx) order survives; later occurrences — including
+# repeats inside one document — are cut from their documents.
+# ---------------------------------------------------------------------------
+
+
+class SpanExplodeStage:
+    """(h, doc_id, span_idx) row per full k-token span — payload-free 20 B
+    rows; span identity is md5_low60 of the space-joined span, so the whole
+    operator has an exact DuckDB oracle (md5_number_lower & low60 replays
+    the same value)."""
+
+    def __init__(self, k: int = 3, text_column: str = "text",
+                 id_column: str = "doc_id"):
+        self.k = k
+        self.text_column = text_column
+        self.id_column = id_column
+        self.token_re = re.compile(r"\S+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"h": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64()),
+             "span_idx": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        s = batch.column(self.text_column).to_pandas()
+        ids = batch.column(self.id_column).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        flat, counts, starts = _tokenize_batch(
+            s.fillna("").str.lower(), self.token_re
+        )
+        n_spans = (counts // self.k).astype(np.int64)
+        sel = n_spans > 0
+        if not sel.any():
+            return empty
+        j = _range_indices(np.zeros(int(sel.sum()), np.int64), n_spans[sel])
+        pos = np.repeat(starts[sel], n_spans[sel]) + j * self.k
+        hg = _md5_grams_low60(flat, self.k)
+        if hg is None:  # no duckdb: per-position join fallback
+            ts = pd.Series(flat, dtype=object)
+            joined = ts.str.cat(
+                [ts.shift(-jj) for jj in range(1, self.k)], sep=" ", na_rep=""
+            ).to_numpy()
+            h = _md5_low60_py(list(joined[pos]))
+        else:
+            h = hg[pos]
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids[sel], n_spans[sel]), pa.int64()),
+                "span_idx": pa.array(j, pa.int64()),
+            }
+        )
+
+
+def span_dedup(ds, k: int = 3, text_column: str = "text",
+               id_column: str = "doc_id", num_parts: int = 32,
+               join_partitions: int = 8):
+    """Corpus-wide duplicate-span removal. Returns a Dataset
+    (doc_id, n_spans, n_spans_removed, text_clean) where text_clean is the
+    lowercased single-space rejoin of the KEPT tokens (the same canonical
+    reassembly the SQL oracle computes — original spacing is not
+    reconstructable after token-level cuts, and C4 normalizes anyway).
+
+    Shape: payload-free span explode → coarse hash-part exchange with ONE
+    lexsort winner-pick kernel per part (the dedup.py coarse-partition
+    pattern — never a per-span-hash group) → losers (usually a tiny
+    fraction) aggregate into per-doc removal lists on a second small
+    exchange → native left-outer hash join re-attaches lists to documents →
+    per-batch rebuild. Only the two loser exchanges move data beyond the
+    20 B/span explode; the document text itself is never shuffled."""
+    mask = np.int64(num_parts - 1)
+    if num_parts & (num_parts - 1):
+        raise ValueError("num_parts must be a power of two")
+
+    spans = ds.map_batches(
+        SpanExplodeStage(k, text_column, id_column), batch_format="pyarrow"
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(h & mask, pa.int64()))
+
+    def losers_part(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        si = g["span_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((si, d, h))
+        hs = h[order]
+        first = np.empty(len(hs), dtype=bool)
+        if len(hs):
+            first[0] = True
+            first[1:] = hs[1:] != hs[:-1]
+        lose = order[~first]
+        return pa.table(
+            {"doc_id": pa.array(d[lose], pa.int64()),
+             "span_idx": pa.array(si[lose], pa.int64())}
+        )
+
+    losers = (
+        spans.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(losers_part, batch_format="pyarrow")
+    )
+
+    def add_dpart(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "dpart", pa.array(hash64(d.astype(np.uint64)).view(np.int64) & mask,
+                              pa.int64())
+        )
+
+    def lists_part(g: pa.Table) -> pa.Table:
+        # comma-joined string, not list<int64>: Acero hash joins reject
+        # list-typed non-key fields, and these lists are tiny (dup spans)
+        df = g.to_pandas().sort_values(["doc_id", "span_idx"])
+        agg = df.groupby("doc_id")["span_idx"].agg(
+            lambda v: ",".join(map(str, v))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(agg.index.to_numpy(np.int64), pa.int64()),
+                "remove_idxs": pa.array(list(agg.values), pa.string()),
+            }
+        )
+
+    # map_groups emits schema-less 0-row blocks for empty shuffle partitions;
+    # the Acero join below chokes on them ("No match or multiple matches for
+    # key field reference") — strip with the shared dedup.py helper.
+    from fdpg_query_data_validation_ray.stages.dedup import (
+        drop_schemaless_empty_blocks,
+    )
+
+    removals_schema = pa.schema(
+        [("doc_id", pa.int64()), ("remove_idxs", pa.string())]
+    )
+    removals = (
+        losers.map_batches(add_dpart, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(lists_part, batch_format="pyarrow")
+        .select_columns(["doc_id", "remove_idxs"])
+    )
+    removals = drop_schemaless_empty_blocks(removals, removals_schema)
+
+    docs = ds.map_batches(
+        lambda t: t.select([id_column, text_column]), batch_format="pyarrow"
+    )
+    joined = docs.join(
+        removals,
+        join_type="left_outer",
+        num_partitions=join_partitions,
+        on=(id_column,),
+    )
+
+    token_re = re.compile(r"\S+")
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        s = t[text_column].to_pandas().fillna("").str.lower()
+        toks = s.str.findall(token_re)
+        rem = t["remove_idxs"].to_pylist()
+        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts, n_spans, n_removed = [], [], []
+        for tk, rm in zip(toks, rem):
+            ns = len(tk) // k
+            n_spans.append(ns)
+            if rm:
+                rs = {int(x) for x in rm.split(",")}
+                texts.append(
+                    " ".join(
+                        w for i, w in enumerate(tk)
+                        if i // k >= ns or (i // k) not in rs
+                    )
+                )
+                n_removed.append(len(rs))
+            else:
+                texts.append(" ".join(tk))
+                n_removed.append(0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_spans": pa.array(n_spans, pa.int64()),
+                "n_spans_removed": pa.array(n_removed, pa.int64()),
+                "text_clean": pa.array(texts, pa.string()),
+            }
+        )
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")

@@ -561,3 +561,43 @@ def test_dual_format_stage_equivalence():
         e_pa = st(tb.slice(0, 0))
         assert list(e_pd.columns) == list(e_pa.column_names), type(st).__name__
         assert e_pa.num_rows == 0 and len(e_pd) == 0
+
+
+def test_span_dedup_planted(ray_session):
+    """span_dedup (C4 §2.2 duplicate-span removal): planted duplicate
+    3-token spans across docs and within one doc; first (doc_id, span_idx)
+    occurrence survives, later ones are cut; tail tokens (<k) always kept;
+    repartitioning must not change anything (winner pick is a global
+    groupby)."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.text import span_dedup
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "a b c d e f g",        # spans: [a b c], [d e f]; tail g
+                "x y z a b c",          # [x y z], [a b c] <- dup of doc1 span0
+                "a b c a b c tail",     # two identical spans in ONE doc
+                "unique words only here",
+                None,
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+    out = (
+        span_dedup(ds, k=3).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_spans"].tolist() == [2, 2, 2, 1, 0]
+    # doc1 keeps everything (first occurrence of 'a b c'); doc2 loses its
+    # second span; doc3's FIRST 'a b c' already lost to doc1, and its second
+    # is a dup of its first -> both cut
+    assert out["n_spans_removed"].tolist() == [0, 1, 2, 0, 0]
+    assert out["text_clean"].tolist() == [
+        "a b c d e f g",
+        "x y z",
+        "tail",
+        "unique words only here",
+        "",
+    ]
