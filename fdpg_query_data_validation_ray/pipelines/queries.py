@@ -175,7 +175,7 @@ def q_distinct_exact(sf_dir: str):
     # (zero-row input loses its schema through to_pandas) still yields one
     # n_distinct=0 row per column, matching COUNT(DISTINCT) on empty input
     found: dict = {}
-    for b in counts.iter_batches(batch_format="pyarrow"):
+    for b in counts.iter_batches(batch_format="pyarrow", batch_size=None):
         t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         if "col_name" in t.column_names:
             found.update(zip(t["col_name"].to_pylist(), t["n_distinct"].to_pylist()))
@@ -378,7 +378,7 @@ def _stream_key_array(ds, column: str, cap: int):
     int64 array, bailing out (None) beyond `cap` — the budget guard every
     broadcast side uses (stages/fk.py pattern)."""
     chunks, total = [], 0
-    for b in ds.select_columns([column]).iter_batches(batch_format="pyarrow"):
+    for b in ds.select_columns([column]).iter_batches(batch_format="pyarrow", batch_size=None):
         t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         arr = pc.unique(t[column].combine_chunks()).to_numpy(zero_copy_only=False)
         chunks.append(arr.astype(np.int64))
@@ -616,7 +616,7 @@ def q_dedup_exact_docs(sf_dir: str):
     )
     cap = 5_000_000
     parts, total = [], 0
-    for b in out.iter_batches(batch_format="pyarrow"):
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
         t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         if t.num_rows:
             parts.append(t.cast(schema))
@@ -1194,7 +1194,7 @@ def q_psi_terms_lang(sf_dir: str):
         .aggregate(Sum("count_all", alias_name="c"))
     )
     expected, actual = {}, {}
-    for b in counted.iter_batches(batch_format="pyarrow"):
+    for b in counted.iter_batches(batch_format="pyarrow", batch_size=None):
         for lang, par, c in zip(
             b["lang"].to_pylist(), b["parity"].to_pylist(), b["c"].to_pylist()
         ):
@@ -1250,7 +1250,7 @@ def q_quantiles_nchars(sf_dir: str):
 
     merged = DDSketch()
     for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
+        batch_format="pyarrow", batch_size=None
     ):
         for raw in b["dd"]:
             merged.merge(DDSketch.from_bytes(raw.as_py()))

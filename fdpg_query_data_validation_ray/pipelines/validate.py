@@ -2371,7 +2371,7 @@ def _uniqueness_from_artifacts_distributed(
         for b in totals.map_batches(
             lambda t: t.filter(pc.greater(t["n"], 1)).select(["khash"]),
             batch_format="pyarrow",
-        ).iter_batches(batch_format="pyarrow")
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
     ]
     cand_chunks = [c for c in cand_chunks if len(c)]
     if not cand_chunks:
@@ -2405,7 +2405,7 @@ def _uniqueness_from_artifacts_distributed(
     )
     parts = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in g_ds.iter_batches(batch_format="pyarrow")
+        for b in g_ds.iter_batches(batch_format="pyarrow", batch_size=None)
     ]
     parts = [p for p in parts if p.num_rows]
     if not parts:

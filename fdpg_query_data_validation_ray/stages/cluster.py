@@ -369,7 +369,7 @@ def connected_components(pairs, col_a: str = "id_a", col_b: str = "id_b",
 
     ids = pairs.select_columns([col_a, col_b])
     chunks_a, chunks_b = [], []
-    for b in ids.iter_batches(batch_format="pyarrow"):
+    for b in ids.iter_batches(batch_format="pyarrow", batch_size=None):
         chunks_a.append(b[col_a].to_numpy(zero_copy_only=False).astype(np.int64))
         chunks_b.append(b[col_b].to_numpy(zero_copy_only=False).astype(np.int64))
     if not chunks_a or sum(len(c) for c in chunks_a) == 0:
@@ -416,7 +416,7 @@ def dedup_keep_representative(ds, pairs, id_column: str, mode: str = "auto"):
         np.concatenate(
             [
                 b["node"].to_numpy(zero_copy_only=False)
-                for b in losers.iter_batches(batch_format="pyarrow")
+                for b in losers.iter_batches(batch_format="pyarrow", batch_size=None)
             ]
         )
     )

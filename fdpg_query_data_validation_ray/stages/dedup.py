@@ -44,7 +44,7 @@ def _multi_bucket_ids_driver(exploded, bucket_column: str) -> np.ndarray:
     ids = exploded.select_columns([bucket_column])
     chunks = [
         b[bucket_column].to_numpy()
-        for b in ids.iter_batches(batch_format="pyarrow")
+        for b in ids.iter_batches(batch_format="pyarrow", batch_size=None)
     ]
     if not chunks:
         return np.array([], dtype=np.int64)
@@ -73,7 +73,7 @@ def _multi_bucket_ids_shuffle(exploded, bucket_column: str) -> np.ndarray:
         batch_format="pyarrow",
     )
     chunks = [
-        b[bucket_column].to_numpy() for b in cand.iter_batches(batch_format="pyarrow")
+        b[bucket_column].to_numpy() for b in cand.iter_batches(batch_format="pyarrow", batch_size=None)
     ]
     if not chunks:
         return np.array([], dtype=np.int64)
@@ -215,7 +215,7 @@ def _attach_payload(bucket_rows, payload_ds, key: str, payload_columns: list[str
             [
                 b[key].to_numpy(zero_copy_only=False)
                 for b in bucket_rows.select_columns([key]).iter_batches(
-                    batch_format="pyarrow"
+                    batch_format="pyarrow", batch_size=None
                 )
             ]
         )
@@ -231,7 +231,7 @@ def _attach_payload(bucket_rows, payload_ds, key: str, payload_columns: list[str
 
     pruned = pa.concat_tables(
         list(payload_ds.map_batches(prune, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
+            batch_format="pyarrow", batch_size=None
         ))
     )
     order = pc.sort_indices(pruned[key])

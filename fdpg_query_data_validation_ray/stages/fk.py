@@ -153,7 +153,7 @@ def _dangling_sieve(fact_ds, dim_ds, columns, dim_columns, _key):
 
     chunks, total = [], 0
     for b in dim_ds.map_batches(dim_keys_batch, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
+        batch_format="pyarrow", batch_size=None
     ):
         t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         arr = t["fk_key"].combine_chunks()

@@ -296,7 +296,7 @@ def _asof_seeds(tagged, on: str, id_column: str, n_parts: int, presplit: dict):
     rows = pa.concat_tables(
         list(
             tagged.map_batches(partial, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"
+                batch_format="pyarrow", batch_size=None
             )
         )
     )
@@ -582,7 +582,7 @@ def sessionize(
             blocks.map_batches(
                 lambda t: t.filter(pc.not_equal(t["chunk"], -1)),
                 batch_format="pyarrow",
-            ).iter_batches(batch_format="pyarrow")
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
         )
     )
     stitched = _stitch_sessions(partials, user_col, gap_us)
@@ -658,7 +658,7 @@ def detect_hot_keys(ds, key_column: str, limit_rows: int, top_cap: int = 65_536)
 
     buf: pa.Table | None = None
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
+        batch_format="pyarrow", batch_size=None
     ):
         t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         if not t.num_rows:

@@ -13,6 +13,7 @@ quality heuristics, whitespace+BPE-ish token counting, and Schleimer et al.
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -1006,6 +1007,39 @@ class LMScoreStage:
 # ---------------------------------------------------------------------------
 
 
+def _md5_grams_low60_at(
+    flat_tokens: np.ndarray, pos: np.ndarray, k: int
+) -> np.ndarray | None:
+    """md5_low60 of the k-grams starting at the GIVEN positions only — the
+    span explode needs one hash per non-overlapping span (1/k of the sliding
+    positions `_md5_grams_low60` computes), and md5 dominates that stage, so
+    gathering the k token columns at `pos` before the vectorized DuckDB
+    kernel cuts the hashing work k×. Returns None when duckdb is
+    unavailable."""
+    global _MD5_CON, _MD5_LOCK
+    try:
+        import duckdb
+    except ImportError:
+        return None
+    import threading
+
+    if len(pos) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if _MD5_LOCK is None:
+        _MD5_LOCK = threading.Lock()
+    with _MD5_LOCK:
+        if _MD5_CON is None:
+            _MD5_CON = duckdb.connect()
+        tbl = pa.table(
+            {f"t{j}": pa.array(flat_tokens[pos + j]) for j in range(k)}
+        )
+        expr = " || ' ' || ".join(f"t{j}" for j in range(k))
+        out = _MD5_CON.from_arrow(tbl).project(
+            f"md5_number_lower({expr}) & ((1::UBIGINT << 60) - 1) AS h"
+        ).arrow()
+    return out["h"].to_numpy().astype(np.uint64)
+
+
 class SpanExplodeStage:
     """(h, doc_id, span_idx) row per full k-token span — payload-free 20 B
     rows; span identity is md5_low60 of the space-joined span, so the whole
@@ -1040,15 +1074,13 @@ class SpanExplodeStage:
             return empty
         j = _range_indices(np.zeros(int(sel.sum()), np.int64), n_spans[sel])
         pos = np.repeat(starts[sel], n_spans[sel]) + j * self.k
-        hg = _md5_grams_low60(flat, self.k)
-        if hg is None:  # no duckdb: per-position join fallback
+        h = _md5_grams_low60_at(flat, pos, self.k)
+        if h is None:  # no duckdb: per-position join fallback
             ts = pd.Series(flat, dtype=object)
             joined = ts.str.cat(
                 [ts.shift(-jj) for jj in range(1, self.k)], sep=" ", na_rep=""
             ).to_numpy()
             h = _md5_low60_py(list(joined[pos]))
-        else:
-            h = hg[pos]
         return pa.table(
             {
                 "h": pa.array(h.view(np.int64), pa.int64()),
@@ -1067,19 +1099,50 @@ def span_dedup(ds, k: int = 3, text_column: str = "text",
     reassembly the SQL oracle computes — original spacing is not
     reconstructable after token-level cuts, and C4 normalizes anyway).
 
-    Shape: payload-free span explode → coarse hash-part exchange with ONE
-    lexsort winner-pick kernel per part (the dedup.py coarse-partition
-    pattern — never a per-span-hash group) → losers (usually a tiny
-    fraction) aggregate into per-doc removal lists on a second small
-    exchange → native left-outer hash join re-attaches lists to documents →
-    per-batch rebuild. Only the two loser exchanges move data beyond the
-    20 B/span explode; the document text itself is never shuffled."""
+    Shape: payload-free span explode → candidate sieve over the span hashes
+    (driver np.unique within the 8 B/row budget, salted shuffle groupby
+    beyond — the stages/unique.py split), so spans whose hash is globally
+    unique (~all of a typical corpus) NEVER enter an exchange → only the
+    candidate rows take the coarse hash-part exchange with ONE lexsort
+    winner-pick kernel per part (exact h comparison, so sieve hash64 false
+    positives fall out as 1-row groups) → losers aggregate into per-doc
+    removal lists on a second tiny exchange → removal lists re-attach to
+    documents by budget-guarded broadcast (join fallback) → per-batch
+    rebuild. The document text itself is never shuffled; the earlier plan's
+    full-width groupby over every span row cost 9.5 s of a 31 s run at 1M
+    docs / 16M spans — the sieve removes it."""
+    import ray as _ray
+
+    from fdpg_query_data_validation_ray.stages.unique import (
+        SIEVE_MAX_DRIVER_ROWS,
+        candidate_dup_hashes,
+        candidate_dup_hashes_shuffle,
+        make_candidate_picker,
+    )
+
     mask = np.int64(num_parts - 1)
     if num_parts & (num_parts - 1):
         raise ValueError("num_parts must be a power of two")
 
+    # two consumers (sieve pass + candidate filter): materialize the
+    # 24 B/row explode so the tokenize+md5 pass runs once
     spans = ds.map_batches(
         SpanExplodeStage(k, text_column, id_column), batch_format="pyarrow"
+    ).materialize()
+
+    env_mode = os.environ.get("QDV_SIEVE_MODE")
+    if env_mode in ("sieve", "shuffle"):
+        sieve_mode = env_mode
+    else:
+        sieve_mode = (
+            "sieve" if spans.count() <= SIEVE_MAX_DRIVER_ROWS else "shuffle"
+        )
+    if sieve_mode == "shuffle":
+        cand = candidate_dup_hashes_shuffle(spans, ["h"])
+    else:
+        cand = candidate_dup_hashes(spans, ["h"])
+    cand_rows = spans.map_batches(
+        make_candidate_picker(_ray.put(cand), ["h"]), batch_format="pyarrow"
     )
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -1103,7 +1166,7 @@ def span_dedup(ds, k: int = 3, text_column: str = "text",
         )
 
     losers = (
-        spans.map_batches(add_part, batch_format="pyarrow")
+        cand_rows.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(losers_part, batch_format="pyarrow")
     )
@@ -1147,46 +1210,91 @@ def span_dedup(ds, k: int = 3, text_column: str = "text",
     )
     removals = drop_schemaless_empty_blocks(removals, removals_schema)
 
-    docs = ds.map_batches(
-        lambda t: t.select([id_column, text_column]), batch_format="pyarrow"
-    )
-    joined = docs.join(
-        removals,
-        join_type="left_outer",
-        num_partitions=join_partitions,
-        on=(id_column,),
-    )
-
     token_re = re.compile(r"\S+")
+    ws_re = re.compile(r"\s+")
 
-    def rebuild(t: pa.Table) -> pa.Table:
-        s = t[text_column].to_pandas().fillna("").str.lower()
-        toks = s.str.findall(token_re)
-        rem = t["remove_idxs"].to_pylist()
-        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts, n_spans, n_removed = [], [], []
-        for tk, rm in zip(toks, rem):
-            ns = len(tk) // k
-            n_spans.append(ns)
+    def rebuild_rows(ids: np.ndarray, s: pd.Series, rem: list) -> pa.Table:
+        """Shared rebuild kernel. Docs WITHOUT removals (the vast majority)
+        take the vectorized path: ' '.join(findall(\\S+)) is byte-identical
+        to collapse-whitespace + strip on the lowered text (tokens and
+        separator runs partition the string), so no Python token loop runs
+        for them. Only docs with removals tokenize individually."""
+        texts = s.str.replace(ws_re, " ", regex=True).str.strip().to_numpy(
+            dtype=object
+        )
+        n_spans = (s.str.count(token_re).to_numpy(np.int64)) // k
+        n_removed = np.zeros(len(texts), np.int64)
+        for i, rm in enumerate(rem):
             if rm:
+                tk = token_re.findall(s.iat[i])
+                ns = len(tk) // k
                 rs = {int(x) for x in rm.split(",")}
-                texts.append(
-                    " ".join(
-                        w for i, w in enumerate(tk)
-                        if i // k >= ns or (i // k) not in rs
-                    )
+                texts[i] = " ".join(
+                    w for j, w in enumerate(tk)
+                    if j // k >= ns or (j // k) not in rs
                 )
-                n_removed.append(len(rs))
-            else:
-                texts.append(" ".join(tk))
-                n_removed.append(0)
+                n_removed[i] = len(rs)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "n_spans": pa.array(n_spans, pa.int64()),
                 "n_spans_removed": pa.array(n_removed, pa.int64()),
-                "text_clean": pa.array(texts, pa.string()),
+                "text_clean": pa.array(list(texts), pa.string()),
             }
         )
 
-    return joined.map_batches(rebuild, batch_format="pyarrow")
+    # Re-attach removal lists to documents. Within the driver budget (the
+    # dedup.py _attach_payload pattern), the materialized removal table —
+    # one row per doc that LOSES at least one span, usually a tiny fraction
+    # — broadcasts via ray.put for a searchsorted lookup inside rebuild:
+    # the document text never moves. Beyond the budget (pathologically
+    # duplicate-heavy corpora), one native left-outer hash join ships each
+    # text once. QDV_SPAN_ATTACH=broadcast|join overrides for tests.
+    n_removal_docs = removals.count()
+    env = os.environ.get("QDV_SPAN_ATTACH")
+    within = n_removal_docs * 64 <= SIEVE_MAX_DRIVER_ROWS * 8
+    broadcast = within if env is None else env == "broadcast"
+
+    if not broadcast:
+        docs = ds.map_batches(
+            lambda t: t.select([id_column, text_column]),
+            batch_format="pyarrow",
+        )
+        joined = docs.join(
+            removals,
+            join_type="left_outer",
+            num_partitions=join_partitions,
+            on=(id_column,),
+        )
+
+        def rebuild_joined(t: pa.Table) -> pa.Table:
+            return rebuild_rows(
+                t[id_column].to_numpy(zero_copy_only=False).astype(np.int64),
+                t[text_column].to_pandas().fillna("").str.lower(),
+                t["remove_idxs"].to_pylist(),
+            )
+
+        return joined.map_batches(rebuild_joined, batch_format="pyarrow")
+
+    rem_tbl = pa.concat_tables(
+        list(removals.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    rem_tbl = rem_tbl.take(pc.sort_indices(rem_tbl["doc_id"])).combine_chunks()
+    rem_ref = _ray.put(rem_tbl)
+
+    def rebuild_lookup(t: pa.Table) -> pa.Table:
+        p = _ray.get(rem_ref)
+        pids = p["doc_id"].to_numpy(zero_copy_only=False)
+        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix = np.searchsorted(pids, ids)
+        ix[ix == len(pids)] = 0
+        hit = (pids[ix] == ids) if len(pids) else np.zeros(len(ids), bool)
+        ridx = p["remove_idxs"]
+        rem = [ridx[i].as_py() if ok else None for i, ok in zip(ix, hit)]
+        return rebuild_rows(
+            ids, t[text_column].to_pandas().fillna("").str.lower(), rem
+        )
+
+    return ds.map_batches(
+        lambda t: t.select([id_column, text_column]), batch_format="pyarrow"
+    ).map_batches(rebuild_lookup, batch_format="pyarrow")
