@@ -601,3 +601,45 @@ def test_span_dedup_planted(ray_session):
         "unique words only here",
         "",
     ]
+
+
+@pytest.mark.parametrize("sieve,attach", [
+    ("sieve", "broadcast"),   # the small-scale fast path
+    ("sieve", "join"),        # join re-attach (beyond-budget fallback)
+    ("shuffle", "broadcast"), # salted-shuffle sieve (the 100-TB pass-1 path)
+    ("shuffle", "join"),      # full scale posture: nothing O(rows) at driver
+])
+def test_span_dedup_mode_matrix(ray_session, monkeypatch, sieve, attach):
+    """All four (sieve x attach) strategy combinations must produce the
+    byte-identical result — the env overrides force each path on a corpus
+    small enough that auto-resolution would always pick sieve+broadcast."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.text import span_dedup
+
+    monkeypatch.setenv("QDV_SIEVE_MODE", sieve)
+    monkeypatch.setenv("QDV_SPAN_ATTACH", attach)
+    rng = np.random.default_rng(3)
+    words = np.array([f"w{i}" for i in range(40)], dtype=object)
+    texts = [" ".join(words[rng.integers(0, 40, 12)]) for _ in range(300)]
+    texts[7] = texts[3]                    # whole-doc duplicate
+    texts[25] = texts[11] + " zz qq"       # shared prefix spans + unique tail
+    docs = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                         "text": texts})
+    ds = ray.data.from_pandas(docs).repartition(5)
+    out = (
+        span_dedup(ds, k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.delenv("QDV_SIEVE_MODE")
+    monkeypatch.delenv("QDV_SPAN_ATTACH")
+    expected = (
+        span_dedup(ray.data.from_pandas(docs).repartition(2), k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, expected)
+    assert out["n_spans_removed"].sum() > 0  # the planted dups actually fired
