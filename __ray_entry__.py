@@ -252,6 +252,42 @@ def oracle_sql() -> dict[str, str]:
                 WHERE lang IS NOT NULL AND doc_id IS NOT NULL)
             WHERE rn <= 10
         """,
+        # TF-IDF top-3 terms per doc: term identity = md5-low60 of the
+        # lowercased \S+ token (the engine's exact hash — a collision merges
+        # the same two terms on both sides), idf_e6 = floor(ln(n/df)*1e6+.5)
+        # replayed in the same IEEE order, ties broken by term hash. Docs
+        # with fewer than 3 distinct terms emit fewer rows; empty/null docs
+        # emit none (the GROUP BY drops them on both sides).
+        "tfidf_topk_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text,'')), '\\S+') AS t
+              FROM documents),
+            words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+            h AS (SELECT doc_id,
+                         CAST(md5_number_lower(w) & 1152921504606846975
+                              AS BIGINT) AS hv
+                  FROM words),
+            tf AS (SELECT doc_id, hv, COUNT(*) AS tf
+                   FROM h GROUP BY doc_id, hv),
+            df AS (SELECT hv, COUNT(DISTINCT doc_id) AS df
+                   FROM h GROUP BY hv),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.hv,
+                     tf.tf * CAST(FLOOR(LN(nd.n / df.df) * 1e6 + 0.5)
+                                  AS BIGINT) AS tfidf_e6
+              FROM tf JOIN df USING (hv), nd),
+            ranked AS (
+              SELECT doc_id, hv, tfidf_e6,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY tfidf_e6 DESC, hv ASC) AS rnk
+              FROM scored)
+            SELECT doc_id, hv AS term_hash, CAST(rnk AS BIGINT) AS rank,
+                   tfidf_e6
+            FROM ranked WHERE rnk <= 3
+        """,
         # global dense rank by (n_chars DESC, doc_id) — the engine computes
         # it shuffle-light (histogram combiner + broadcast bases + one
         # groupby); the oracle is the plain window function. Null keys

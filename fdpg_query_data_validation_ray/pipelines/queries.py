@@ -1814,6 +1814,34 @@ def q_mixture_docs(sf_dir: str):
     )
 
 
+def q_tfidf_topk_docs(sf_dir: str):
+    """Top-3 TF-IDF terms per document (stages/text.py TfIdfStage). The
+    document-frequency table is built DISTRIBUTIVELY (per-batch distinct
+    (doc, term) partials → bundled combine → stream-compacted driver merge
+    — `doc_frequency_distributed`, the LM-builder plan), ray.put once, and
+    the scoring stage adds no exchange: the top-k cut is per-document
+    inside each batch. Hash-exact oracle: the same md5-low60 term identity,
+    ln(n/df) idf and ROW_NUMBER tie-break replayed in SQL."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.text import (
+        TfIdfStage,
+        doc_frequency_distributed,
+    )
+
+    df_state = doc_frequency_distributed(
+        _read(sf_dir, "documents", ["text"]), "text"
+    )
+    df_ref = ray.put(df_state)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        TfIdfStage(df_ref, k_top=3, text_column="text", id_column="doc_id"),
+        batch_format="pyarrow",
+        # coalesce the reader's small blocks (same rationale as decontaminate)
+        batch_size=1024,
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -1878,6 +1906,7 @@ QUERIES = {
     "events_ranked_by_value": q_events_ranked_by_value,
     "span_dedup_docs": q_span_dedup_docs,
     "sample_n_per_lang": q_sample_n_per_lang,
+    "tfidf_topk_docs": q_tfidf_topk_docs,
     "corpus_validate": q_corpus_validate,
 }
 

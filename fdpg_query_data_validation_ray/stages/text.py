@@ -1298,3 +1298,184 @@ def span_dedup(ds, k: int = 3, text_column: str = "text",
     return ds.map_batches(
         lambda t: t.select([id_column, text_column]), batch_format="pyarrow"
     ).map_batches(rebuild_lookup, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (Sparck Jones 1972) — the term-weighting /
+# keyword-signal step of web-corpus quality pipelines. Terms are identified
+# by md5-low60 hashes so the WHOLE operator — including any hash collision —
+# is replayed exactly by a DuckDB oracle using the same
+# `md5_number_lower(w) & ((1<<60)-1)` expression. Reference analog: none
+# (the reference validates records; this is a prompt-mandated text-analysis
+# operator alongside lang-ID / quality / fingerprints).
+# ---------------------------------------------------------------------------
+
+
+def _term_hashes_low60(flat_tokens: np.ndarray) -> np.ndarray:
+    """md5-low60 of each token (the k=1 case of the gram kernel; hashlib
+    fallback when duckdb is absent)."""
+    h = _md5_grams_low60(flat_tokens, 1)
+    if h is None:
+        h = md5_low60(list(flat_tokens))
+    return h
+
+
+def doc_frequency_distributed(ds, text_column: str = "text"):
+    """Distributed document-frequency table for TF-IDF: per batch, each
+    doc's DISTINCT term hashes contribute 1 to that term's df partial
+    (kind 0 rows) and the batch row count feeds the corpus doc count
+    (kind 2 sentinel); a bundled-combine level plus the stream-compacted
+    driver merge (`_streamed_combine` — the same plan and memory bound as
+    `train_bigram_lm_distributed`) sums the partials. The driver receives
+    only the term-vocabulary-bounded (hash, df) arrays and one count —
+    never the corpus. df is additive over batches because each (doc, term)
+    pair appears in exactly one batch, so the result is bit-identical under
+    any batching/partitioning (asserted in tests/test_tfidf.py).
+
+    Returns (sorted uint64 term hashes, df int64, n_docs int)."""
+    token_re = re.compile(r"\S+")
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_column].fillna("").str.lower()
+        flat, counts, _starts = _tokenize_batch(s, token_re)
+        if len(flat):
+            h = _term_hashes_low60(flat).view(np.int64)
+            doc_idx = np.repeat(np.arange(len(s), dtype=np.int64), counts)
+            order = np.lexsort((h, doc_idx))
+            hs, dd = h[order], doc_idx[order]
+            first = np.empty(len(hs), dtype=bool)
+            first[0] = True
+            first[1:] = (dd[1:] != dd[:-1]) | (hs[1:] != hs[:-1])
+            hd = np.sort(hs[first])  # distinct (doc, term) pairs, term-sorted
+            runs = np.empty(len(hd), dtype=bool)
+            runs[0] = True
+            runs[1:] = hd[1:] != hd[:-1]
+            bounds = np.flatnonzero(runs)
+            term_h = hd[bounds]
+            dfp = np.diff(np.append(bounds, len(hd))).astype(np.int64)
+        else:
+            term_h = np.empty(0, np.int64)
+            dfp = np.empty(0, np.int64)
+        kind = np.concatenate(
+            [np.zeros(len(term_h), np.int32), np.full(1, 2, np.int32)]
+        )
+        return pd.DataFrame(
+            {
+                "kind": kind,
+                "h": np.concatenate([term_h, np.zeros(1, np.int64)]),
+                "c": np.concatenate([dfp, np.asarray([len(s)], np.int64)]),
+            }
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["kind", "h"]).aggregate([("c", "sum")])
+            .rename_columns(["kind", "h", "c"])
+        )
+
+    lvl = ds.map_batches(partials, batch_format="pandas", batch_size=1024
+                         ).map_batches(combine, batch_format="pyarrow",
+                                       batch_size=1_000_000)
+    agg_t = _streamed_combine(lvl, combine)
+    if agg_t is None or agg_t.num_rows == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64), 0)
+    agg = agg_t.to_pandas()
+    sub = agg[agg["kind"] == 0]
+    th = sub["h"].to_numpy(np.int64).view(np.uint64)
+    dfv = sub["c"].to_numpy(np.int64)
+    order = np.argsort(th)
+    n_docs = int(agg[agg["kind"] == 2]["c"].sum())
+    return (th[order], dfv[order], n_docs)
+
+
+class TfIdfStage:
+    """Per-document top-k TF-IDF terms over the broadcast df table.
+
+    score = tf * idf_e6 with idf_e6 = floor(ln(n_docs / df) * 1e6 + 0.5) —
+    an exact non-negative integer (df <= n_docs so ln >= 0), so the ranking
+    is float-order-free and hash-exact against a DuckDB oracle replaying
+    the same IEEE expression (ln libm parity — the documented
+    quantiles_nchars assumption). Ties break on term hash ascending. Terms
+    absent from the df table (scoring a corpus other than the profiled
+    one) take df=1. Emits one row per kept term:
+    (id_column, term_hash, rank, tfidf_e6) — rows where the doc has fewer
+    distinct terms than k_top are simply fewer, and null/empty docs emit
+    none, exactly like the SQL GROUP BY.
+
+    Scale posture: the df state is vocabulary-bounded, ray.put once and
+    read in __init__ (task-cached per worker); per batch ONE tokenize pass,
+    one vectorized md5 projection, two lexsorts, one searchsorted — and the
+    top-k cut is per-document inside the batch, so this stage adds NO
+    exchange at all."""
+
+    def __init__(self, df_state, k_top: int = 3, text_column: str = "text",
+                 id_column: str = "doc_id"):
+        import ray
+
+        if not isinstance(df_state, tuple):
+            df_state = ray.get(df_state)
+        self.th, self.df, self.n_docs = df_state
+        self.k_top = int(k_top)
+        self.text_column = text_column
+        self.id_column = id_column
+        self.token_re = re.compile(r"\S+")
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {
+                self.id_column: pa.array([], pa.int64()),
+                "term_hash": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "tfidf_e6": pa.array([], pa.int64()),
+            }
+        )
+
+    def __call__(self, batch) -> pa.Table:
+        n = _nrows(batch)
+        if n == 0:
+            return self._empty()
+        s = _col_series(batch, self.text_column).fillna("").str.lower()
+        if isinstance(batch, pa.Table):
+            ids = batch.column(self.id_column).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+        else:
+            ids = batch[self.id_column].to_numpy(dtype=np.int64)
+        flat, counts, _starts = _tokenize_batch(s, self.token_re)
+        if not len(flat):
+            return self._empty()
+        h = _term_hashes_low60(flat)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((h.view(np.int64), doc_idx))
+        hs, dd = h[order], doc_idx[order]
+        first = np.empty(len(hs), dtype=bool)
+        first[0] = True
+        first[1:] = (dd[1:] != dd[:-1]) | (hs[1:] != hs[:-1])
+        bounds = np.flatnonzero(first)
+        tf = np.diff(np.append(bounds, len(hs))).astype(np.int64)
+        d_u, h_u = dd[bounds], hs[bounds]
+        dfv = np.maximum(_lookup_sorted(self.th, self.df, h_u), 1)
+        idf_e6 = np.floor(
+            np.log(self.n_docs / dfv) * 1e6 + 0.5
+        ).astype(np.int64)
+        score = tf * idf_e6
+        o2 = np.lexsort((h_u.view(np.int64), -score, d_u))
+        d2 = d_u[o2]
+        startmask = np.empty(len(d2), dtype=bool)
+        startmask[0] = True
+        startmask[1:] = d2[1:] != d2[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(startmask, np.arange(len(d2), dtype=np.int64), 0)
+        )
+        rank = np.arange(len(d2), dtype=np.int64) - grp_start + 1
+        keep = rank <= self.k_top
+        return pa.table(
+            {
+                self.id_column: pa.array(ids[d2[keep]], pa.int64()),
+                "term_hash": pa.array(
+                    h_u.view(np.int64)[o2][keep], pa.int64()
+                ),
+                "rank": pa.array(rank[keep], pa.int64()),
+                "tfidf_e6": pa.array(score[o2][keep], pa.int64()),
+            }
+        )
