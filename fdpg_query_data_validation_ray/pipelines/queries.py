@@ -1842,6 +1842,25 @@ def q_tfidf_topk_docs(sf_dir: str):
     )
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed spherical k-means (stages/similarity.py
+    kmeans_fit_distributed — the iterative broadcast-reduce operator class)
+    over the embeddings table, then label every vector with its cluster.
+    No SQL oracle (iterative, non-SQL-expressible); tests/test_kmeans.py
+    pins bit-parity with a single-process reference, batching invariance,
+    the non-decreasing objective, and the IVF integration recall bar."""
+    from fdpg_query_data_validation_ray.stages.similarity import (
+        kmeans_assign,
+        kmeans_fit_distributed,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, _counts, _hist = kmeans_fit_distributed(
+        ds, n_clusters=8, dim=64, vec_column="embedding", iters=5
+    )
+    return kmeans_assign(ds, cents, "embedding", "vec_id")
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -1907,6 +1926,7 @@ QUERIES = {
     "span_dedup_docs": q_span_dedup_docs,
     "sample_n_per_lang": q_sample_n_per_lang,
     "tfidf_topk_docs": q_tfidf_topk_docs,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "corpus_validate": q_corpus_validate,
 }
 

@@ -545,3 +545,180 @@ def embedding_centroid_sums(ds, vec_column: str = "embedding",
             Sum("n_vectors", alias_name="n_vectors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means (spherical) — the canonical ITERATIVE
+# broadcast-reduce operator: per round the centroids broadcast to every
+# batch task, each batch emits e6-quantized per-cluster partial sums (one
+# (k × d)-bounded table per batch, NEVER the vectors), a bundled combine +
+# stream-compacted driver merge reduces them, and the driver — holding only
+# O(k × d) state — updates the centroids. `train_centroids`
+# (stages/similarity.py above) is the sampled single-process variant this
+# generalizes: same update rule, but the assignment/summation pass streams
+# the FULL dataset, so the fit is corpus-exact, not sample-approximate.
+# Reference analog: none (prompt-mandated "iterative algorithms" class).
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_partial_table(assign, mn_q, best_e6, n_clusters, dim):
+    """Flatten one batch's partials: (cluster, dim, s) rows — per-cluster
+    per-dim quantized sums, counts (dim = -1) and the batch objective
+    (cluster = -1, dim = -1)."""
+    sums = np.zeros((n_clusters, dim), dtype=np.int64)
+    np.add.at(sums, assign, mn_q)
+    counts = np.bincount(assign, minlength=n_clusters).astype(np.int64)
+    cl = np.concatenate(
+        [
+            np.repeat(np.arange(n_clusters, dtype=np.int64), dim),
+            np.arange(n_clusters, dtype=np.int64),
+            np.full(1, -1, np.int64),
+        ]
+    )
+    dm = np.concatenate(
+        [
+            np.tile(np.arange(dim, dtype=np.int64), n_clusters),
+            np.full(n_clusters, -1, np.int64),
+            np.full(1, -1, np.int64),
+        ]
+    )
+    s = np.concatenate(
+        [sums.ravel(), counts, np.asarray([int(best_e6.sum())], np.int64)]
+    )
+    return pa.table({"cluster": cl, "dim": dm, "s": s})
+
+
+def kmeans_fit_distributed(
+    ds,
+    n_clusters: int,
+    dim: int,
+    vec_column: str = "embedding",
+    iters: int = 8,
+    seed: int = 11,
+):
+    """Fit spherical k-means over the WHOLE dataset, one streamed pass per
+    Lloyd iteration. Deterministic: init = the dataset's first `n_clusters`
+    vectors (padded with seeded random directions if short), members are
+    L2-normalized then QUANTIZED to floor(1e6·x + 0.5) int64 before
+    summation — per-cluster sums are exact integers, so the update is
+    independent of batching / partitioning / reduce order (asserted in
+    tests/test_kmeans.py). Assignment is argmax over a float32 matmul —
+    ties and sub-ulp near-ties go to the lowest cluster index; on
+    well-separated data the whole fit is bit-reproducible against a
+    single-process reference (test-pinned). Empty clusters keep their
+    previous centroid.
+
+    Returns (centroids float32 (k × d) L2-normalized, counts int64 per
+    cluster at the last iteration, objective history: one exact int per
+    iteration = Σ floor(1e6·cos(x, centroid(x)) + 0.5))."""
+    from fdpg_query_data_validation_ray.stages.text import _streamed_combine
+
+    head = ds.limit(n_clusters).take_all()
+    init = [r[vec_column] for r in head]
+    rng = np.random.default_rng(seed)
+    cents = np.zeros((n_clusters, dim), dtype=np.float32)
+    if init:
+        cents[: len(init)] = _normalize(
+            np.asarray(init, dtype=np.float32).reshape(len(init), dim)
+        )
+    if len(init) < n_clusters:
+        cents[len(init):] = _normalize(
+            rng.standard_normal((n_clusters - len(init), dim)).astype(
+                np.float32
+            )
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["cluster", "dim"]).aggregate([("s", "sum")])
+            .rename_columns(["cluster", "dim", "s"])
+        )
+
+    history: list[int] = []
+    counts = np.zeros(n_clusters, dtype=np.int64)
+    for _ in range(iters):
+        c_now = cents  # rebind: the closure ships the CURRENT round's array
+
+        def partial(t: pa.Table, _c=c_now) -> pa.Table:
+            m = batch_matrix(t[vec_column])
+            if not len(m):
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "dim": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.int64()),
+                    }
+                )
+            mn = _normalize(m)
+            sims = mn @ _c.T
+            assign = np.argmax(sims, axis=1)
+            best_e6 = np.floor(
+                1e6 * sims[np.arange(len(mn)), assign].astype(np.float64)
+                + 0.5
+            ).astype(np.int64)
+            q = np.floor(1e6 * mn.astype(np.float64) + 0.5).astype(np.int64)
+            return _kmeans_partial_table(assign, q, best_e6, n_clusters, dim)
+
+        lvl = ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=4096
+        ).map_batches(combine, batch_format="pyarrow", batch_size=1_000_000)
+        agg = _streamed_combine(lvl, combine)
+        if agg is None:
+            break
+        cl = agg["cluster"].to_numpy(zero_copy_only=False)
+        dm = agg["dim"].to_numpy(zero_copy_only=False)
+        sv = agg["s"].to_numpy(zero_copy_only=False)
+        history.append(int(sv[(cl == -1) & (dm == -1)].sum()))
+        counts = np.zeros(n_clusters, dtype=np.int64)
+        cmask = (dm == -1) & (cl >= 0)
+        counts[cl[cmask]] = sv[cmask]
+        sums = np.zeros((n_clusters, dim), dtype=np.int64)
+        smask = dm >= 0
+        sums[cl[smask], dm[smask]] = sv[smask]
+        new = cents.copy()
+        nz = counts > 0
+        if nz.any():
+            new[nz] = _normalize(
+                (sums[nz].astype(np.float64) / 1e6).astype(np.float32)
+            )
+        cents = new
+    return cents, counts, history
+
+
+def kmeans_assign(
+    ds,
+    centroids: np.ndarray,
+    vec_column: str = "embedding",
+    id_column: str = "vec_id",
+):
+    """Label every vector with its nearest (cosine) centroid. Emits
+    (id_column, cluster, sim_e6) — sim quantized e6 so downstream
+    aggregates stay order-free exact."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float32)
+
+    def label(t: pa.Table) -> pa.Table:
+        m = batch_matrix(t[vec_column])
+        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(m):
+            return pa.table(
+                {
+                    id_column: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "sim_e6": pa.array([], pa.int64()),
+                }
+            )
+        mn = _normalize(m)
+        sims = mn @ cents.T
+        assign = np.argmax(sims, axis=1)
+        sim_e6 = np.floor(
+            1e6 * sims[np.arange(len(mn)), assign].astype(np.float64) + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+                "sim_e6": pa.array(sim_e6, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow", batch_size=4096)
