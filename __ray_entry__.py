@@ -361,6 +361,26 @@ def oracle_sql() -> dict[str, str]:
         # to double and floored to e6 integers BEFORE the sum — the
         # (label, dim) sums are order-free exact integers. dim is 1-based
         # on both sides.
+        # second-moment (Gram) matrix over e3-quantized vectors: exact
+        # integer sums of pairwise products, 1-based upper triangle plus a
+        # (0,0,n) sentinel — the same FLOOR quantization convention as
+        # embedding_centroids (e3 here: products must stay inside int64).
+        "embedding_gram": """
+            WITH e AS (
+              SELECT vec_id,
+                     u.dim,
+                     CAST(FLOOR(1e3 * u.v + 0.5) AS BIGINT) AS q
+              FROM embeddings,
+              LATERAL (SELECT unnest(embedding) AS v,
+                              unnest(generate_series(1, len(embedding))) AS dim) u)
+            SELECT CAST(a.dim AS BIGINT) AS dim_i,
+                   CAST(b.dim AS BIGINT) AS dim_j,
+                   CAST(SUM(a.q * b.q) AS BIGINT) AS sum_q2
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+            GROUP BY a.dim, b.dim
+            UNION ALL
+            SELECT 0, 0, COUNT(*) FROM embeddings
+        """,
         "embedding_centroids": """
             WITH e AS (
               SELECT label,

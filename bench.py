@@ -116,6 +116,10 @@ HEADLINE = [
     "pretrain_corpus_fuzzy",
     # round 5: C4-style corpus-wide duplicate-span removal
     "span_dedup_docs",
+    # round 5: TF-IDF keyword extraction (distributed df build + no-exchange
+    # scoring) and the iterative broadcast-reduce k-means fit+assign
+    "tfidf_topk_docs",
+    "kmeans_embeddings",
 ]
 
 

@@ -1861,6 +1861,23 @@ def q_kmeans_embeddings(sf_dir: str):
     return kmeans_assign(ds, cents, "embedding", "vec_id")
 
 
+def q_embedding_gram(sf_dir: str):
+    """Distributed second-moment (Gram) matrix over the embeddings table —
+    the covariance step of PCA/whitening as an oracle-checkable aggregate
+    (stages/similarity.py embedding_gram_matrix). Each batch contributes
+    one d×d integer matmul over e3-quantized vectors; the O(d²) partials
+    stream-reduce, so the result is exact under any batching. Output: the
+    1-based upper triangle (dim_i, dim_j, sum_q2) plus a (0, 0, n_vectors)
+    sentinel row."""
+    from fdpg_query_data_validation_ray.stages.similarity import (
+        embedding_gram_matrix,
+    )
+
+    return embedding_gram_matrix(
+        _read(sf_dir, "embeddings", ["embedding"]), "embedding"
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -1927,6 +1944,7 @@ QUERIES = {
     "sample_n_per_lang": q_sample_n_per_lang,
     "tfidf_topk_docs": q_tfidf_topk_docs,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "embedding_gram": q_embedding_gram,
     "corpus_validate": q_corpus_validate,
 }
 

@@ -722,3 +722,130 @@ def kmeans_assign(
         )
 
     return ds.map_batches(label, batch_format="pyarrow", batch_size=4096)
+
+
+# ---------------------------------------------------------------------------
+# Distributed second-moment (Gram) matrix + PCA — the covariance step of
+# PCA / whitening as a first-class, oracle-checkable aggregate. Each batch
+# contributes ONE d×d integer matmul over e3-quantized vectors; the
+# O(d²)-bounded partials reduce through the same bundled-combine +
+# stream-compacted merge as the k-means/LM builders, so the driver never
+# holds more than O(d²) state. The eigen-solve then runs at the driver on
+# the tiny d×d result (power iteration with deflation — deterministic).
+# ---------------------------------------------------------------------------
+
+
+def embedding_gram_matrix(ds, vec_column: str = "embedding",
+                          dim: int | None = None) -> pa.Table:
+    """Upper-triangle Gram matrix Σ x xᵀ over e3-quantized vectors, plus a
+    (0, 0, n_vectors) sentinel row. Quantization q = floor(1e3·x + 0.5)
+    makes every entry an exact integer — order-free under any batching, and
+    hash-exact against a DuckDB oracle replaying the same expression.
+    e3 (not the repo's usual e6) bounds the per-pair product at ~1e6 for
+    unit-scale features, so the int64 sums hold to ~9e12 vectors; callers
+    with larger corpora shard by vector range and merge (documented bound,
+    like global_rank's cardinality precondition). Dims are 1-based to match
+    the embedding_centroids oracle convention. Fixed-dimension vectors only
+    (the per-batch kernel is one (d × n)·(n × d) integer matmul)."""
+    from fdpg_query_data_validation_ray.stages.text import _streamed_combine
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = batch_matrix(t[vec_column])
+        if not len(m):
+            return pa.table(
+                {
+                    "dim_i": pa.array([], pa.int64()),
+                    "dim_j": pa.array([], pa.int64()),
+                    "sum_q2": pa.array([], pa.int64()),
+                }
+            )
+        q = np.floor(1e3 * m.astype(np.float64) + 0.5).astype(np.int64)
+        g = q.T @ q
+        d = q.shape[1]
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "dim_i": pa.array(
+                    np.concatenate([iu + 1, np.zeros(1, np.int64)]), pa.int64()
+                ),
+                "dim_j": pa.array(
+                    np.concatenate([ju + 1, np.zeros(1, np.int64)]), pa.int64()
+                ),
+                "sum_q2": pa.array(
+                    np.concatenate(
+                        [g[iu, ju], np.asarray([len(m)], np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["dim_i", "dim_j"]).aggregate([("sum_q2", "sum")])
+            .rename_columns(["dim_i", "dim_j", "sum_q2"])
+        )
+
+    lvl = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=4096
+    ).map_batches(combine, batch_format="pyarrow", batch_size=1_000_000)
+    agg = _streamed_combine(lvl, combine)
+    if agg is None:
+        return pa.table(
+            {
+                "dim_i": pa.array([], pa.int64()),
+                "dim_j": pa.array([], pa.int64()),
+                "sum_q2": pa.array([], pa.int64()),
+            }
+        )
+    import pyarrow.compute as _pc
+
+    order = _pc.sort_indices(
+        agg, sort_keys=[("dim_i", "ascending"), ("dim_j", "ascending")]
+    )
+    return agg.take(order).combine_chunks()
+
+
+def gram_to_dense(gram: pa.Table) -> tuple[np.ndarray, int]:
+    """(symmetric float64 d×d matrix of E[x xᵀ] (un-quantized), n_vectors)
+    from `embedding_gram_matrix`'s triangle table."""
+    di = gram["dim_i"].to_numpy(zero_copy_only=False)
+    dj = gram["dim_j"].to_numpy(zero_copy_only=False)
+    sv = gram["sum_q2"].to_numpy(zero_copy_only=False)
+    sent = (di == 0) & (dj == 0)
+    n = int(sv[sent].sum()) if sent.any() else 0
+    di, dj, sv = di[~sent], dj[~sent], sv[~sent]
+    d = int(di.max()) if len(di) else 0
+    m = np.zeros((d, d), dtype=np.float64)
+    m[di - 1, dj - 1] = sv
+    m[dj - 1, di - 1] = sv
+    return m / max(n, 1) / 1e6, n  # e3 quantization → 1e6 on products
+
+
+def pca_top_components(gram_dense: np.ndarray, n_components: int,
+                       iters: int = 200, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Top principal directions of the (driver-resident, d×d) second-moment
+    matrix via power iteration with deflation — deterministic (seeded init,
+    fixed iteration count, sign pinned to the largest-magnitude coordinate).
+    Returns (components (n × d), eigenvalues (n,))."""
+    rng = np.random.default_rng(seed)
+    a = gram_dense.copy()
+    d = a.shape[0]
+    comps, vals = [], []
+    for _ in range(min(n_components, d)):
+        v = rng.standard_normal(d)
+        v /= np.linalg.norm(v)
+        for _ in range(iters):
+            w = a @ v
+            nw = np.linalg.norm(w)
+            if nw == 0:
+                break
+            v = w / nw
+        lam = float(v @ a @ v)
+        pin = int(np.argmax(np.abs(v)))
+        if v[pin] < 0:
+            v = -v
+        comps.append(v)
+        vals.append(lam)
+        a = a - lam * np.outer(v, v)
+    return np.asarray(comps), np.asarray(vals)
