@@ -120,6 +120,11 @@ HEADLINE = [
     # scoring) and the iterative broadcast-reduce k-means fit+assign
     "tfidf_topk_docs",
     "kmeans_embeddings",
+    # round 5: distributed second-moment (Gram) matrix — the PCA/whitening
+    # covariance step as a streaming O(d^2)-partial aggregate.
+    "embedding_gram",
+    # round 5: SemDeDup — k-means + intra-cluster quantized-cosine pruning
+    "semdedup_embeddings",
 ]
 
 

@@ -1878,6 +1878,23 @@ def q_embedding_gram(sf_dir: str):
     )
 
 
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup semantic deduplication (stages/similarity.py semdedup —
+    Abbas et al. 2023): distributed k-means over the embeddings, then each
+    cluster drops all but the lowest-centroid-similarity member of every
+    quantized-cosine≥θ duplicate component. Output: the full decision
+    table (vec_id, cluster, sim_e6, keep, rep_id). No SQL oracle (k-means
+    is iterative/non-SQL); tests/test_semdedup.py pins planted-clone
+    recovery, the keep rule, partition invariance, and the banded-window
+    fallback."""
+    from fdpg_query_data_validation_ray.stages.similarity import semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(
+        ds, n_clusters=8, dim=64, threshold=0.95, iters=4
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -1945,6 +1962,7 @@ QUERIES = {
     "tfidf_topk_docs": q_tfidf_topk_docs,
     "kmeans_embeddings": q_kmeans_embeddings,
     "embedding_gram": q_embedding_gram,
+    "semdedup_embeddings": q_semdedup_embeddings,
     "corpus_validate": q_corpus_validate,
 }
 

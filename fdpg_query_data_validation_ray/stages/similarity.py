@@ -849,3 +849,190 @@ def pca_top_components(gram_dense: np.ndarray, n_components: int,
         vals.append(lam)
         a = a - lam * np.outer(v, v)
     return np.asarray(comps), np.asarray(vals)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+# k-means-cluster the embeddings, then within each cluster drop all but one
+# member of every quantized-cosine-connected duplicate component, keeping
+# the member FARTHEST from the centroid (the paper's keep-low-centroid-
+# similarity rule — it preserves diversity). The only exchange is ONE
+# groupby("cluster") co-locating each cluster's vectors; pairwise work is
+# O(Σ c²) flops per cluster, bounded by sizing k ~ n/c_target (and by the
+# optional `pairwise_cap` sorted-window fallback for pathological clusters).
+# Pairwise similarity is computed on e6-quantized normalized vectors with
+# exact integer dot products (float64 matmul of integers ≤ 2^53 is exact),
+# so keep/drop decisions are bit-identical under any batching/partitioning.
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(n: int, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+    """Union-find connected-component labels for n nodes and edge arrays
+    (ia, ib). Returns root index per node (path-compressed)."""
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(ia.tolist(), ib.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return np.asarray([find(i) for i in range(n)], dtype=np.int64)
+
+
+def semdedup(
+    ds,
+    n_clusters: int,
+    dim: int | None = None,
+    vec_column: str = "embedding",
+    id_column: str = "vec_id",
+    threshold: float = 0.95,
+    iters: int = 4,
+    seed: int = 11,
+    centroids: np.ndarray | None = None,
+    pairwise_cap: int = 8192,
+    concurrency=None,
+):
+    """Semantic dedup decision table: (id, cluster, sim_e6, keep, rep_id).
+    `rep_id` is the kept representative of the row's duplicate component
+    (rows with keep=True are their own rep). Within a cluster two vectors
+    are duplicates when their quantized cosine q_a·q_b ≥ floor(1e12·θ)
+    (q = floor(1e6·normalize(x) + 0.5) int per coordinate — ~1e-4-relative
+    agreement with true cosine, and exactly deterministic). The kept member
+    of each component is the (sim_e6, id)-minimum: lowest similarity to the
+    cluster centroid, id as tie-break — the SemDeDup keep rule.
+
+    Clusters larger than `pairwise_cap` fall back to a sorted-window
+    compare (order by (sim_e6, id), compare within a `pairwise_cap`-wide
+    band) — a documented approximation: near-duplicates have near-equal
+    centroid similarity, so they stay inside the band; pass
+    pairwise_cap=None to force the exact O(c²) path.
+
+    Reference analog: dedup semantics family of
+    /root/reference/data_quality_check/... (the reference has no embedding
+    ops; this is the LLM-pipeline extension the build mandates)."""
+    import ray
+    import ray.data as rd  # noqa: F401
+
+    if dim is None:
+        first = ds.take(1)
+        if not first:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        id_column: pa.array([], pa.int64()),
+                        "cluster": pa.array([], pa.int64()),
+                        "sim_e6": pa.array([], pa.int64()),
+                        "keep": pa.array([], pa.bool_()),
+                        "rep_id": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        dim = len(first[0][vec_column])
+    if centroids is None:
+        centroids, _, _ = kmeans_fit_distributed(
+            ds, n_clusters, dim, vec_column=vec_column, iters=iters, seed=seed
+        )
+    cents_ref = ray.put(np.ascontiguousarray(centroids, dtype=np.float32))
+    thr_q = int(np.floor(1e12 * threshold))
+
+    def label_carry(t: pa.Table, _ref=cents_ref) -> pa.Table:
+        # (id, cluster, sim_e6, qvec int32-e6 bytes) — the carried payload
+        # is 4·d B/vector; the groupby ships it exactly once
+        cents = ray.get(_ref)
+        m = batch_matrix(t[vec_column])
+        if not len(m):
+            return pa.table(
+                {
+                    id_column: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "sim_e6": pa.array([], pa.int64()),
+                    "qvec": pa.array([], pa.binary()),
+                }
+            )
+        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = _normalize(m)
+        sims = mn @ cents.T
+        assign = np.argmax(sims, axis=1)
+        sim_e6 = np.floor(
+            1e6 * sims[np.arange(len(mn)), assign].astype(np.float64) + 0.5
+        ).astype(np.int64)
+        q = np.floor(1e6 * mn.astype(np.float64) + 0.5).astype(np.int32)
+        step = 4 * q.shape[1]
+        raw = q.tobytes()
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+                "sim_e6": pa.array(sim_e6, pa.int64()),
+                "qvec": pa.array(
+                    [raw[i * step:(i + 1) * step] for i in range(len(mn))],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    labeled = ds.map_batches(
+        label_carry, batch_format="pyarrow", batch_size=2048
+    )
+
+    def prune(g: pa.Table) -> pa.Table:
+        c = g.num_rows
+        ids = g[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        sim = g["sim_e6"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # canonical in-group order: (sim_e6, id) — the keep rule's order,
+        # so component roots land on keepers and the window band is tight
+        order = np.lexsort((ids, sim))
+        ids, sim = ids[order], sim[order]
+        qcol = g["qvec"].combine_chunks().take(pa.array(order))
+        q = np.frombuffer(b"".join(qcol.to_pylist()), dtype=np.int32).reshape(
+            c, dim
+        ).astype(np.float64)
+        banded = pairwise_cap is not None and c > pairwise_cap
+        band = pairwise_cap if banded else c
+        ia_l, ib_l = [], []
+        tile = 1024
+        for s in range(0, c, tile):
+            e = min(s + tile, c)
+            hi = min(c, e + band) if banded else c
+            sims_q = q[s:e] @ q[s:hi].T  # exact: integer values < 2^53
+            ti, tj = np.nonzero(sims_q >= thr_q)
+            gi, gj = ti + s, tj + s
+            mask = gj > gi
+            if banded:
+                mask &= (gj - gi) <= band
+            if mask.any():
+                ia_l.append(gi[mask])
+                ib_l.append(gj[mask])
+        if ia_l:
+            roots = _uf_components(
+                c, np.concatenate(ia_l), np.concatenate(ib_l)
+            )
+        else:
+            roots = np.arange(c, dtype=np.int64)
+        keep = roots == np.arange(c)
+        cluster = int(g["cluster"][0].as_py()) if c else -1
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "cluster": pa.array(
+                    np.full(c, cluster, dtype=np.int64), pa.int64()
+                ),
+                "sim_e6": pa.array(sim, pa.int64()),
+                "keep": pa.array(keep),
+                "rep_id": pa.array(ids[roots], pa.int64()),
+            }
+        )
+
+    return labeled.groupby("cluster").map_groups(
+        prune, batch_format="pyarrow"
+    )
