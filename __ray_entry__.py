@@ -400,6 +400,75 @@ def oracle_sql() -> dict[str, str]:
         # BEFORE the per-doc SUM, so the sum is exact (no float order
         # drift); ln parity rests on the documented libm assumption
         # (see the quantiles_nchars note).
+        # DSIR importance weights: per-occurrence quantized log-ratio of
+        # target (doc_id % 13 = 0) vs raw (all docs) feature distributions,
+        # unigrams + bigrams, add-one smoothing per side — the engine
+        # quantizes each occurrence BEFORE the per-doc sum, so this replays
+        # the identical FLOOR(1e6·(ln−ln)+0.5) IEEE sequence.
+        "dsir_weights_docs": """
+            WITH rtoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text,'')), '\\S+') AS t
+              FROM documents),
+            ttoks AS (SELECT doc_id, t FROM rtoks WHERE doc_id % 13 = 0),
+            tu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM (SELECT unnest(t) AS w FROM ttoks) GROUP BY w),
+            ts AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n,
+                          CAST(COUNT(*) AS BIGINT) AS v FROM tu),
+            ru AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM (SELECT unnest(t) AS w FROM rtoks) GROUP BY w),
+            rs AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n,
+                          CAST(COUNT(*) AS BIGINT) AS v FROM ru),
+            tbg AS (
+              SELECT t[x] AS a, t[x+1] AS b
+              FROM ttoks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS x)
+              WHERE len(t) >= 2),
+            tb AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM tbg GROUP BY a, b),
+            tbs AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n,
+                           CAST(COUNT(*) AS BIGINT) AS v FROM tb),
+            rbg AS (
+              SELECT doc_id, t[x] AS a, t[x+1] AS b
+              FROM rtoks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS x)
+              WHERE len(t) >= 2),
+            rb AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM rbg GROUP BY a, b),
+            rbs AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n,
+                           CAST(COUNT(*) AS BIGINT) AS v FROM rb),
+            au AS (SELECT doc_id, unnest(t) AS w FROM rtoks),
+            gu AS (
+              SELECT au.doc_id,
+                CAST(FLOOR(1e6 * (
+                  ln((coalesce(tu.c, 0) + 1) / GREATEST(ts.n + ts.v, 1))
+                  - ln((coalesce(ru.c, 0) + 1) / GREATEST(rs.n + rs.v, 1))
+                ) + 0.5) AS BIGINT) AS r
+              FROM au
+              LEFT JOIN tu ON au.w = tu.w
+              LEFT JOIN ru ON au.w = ru.w
+              CROSS JOIN ts CROSS JOIN rs),
+            gb AS (
+              SELECT rbg.doc_id,
+                CAST(FLOOR(1e6 * (
+                  ln((coalesce(tb.c, 0) + 1) / GREATEST(tbs.n + tbs.v, 1))
+                  - ln((coalesce(rb.c, 0) + 1) / GREATEST(rbs.n + rbs.v, 1))
+                ) + 0.5) AS BIGINT) AS r
+              FROM rbg
+              LEFT JOIN tb ON rbg.a = tb.a AND rbg.b = tb.b
+              LEFT JOIN rb ON rbg.a = rb.a AND rbg.b = rb.b
+              CROSS JOIN tbs CROSS JOIN rbs),
+            aggu AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                            CAST(SUM(r) AS BIGINT) AS s
+                     FROM gu GROUP BY doc_id),
+            aggb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                            CAST(SUM(r) AS BIGINT) AS s
+                     FROM gb GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(u.n, 0) + coalesce(b.n, 0) AS BIGINT) AS n_feats,
+                   CAST(coalesce(u.s, 0) + coalesce(b.s, 0) AS BIGINT) AS dsir_e6_sum
+            FROM documents d
+            LEFT JOIN aggu u USING (doc_id)
+            LEFT JOIN aggb b USING (doc_id)
+        """,
         "lm_score_docs": """
             WITH ttoks AS (
               SELECT doc_id,

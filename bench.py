@@ -125,6 +125,8 @@ HEADLINE = [
     "embedding_gram",
     # round 5: SemDeDup — k-means + intra-cluster quantized-cosine pruning
     "semdedup_embeddings",
+    # round 5: DSIR importance weights (target vs raw n-gram log-ratio)
+    "dsir_weights_docs",
 ]
 
 

@@ -1623,6 +1623,46 @@ def q_lm_score_docs(sf_dir: str):
     ).select_columns(["doc_id", "n_bigrams", "nll_e6_sum"])
 
 
+def q_dsir_weights_docs(sf_dir: str):
+    """DSIR importance weights (stages/text.py DSIRWeightStage — Xie et
+    al. 2023): every document scored by Σ ln p_target/q_raw over its word
+    unigram+bigram feature occurrences. The target distribution comes from
+    the deterministic doc_id % 13 == 0 subset (DSIR's target set is a
+    fixed high-quality corpus), the raw distribution from the whole
+    corpus; BOTH are built by the distributed LM builder (per-batch
+    (hash, count) partials → bundled combine → vocabulary-bounded driver
+    arrays — the corpora never materialize in one process), broadcast
+    once, and every doc scored with an integer-exact quantized log-ratio
+    sum."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.text import (
+        DSIRWeightStage,
+        train_bigram_lm_distributed,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    target = docs.map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.subtract(
+                    t["doc_id"],
+                    pc.multiply(pc.divide(t["doc_id"], 13), 13),
+                ),
+                0,
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    model_t = ray.put(train_bigram_lm_distributed(target, "text"))
+    model_r = ray.put(train_bigram_lm_distributed(docs, "text"))
+    return docs.map_batches(
+        DSIRWeightStage(model_t, model_r, text_column="text"),
+        batch_format="pyarrow",
+        batch_size=1024,
+    ).select_columns(["doc_id", "n_feats", "dsir_e6_sum"])
+
+
 def q_pretrain_corpus(sf_dir: str):
     return _pretrain_pipeline(sf_dir, dedup="exact")
 
@@ -1954,6 +1994,7 @@ QUERIES = {
     "pretrain_corpus_fuzzy": q_pretrain_corpus_fuzzy,
     "repetition_docs": q_repetition_docs,
     "lm_score_docs": q_lm_score_docs,
+    "dsir_weights_docs": q_dsir_weights_docs,
     "embedding_centroids": q_embedding_centroids,
     "docs_ranked_by_len": q_docs_ranked_by_len,
     "events_ranked_by_value": q_events_ranked_by_value,

@@ -1479,3 +1479,104 @@ class TfIdfStage:
                 "tfidf_e6": pa.array(score[o2][keep], pa.int64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling", arXiv:2302.03169): score every raw
+# document by how much more likely its n-gram features are under a TARGET
+# distribution than under the RAW corpus distribution —
+# w(x) = Σ_f [ln p_target(f) − ln q_raw(f)] over the doc's word unigram and
+# bigram feature OCCURRENCES. Docs resembling the target score high;
+# importance resampling then samples ∝ exp(w). Both feature distributions
+# are built with the existing distributed LM builder (vocabulary-bounded
+# driver state, never a corpus materialization); the paper's 10k hash
+# buckets are a memory bound we don't need — feature identity here is the
+# 64-bit token hash, which keeps the operator hash-exact against a
+# word-identity DuckDB oracle (same collision caveat as LMScoreStage).
+# ---------------------------------------------------------------------------
+
+
+class DSIRWeightStage:
+    """Emit (n_feats, dsir_e6_sum) per document.
+
+    Per-occurrence log-ratio, add-one smoothing per side and per feature
+    family (u = unigram, b = bigram):
+
+        r_u(f)  = floor(1e6·(ln((c_t(f)+1)/max(N_t+V_t,1))
+                        − ln((c_r(f)+1)/max(N_r+V_r,1))) + 0.5)
+        r_b(ab) = same with the bigram totals (B, W) of each side
+
+    Quantized BEFORE the per-doc sum, so `dsir_e6_sum` is an exact integer
+    — order-free under any batching and hash-exact against a DuckDB oracle
+    replaying the identical IEEE ln/division sequence (the documented
+    libm-parity assumption shared with LMScoreStage). Fully vectorized:
+    one tokenize pass, four searchsorted lookups, two np.add.at scatters."""
+
+    def __init__(self, model_target, model_raw, text_column: str = "text"):
+        import ray
+
+        if not isinstance(model_target, tuple):
+            model_target = ray.get(model_target)
+        if not isinstance(model_raw, tuple):
+            model_raw = ray.get(model_raw)
+        self.t = model_target
+        self.r = model_raw
+        self.text_column = text_column
+        self.token_re = re.compile(r"\S+")
+
+    @staticmethod
+    def _ratio_e6(
+        probe: np.ndarray,
+        kt: np.ndarray, ct: np.ndarray, dt: int,
+        kr: np.ndarray, cr: np.ndarray, dr: int,
+    ) -> np.ndarray:
+        c_t = _lookup_sorted(kt, ct, probe)
+        c_r = _lookup_sorted(kr, cr, probe)
+        return np.floor(
+            1e6 * (np.log((c_t + 1) / dt) - np.log((c_r + 1) / dr)) + 0.5
+        ).astype(np.int64)
+
+    def __call__(self, batch):
+        n = _nrows(batch)
+        if n == 0:
+            return _emit(
+                batch,
+                {
+                    "n_feats": (pd.Series([], dtype=np.int64), pa.int64()),
+                    "dsir_e6_sum": (pd.Series([], dtype=np.int64), pa.int64()),
+                },
+            )
+        uh_t, uc_t, bh_t, bc_t, n_t, v_t = self.t
+        uh_r, uc_r, bh_r, bc_r, n_r, v_r = self.r
+        du = max(n_t + v_t, 1)
+        dru = max(n_r + v_r, 1)
+        db = max(int(bc_t.sum()) + len(bh_t), 1)
+        drb = max(int(bc_r.sum()) + len(bh_r), 1)
+        s = _col_series(batch, self.text_column).fillna("").str.lower()
+        flat, counts, starts = _tokenize_batch(s, self.token_re)
+        th = hash64(flat) if len(flat) else np.empty(0, np.uint64)
+        n_feats = counts.astype(np.int64) + np.maximum(counts - 1, 0)
+        sums = np.zeros(n, dtype=np.int64)
+        if len(th):
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+            np.add.at(
+                sums,
+                doc_idx,
+                self._ratio_e6(th, uh_t, uc_t, du, uh_r, uc_r, dru),
+            )
+            if len(th) >= 2:
+                same = doc_idx[:-1] == doc_idx[1:]
+                ph = (th[:-1][same] * _PAIR_C) ^ th[1:][same]
+                np.add.at(
+                    sums,
+                    doc_idx[:-1][same],
+                    self._ratio_e6(ph, bh_t, bc_t, db, bh_r, bc_r, drb),
+                )
+        return _emit(
+            batch,
+            {
+                "n_feats": (n_feats, pa.int64()),
+                "dsir_e6_sum": (sums, pa.int64()),
+            },
+        )
