@@ -87,6 +87,71 @@ def oracle_sql() -> dict[str, str]:
     _split_names, _split_cum = _thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
     _t1, _t2 = int(_split_cum[0]), int(_split_cum[1])
     _sample_t = int(0.2 * _SCALE)
+    _dsir_sql = """
+            WITH rtoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text,'')), '\\S+') AS t
+              FROM documents),
+            ttoks AS (SELECT doc_id, t FROM rtoks WHERE doc_id % 13 = 0),
+            tu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM (SELECT unnest(t) AS w FROM ttoks) GROUP BY w),
+            ts AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n,
+                          CAST(COUNT(*) AS BIGINT) AS v FROM tu),
+            ru AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM (SELECT unnest(t) AS w FROM rtoks) GROUP BY w),
+            rs AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n,
+                          CAST(COUNT(*) AS BIGINT) AS v FROM ru),
+            tbg AS (
+              SELECT t[x] AS a, t[x+1] AS b
+              FROM ttoks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS x)
+              WHERE len(t) >= 2),
+            tb AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM tbg GROUP BY a, b),
+            tbs AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n,
+                           CAST(COUNT(*) AS BIGINT) AS v FROM tb),
+            rbg AS (
+              SELECT doc_id, t[x] AS a, t[x+1] AS b
+              FROM rtoks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS x)
+              WHERE len(t) >= 2),
+            rb AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM rbg GROUP BY a, b),
+            rbs AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n,
+                           CAST(COUNT(*) AS BIGINT) AS v FROM rb),
+            au AS (SELECT doc_id, unnest(t) AS w FROM rtoks),
+            gu AS (
+              SELECT au.doc_id,
+                CAST(FLOOR(1e6 * (
+                  ln((coalesce(tu.c, 0) + 1) / GREATEST(ts.n + ts.v, 1))
+                  - ln((coalesce(ru.c, 0) + 1) / GREATEST(rs.n + rs.v, 1))
+                ) + 0.5) AS BIGINT) AS r
+              FROM au
+              LEFT JOIN tu ON au.w = tu.w
+              LEFT JOIN ru ON au.w = ru.w
+              CROSS JOIN ts CROSS JOIN rs),
+            gb AS (
+              SELECT rbg.doc_id,
+                CAST(FLOOR(1e6 * (
+                  ln((coalesce(tb.c, 0) + 1) / GREATEST(tbs.n + tbs.v, 1))
+                  - ln((coalesce(rb.c, 0) + 1) / GREATEST(rbs.n + rbs.v, 1))
+                ) + 0.5) AS BIGINT) AS r
+              FROM rbg
+              LEFT JOIN tb ON rbg.a = tb.a AND rbg.b = tb.b
+              LEFT JOIN rb ON rbg.a = rb.a AND rbg.b = rb.b
+              CROSS JOIN tbs CROSS JOIN rbs),
+            aggu AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                            CAST(SUM(r) AS BIGINT) AS s
+                     FROM gu GROUP BY doc_id),
+            aggb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                            CAST(SUM(r) AS BIGINT) AS s
+                     FROM gb GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(u.n, 0) + coalesce(b.n, 0) AS BIGINT) AS n_feats,
+                   CAST(coalesce(u.s, 0) + coalesce(b.s, 0) AS BIGINT) AS dsir_e6_sum
+            FROM documents d
+            LEFT JOIN aggu u USING (doc_id)
+            LEFT JOIN aggb b USING (doc_id)
+        """
+
     _h60 = "md5_number_lower('{salt}|' || CAST(doc_id AS VARCHAR)) & ((1::UBIGINT << 60) - 1)"
 
     return {
@@ -405,69 +470,33 @@ def oracle_sql() -> dict[str, str]:
         # unigrams + bigrams, add-one smoothing per side — the engine
         # quantizes each occurrence BEFORE the per-doc sum, so this replays
         # the identical FLOOR(1e6·(ln−ln)+0.5) IEEE sequence.
-        "dsir_weights_docs": """
-            WITH rtoks AS (
-              SELECT doc_id,
-                     regexp_extract_all(lower(coalesce(text,'')), '\\S+') AS t
-              FROM documents),
-            ttoks AS (SELECT doc_id, t FROM rtoks WHERE doc_id % 13 = 0),
-            tu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
-                   FROM (SELECT unnest(t) AS w FROM ttoks) GROUP BY w),
-            ts AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n,
-                          CAST(COUNT(*) AS BIGINT) AS v FROM tu),
-            ru AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
-                   FROM (SELECT unnest(t) AS w FROM rtoks) GROUP BY w),
-            rs AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n,
-                          CAST(COUNT(*) AS BIGINT) AS v FROM ru),
-            tbg AS (
-              SELECT t[x] AS a, t[x+1] AS b
-              FROM ttoks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS x)
-              WHERE len(t) >= 2),
-            tb AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
-                   FROM tbg GROUP BY a, b),
-            tbs AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n,
-                           CAST(COUNT(*) AS BIGINT) AS v FROM tb),
-            rbg AS (
-              SELECT doc_id, t[x] AS a, t[x+1] AS b
-              FROM rtoks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS x)
-              WHERE len(t) >= 2),
-            rb AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
-                   FROM rbg GROUP BY a, b),
-            rbs AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n,
-                           CAST(COUNT(*) AS BIGINT) AS v FROM rb),
-            au AS (SELECT doc_id, unnest(t) AS w FROM rtoks),
-            gu AS (
-              SELECT au.doc_id,
-                CAST(FLOOR(1e6 * (
-                  ln((coalesce(tu.c, 0) + 1) / GREATEST(ts.n + ts.v, 1))
-                  - ln((coalesce(ru.c, 0) + 1) / GREATEST(rs.n + rs.v, 1))
-                ) + 0.5) AS BIGINT) AS r
-              FROM au
-              LEFT JOIN tu ON au.w = tu.w
-              LEFT JOIN ru ON au.w = ru.w
-              CROSS JOIN ts CROSS JOIN rs),
-            gb AS (
-              SELECT rbg.doc_id,
-                CAST(FLOOR(1e6 * (
-                  ln((coalesce(tb.c, 0) + 1) / GREATEST(tbs.n + tbs.v, 1))
-                  - ln((coalesce(rb.c, 0) + 1) / GREATEST(rbs.n + rbs.v, 1))
-                ) + 0.5) AS BIGINT) AS r
-              FROM rbg
-              LEFT JOIN tb ON rbg.a = tb.a AND rbg.b = tb.b
-              LEFT JOIN rb ON rbg.a = rb.a AND rbg.b = rb.b
-              CROSS JOIN tbs CROSS JOIN rbs),
-            aggu AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
-                            CAST(SUM(r) AS BIGINT) AS s
-                     FROM gu GROUP BY doc_id),
-            aggb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
-                            CAST(SUM(r) AS BIGINT) AS s
-                     FROM gb GROUP BY doc_id)
-            SELECT d.doc_id,
-                   CAST(coalesce(u.n, 0) + coalesce(b.n, 0) AS BIGINT) AS n_feats,
-                   CAST(coalesce(u.s, 0) + coalesce(b.s, 0) AS BIGINT) AS dsir_e6_sum
-            FROM documents d
-            LEFT JOIN aggu u USING (doc_id)
-            LEFT JOIN aggb b USING (doc_id)
+        "dsir_weights_docs": _dsir_sql,
+        # DSIR importance resampling: Gumbel-max top-100 ∝ exp(w) — the
+        # draw u is a pure function of the salted md5 of the doc id, so the
+        # sample is deterministic and this replays the identical
+        # floor(1e6·(−ln(−ln(u)))+0.5) integer key.
+        "dsir_resample_docs": f"""
+            WITH w AS ({_dsir_sql}),
+            k AS (
+              SELECT doc_id, dsir_e6_sum,
+                     CAST(dsir_e6_sum + FLOOR(1e6 * (-ln(-ln(
+                       (CAST(md5_number_lower('dsirg|' || CAST(doc_id AS VARCHAR))
+                             & ((1::UBIGINT << 60) - 1) AS DOUBLE) + 0.5)
+                       / 1152921504606846976.0
+                     ))) + 0.5) AS BIGINT) AS key_e6
+              FROM w)
+            SELECT doc_id, dsir_e6_sum, key_e6
+            FROM (SELECT k.*, ROW_NUMBER() OVER (ORDER BY key_e6 DESC, doc_id) AS rn
+                  FROM k)
+            WHERE rn <= 100
+        """,
+        # deterministic global shuffle: exact position by salted-md5 order
+        "shuffle_docs": f"""
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY {_h60.format(salt='shuffle')}, doc_id) AS BIGINT) AS pos
+            FROM documents
+            WHERE doc_id IS NOT NULL
         """,
         "lm_score_docs": """
             WITH ttoks AS (

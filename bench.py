@@ -125,8 +125,11 @@ HEADLINE = [
     "embedding_gram",
     # round 5: SemDeDup — k-means + intra-cluster quantized-cosine pruning
     "semdedup_embeddings",
-    # round 5: DSIR importance weights (target vs raw n-gram log-ratio)
+    # round 5: DSIR importance weights (target vs raw n-gram log-ratio),
+    # Gumbel-max importance resampling, and the deterministic global shuffle
     "dsir_weights_docs",
+    "dsir_resample_docs",
+    "shuffle_docs",
 ]
 
 

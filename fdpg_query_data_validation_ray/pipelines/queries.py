@@ -1663,6 +1663,61 @@ def q_dsir_weights_docs(sf_dir: str):
     ).select_columns(["doc_id", "n_feats", "dsir_e6_sum"])
 
 
+def q_dsir_resample_docs(sf_dir: str):
+    """DSIR importance RESAMPLING — the selection step on top of
+    `dsir_weights_docs` (Xie et al. 2023 §2: sample without replacement
+    ∝ exp(w) via the Gumbel-max trick). Each doc's selection key is
+    w + Gumbel(u), with u derived from the deterministic salted md5 of its
+    id — so the 'random' draw is a pure function of the doc id (stable
+    under re-runs and partitioning) and replayable in SQL. key_e6 =
+    dsir_e6_sum + floor(1e6·(−ln(−ln(u))) + 0.5) stays an exact integer;
+    the top-100 cut runs through the shuffle-light top_k stage."""
+    from fdpg_query_data_validation_ray.stages.split import _row_hashes
+    from fdpg_query_data_validation_ray.stages.topk import top_k
+
+    weights = q_dsir_weights_docs(sf_dir)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        h = _row_hashes(t, "doc_id", "dsirg").astype(np.float64)
+        u = (h + 0.5) / 1152921504606846976.0
+        g = -np.log(-np.log(u))
+        key = t["dsir_e6_sum"].to_numpy(zero_copy_only=False) + np.floor(
+            1e6 * g + 0.5
+        ).astype(np.int64)
+        return t.append_column("key_e6", pa.array(key, pa.int64()))
+
+    keyed = weights.map_batches(add_key, batch_format="pyarrow")
+    return top_k(
+        keyed, 100, ["key_e6", "doc_id"], descending=[True, False]
+    ).select_columns(["doc_id", "dsir_e6_sum", "key_e6"])
+
+
+def q_shuffle_docs(sf_dir: str):
+    """Deterministic global corpus shuffle — the pre-training data-order
+    op: every doc gets an exact global position ROW_NUMBER() OVER (ORDER BY
+    md5('shuffle|'||doc_id), doc_id). Seeded-hash order is a pure function
+    of the ids (stable under re-runs, re-partitioning and corpus growth —
+    unlike ds.random_shuffle) and the position assignment runs through the
+    range-partitioned exact rank (KLL boundaries → monotone route → exact
+    base offsets), so no full materialization anywhere."""
+    from fdpg_query_data_validation_ray.stages.split import _row_hashes
+    from fdpg_query_data_validation_ray.stages.topk import range_rank
+
+    def add_key(t: pa.Table) -> pa.Table:
+        h = _row_hashes(t, "doc_id", "shuffle").astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "h": pa.array(h, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        add_key, batch_format="pyarrow"
+    )
+    return range_rank(ds, "h", "doc_id", rank_column="pos", n_ranges=16)
+
+
 def q_pretrain_corpus(sf_dir: str):
     return _pretrain_pipeline(sf_dir, dedup="exact")
 
@@ -1995,6 +2050,8 @@ QUERIES = {
     "repetition_docs": q_repetition_docs,
     "lm_score_docs": q_lm_score_docs,
     "dsir_weights_docs": q_dsir_weights_docs,
+    "dsir_resample_docs": q_dsir_resample_docs,
+    "shuffle_docs": q_shuffle_docs,
     "embedding_centroids": q_embedding_centroids,
     "docs_ranked_by_len": q_docs_ranked_by_len,
     "events_ranked_by_value": q_events_ranked_by_value,
