@@ -1097,6 +1097,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(n) AS BIGINT) AS longest_session
             FROM per_sess GROUP BY user_id
         """,
+        # fuzzy decontamination: corpus × benchmark (doc_id % 97) exact
+        # 3-gram Jaccard ≥ 0.5, per-doc max — the same gram/jaccard CASE as
+        # dedup_ngram_jaccard, cross join instead of same-lang self join
+        # (self-pairs doc vs its own benchmark copy included by design).
+        "decontaminate_fuzzy_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text,'')), '\\S+') AS t
+              FROM documents),
+            sets AS (
+              SELECT doc_id,
+                CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE list_distinct([array_to_string(t[x:x+2], ' ')
+                                         for x in generate_series(1, len(t)-2)])
+                END AS g
+              FROM toks),
+            bsets AS (SELECT g FROM sets WHERE doc_id % 97 = 0),
+            pairs AS (
+              SELECT a.doc_id,
+                CASE WHEN len(a.g) = 0 AND len(b.g) = 0 THEN 1.0
+                     WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0
+                     ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.g, b.g))) END AS jaccard
+              FROM sets a CROSS JOIN bsets b)
+            SELECT doc_id, CAST(MAX(jaccard) AS DOUBLE) AS jaccard_max
+            FROM pairs WHERE jaccard >= 0.5
+            GROUP BY doc_id
+        """,
         "dedup_ngram_jaccard": """
             WITH toks AS (
               SELECT doc_id, lang,

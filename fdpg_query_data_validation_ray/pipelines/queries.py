@@ -1663,6 +1663,72 @@ def q_dsir_weights_docs(sf_dir: str):
     ).select_columns(["doc_id", "n_feats", "dsir_e6_sum"])
 
 
+def q_decontaminate_fuzzy_docs(sf_dir: str):
+    """FUZZY benchmark decontamination: flag every corpus doc whose word-
+    3-gram Jaccard with ANY benchmark doc (the doc_id % 97 == 0 stand-in
+    suite) reaches 0.5 — the near-verbatim-copy complement to
+    `decontaminate_docs`' exact shared-gram rule. Ray shape: the benchmark
+    rows are re-tagged by an id offset (bench_id = doc_id + 2^40), unioned
+    with the corpus, and the whole union flows through the SAME
+    bucket-scoped exact-jaccard verifier as the dedup family
+    (stages/dedup.py jaccard_verify_buckets — LSH candidates, singleton
+    sieve, coarse-part verify); pairs are then kept only when they CROSS
+    the offset boundary, and a per-doc Max aggregate yields
+    (doc_id, jaccard_max). Output rows = the contamination list only — no
+    corpus-wide flag join, no driver-side set."""
+    from ray.data.aggregate import Max
+
+    from fdpg_query_data_validation_ray.stages.dedup import (
+        jaccard_verify_buckets,
+    )
+
+    off = np.int64(1 << 40)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_bench(t: pa.Table) -> pa.Table:
+        sub = t.filter(
+            pc.equal(
+                pc.subtract(
+                    t["doc_id"],
+                    pc.multiply(pc.divide(t["doc_id"], 97), 97),
+                ),
+                0,
+            )
+        )
+        return sub.set_column(
+            sub.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(sub["doc_id"], pa.scalar(int(off), pa.int64())),
+        )
+
+    union = docs.union(docs.map_batches(to_bench, batch_format="pyarrow"))
+    pairs = jaccard_verify_buckets(union, "text", "doc_id", threshold=0.5)
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        j = t["jaccard"].to_numpy(zero_copy_only=False)
+        a_b, b_b = a >= off, b >= off
+        keep = a_b != b_b
+        corpus_id = np.where(a_b, b, a)[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(corpus_id, pa.int64()),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(cross_only, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Max("jaccard"))
+        .map_batches(
+            lambda t: t.rename_columns(["doc_id", "jaccard_max"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_dsir_resample_docs(sf_dir: str):
     """DSIR importance RESAMPLING — the selection step on top of
     `dsir_weights_docs` (Xie et al. 2023 §2: sample without replacement
@@ -2051,6 +2117,7 @@ QUERIES = {
     "lm_score_docs": q_lm_score_docs,
     "dsir_weights_docs": q_dsir_weights_docs,
     "dsir_resample_docs": q_dsir_resample_docs,
+    "decontaminate_fuzzy_docs": q_decontaminate_fuzzy_docs,
     "shuffle_docs": q_shuffle_docs,
     "embedding_centroids": q_embedding_centroids,
     "docs_ranked_by_len": q_docs_ranked_by_len,
