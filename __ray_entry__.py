@@ -154,7 +154,7 @@ def oracle_sql() -> dict[str, str]:
 
     _h60 = "md5_number_lower('{salt}|' || CAST(doc_id AS VARCHAR)) & ((1::UBIGINT << 60) - 1)"
 
-    return {
+    d = {
         "split_docs": f"""
             SELECT doc_id,
                    CASE WHEN h < {_t1}::UBIGINT THEN 'train'
@@ -1210,4 +1210,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> c)
         """,
+        # sliding-window chunking: stride-16 starts, up to 32 tokens per
+        # chunk, single-space joins (array_to_string over list slices).
+        "chunk_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\\S+') AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST((x - 1) // 16 AS BIGINT) AS chunk_id,
+                   array_to_string(t[x:least(x + 31, len(t))], ' ') AS chunk_text,
+                   CAST(least(x + 31, len(t)) - x + 1 AS BIGINT) AS n_tokens
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1, len(t), 16)) AS x)
+        """,
     }
+    # CCNet head/middle/tail: per-lang NTILE(3) tertiles over the SAME
+    # quantized-NLL scoring query as lm_score_docs (composed verbatim so
+    # the two oracles can never drift apart).
+    d["ccnet_buckets"] = f"""
+        WITH scored AS ({d["lm_score_docs"]}),
+        lg AS (SELECT doc_id, lang FROM documents)
+        SELECT s.doc_id, lg.lang,
+               CASE NTILE(3) OVER (PARTITION BY lg.lang
+                                   ORDER BY s.nll_e6_sum, s.doc_id)
+                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s JOIN lg USING (doc_id)
+    """
+    return d

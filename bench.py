@@ -130,6 +130,12 @@ HEADLINE = [
     "dsir_weights_docs",
     "dsir_resample_docs",
     "shuffle_docs",
+    # round 5: fuzzy (jaccard ≥ 0.5) benchmark decontamination
+    "decontaminate_fuzzy_docs",
+    # round 5: sliding-window training chunks + CCNet head/middle/tail
+    # per-lang perplexity tertiles (composite-key exact rank)
+    "chunk_docs",
+    "ccnet_buckets",
 ]
 
 

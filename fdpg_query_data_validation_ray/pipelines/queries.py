@@ -1623,6 +1623,133 @@ def q_lm_score_docs(sf_dir: str):
     ).select_columns(["doc_id", "n_bigrams", "nll_e6_sum"])
 
 
+def q_chunk_docs(sf_dir: str):
+    """Sliding-window training-chunk splitting (stages/text.py ChunkStage):
+    every doc becomes ceil(n_tokens/16) chunks of up to 32 whitespace
+    tokens at stride 16 — the overlapping context-window precursor to
+    sequence packing. Pure row-count-changing map_batches: no exchange, no
+    state, streams at any scale. Oracle: generate_series stride steps +
+    array_to_string list slices, hash-exact."""
+    from fdpg_query_data_validation_ray.stages.text import ChunkStage
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ChunkStage(window=32, stride=16),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+
+
+_CCNET_LANG_SHIFT = 48  # composite key: lang_idx << 48 | nll_e6_sum
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020 §3.4): each
+    language is cut into perplexity TERTILES — the head (lowest LM NLL,
+    cleanest text) is what pretraining keeps. Exactly
+    NTILE(3) OVER (PARTITION BY lang ORDER BY nll_e6_sum, doc_id).
+
+    Ray shape — one exact distributed rank, no per-lang loop and no
+    whole-language groups:
+      1. per-lang doc counts from a pruned lang-only read (bounded rows);
+         langs sorted → dense idx + cumulative base offsets.
+      2. docs scored by the broadcast bigram LM (LMScoreStage, same model
+         as `lm_score_docs`), then a COMPOSITE int64 key
+         lang_idx << 48 | nll_e6_sum (asserted in-range) makes the global
+         (key, doc_id) order equal the per-lang (nll, doc_id) order with
+         languages contiguous.
+      3. `range_rank` gives the exact global ROW_NUMBER; because language
+         blocks are contiguous with known bases, the final map recovers
+         lang AND per-lang rank FROM THE RANK ALONE (searchsorted over the
+         base offsets — no join back), then applies the NTILE size
+         formula (first n%3 buckets get ceil(n/3) rows).
+    The scoring pipeline is consumed 3× by range_rank (sketch/count/rank
+    passes) — deliberate: re-computing the cheap vectorized scorer streams,
+    while materializing a corpus-length projection would hold O(n) in the
+    object store at 100 TB."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.text import (
+        LMScoreStage,
+        train_bigram_lm_distributed,
+    )
+    from fdpg_query_data_validation_ray.stages.topk import range_rank
+
+    lang_counts = (
+        _read(sf_dir, "documents", ["lang"])
+        .groupby("lang")
+        .count()
+        .to_pandas()
+        .sort_values("lang")
+    )
+    langs = lang_counts["lang"].to_numpy(object)
+    n_per = lang_counts["count()"].to_numpy(np.int64)
+    if len(langs) >= (1 << 15):
+        raise ValueError("ccnet_buckets: lang cardinality exceeds composite range")
+    bases = np.concatenate([[0], np.cumsum(n_per)[:-1]]).astype(np.int64)
+
+    train_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.subtract(
+                    t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 17), 17)
+                ),
+                0,
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    model_ref = ray.put(train_bigram_lm_distributed(train_ds, "text"))
+    lang_sorted = np.sort(langs)
+
+    def composite(t: pa.Table) -> pa.Table:
+        nll = t["nll_e6_sum"].to_numpy(zero_copy_only=False)
+        if len(nll) and (nll.min() < 0 or nll.max() >= (1 << _CCNET_LANG_SHIFT)):
+            raise ValueError("ccnet_buckets: nll_e6_sum outside composite range")
+        lidx = np.searchsorted(lang_sorted, t["lang"].to_numpy(zero_copy_only=False))
+        ckey = (lidx.astype(np.int64) << _CCNET_LANG_SHIFT) | nll
+        return pa.table(
+            {"doc_id": t["doc_id"], "ckey": pa.array(ckey, pa.int64())}
+        )
+
+    scored = (
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(
+            LMScoreStage(model_ref, text_column="text"),
+            batch_format="pyarrow",
+            batch_size=1024,
+        )
+        .map_batches(composite, batch_format="pyarrow")
+    )
+    ranked = range_rank(scored, "ckey", "doc_id", descending=False)
+
+    # per-lang rank blocks are contiguous: [base+1, base+n] for lang idx i.
+    cum = np.cumsum(n_per)  # rank r belongs to lang searchsorted(cum, r)
+    names = np.array(["head", "middle", "tail"], dtype=object)
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        lidx = np.searchsorted(cum, r, side="left")
+        n = n_per[lidx]
+        rl = r - bases[lidx]  # 1-based per-lang rank
+        big, base = n % 3, n // 3
+        size1 = base + 1
+        in_first = rl <= big * size1
+        b = np.where(
+            in_first,
+            (rl - 1) // size1,
+            big + (rl - 1 - big * size1) // np.maximum(base, 1),
+        ) + 1
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": pa.array(langs[lidx], pa.string()),
+                "bucket": pa.array(names[b - 1], pa.string()),
+            }
+        )
+
+    return ranked.map_batches(to_bucket, batch_format="pyarrow")
+
+
 def q_dsir_weights_docs(sf_dir: str):
     """DSIR importance weights (stages/text.py DSIRWeightStage — Xie et
     al. 2023): every document scored by Σ ln p_target/q_raw over its word
@@ -2118,6 +2245,8 @@ QUERIES = {
     "dsir_weights_docs": q_dsir_weights_docs,
     "dsir_resample_docs": q_dsir_resample_docs,
     "decontaminate_fuzzy_docs": q_decontaminate_fuzzy_docs,
+    "chunk_docs": q_chunk_docs,
+    "ccnet_buckets": q_ccnet_buckets,
     "shuffle_docs": q_shuffle_docs,
     "embedding_centroids": q_embedding_centroids,
     "docs_ranked_by_len": q_docs_ranked_by_len,

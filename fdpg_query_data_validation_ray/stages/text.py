@@ -1580,3 +1580,77 @@ class DSIRWeightStage:
                 "dsir_e6_sum": (sums, pa.int64()),
             },
         )
+
+
+class ChunkStage:
+    """Sliding-window training-chunk splitter: every doc becomes
+    ceil(n_tokens / stride) chunks of up to `window` whitespace tokens,
+    chunk i covering tokens [i*stride, min(i*stride+window, n)) joined by
+    a single space — the context-length packing precursor every
+    pretraining pipeline runs (GPT-3 §2.2-style overlapping windows when
+    stride < window; disjoint blocks when stride == window). Zero-token
+    docs emit no chunks. Embarrassingly parallel (no exchange, no state):
+    reference-analog of the per-record transform loop
+    (/root/reference/data_quality_check/app/validation_runner.py:23-44),
+    re-expressed as a row-count-changing map_batches.
+
+    Vectorization: one pandas C-regex tokenize pass, chunk index frames by
+    repeat/arange arithmetic, and chunk text by slicing ONE per-batch
+    space-joined string at precomputed char offsets (each slice is a
+    C-level memcpy — the unavoidable per-chunk allocation — not a Python
+    token loop). Tokens keep original case; the DuckDB oracle is
+    array_to_string(t[x : x+window-1], ' ') over generate_series stride
+    steps, hash-exact."""
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id",
+                 window: int = 32, stride: int = 16):
+        if window < 1 or stride < 1:
+            raise ValueError("window and stride must be >= 1")
+        self.text_column = text_column
+        self.id_column = id_column
+        self.window = window
+        self.stride = stride
+        self.token_re = re.compile(r"\S+")
+
+    def __call__(self, batch) -> pa.Table:
+        t = batch if isinstance(batch, pa.Table) else pa.Table.from_pandas(batch)
+        out_schema = pa.schema(
+            [
+                pa.field(self.id_column, t.schema.field(self.id_column).type),
+                pa.field("chunk_id", pa.int64()),
+                pa.field("chunk_text", pa.string()),
+                pa.field("n_tokens", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        s = _col_series(t, self.text_column).fillna("")
+        flat, counts, starts = _tokenize_batch(s, self.token_re)
+        c = -(-counts // self.stride)  # ceil; 0 tokens -> 0 chunks
+        total = int(c.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        ids = t[self.id_column].to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(np.arange(len(counts), dtype=np.int64), c)
+        # within-doc chunk index 0..c_i-1
+        excl = np.concatenate([[0], np.cumsum(c)[:-1]]).astype(np.int64)
+        j = np.arange(total, dtype=np.int64) - np.repeat(excl, c)
+        tok_a = j * self.stride
+        tok_b = np.minimum(tok_a + self.window, counts[doc_rep])
+        ga = starts[doc_rep] + tok_a  # flat-token index range [ga, gb)
+        gb = starts[doc_rep] + tok_b
+        lens = pd.Series(flat, dtype=object).str.len().to_numpy(np.int64)
+        off = np.concatenate([[0], np.cumsum(lens + 1)]).astype(np.int64)
+        big = " ".join(flat)
+        a = off[ga]
+        b = off[gb - 1] + lens[gb - 1]
+        chunk_text = [big[x:y] for x, y in zip(a.tolist(), b.tolist())]
+        return pa.table(
+            {
+                self.id_column: pa.array(ids[doc_rep]),
+                "chunk_id": pa.array(j, pa.int64()),
+                "chunk_text": pa.array(chunk_text, pa.string()),
+                "n_tokens": pa.array(tok_b - tok_a, pa.int64()),
+            },
+            schema=out_schema,
+        )
