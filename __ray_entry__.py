@@ -1224,6 +1224,19 @@ def oracle_sql() -> dict[str, str]:
             FROM toks,
                  LATERAL (SELECT unnest(generate_series(1, len(t), 16)) AS x)
         """,
+        # exact heavy hitters: terms with frequency > n_tokens/1000 (the
+        # engine's two-pass MG-candidates + exact-recount plan must equal
+        # the full exact groupby)
+        "heavy_terms_docs": """
+            WITH toks AS (
+              SELECT regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS t
+              FROM documents),
+            words AS (SELECT unnest(t) AS w FROM toks),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM words),
+            wc AS (SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM words GROUP BY w)
+            SELECT term, cnt FROM wc, tot WHERE cnt * 1000 > n
+        """,
     }
     # CCNet head/middle/tail: per-lang NTILE(3) tertiles over the SAME
     # quantized-NLL scoring query as lm_score_docs (composed verbatim so

@@ -136,6 +136,8 @@ HEADLINE = [
     # per-lang perplexity tertiles (composite-key exact rank)
     "chunk_docs",
     "ccnet_buckets",
+    # round 5: two-pass exact heavy hitters (MG candidates + exact recount)
+    "heavy_terms_docs",
 ]
 
 

@@ -1,5 +1,5 @@
 """Mergeable streaming sketches: HyperLogLog (distinct count), KLL and
-DDSketch (quantiles).
+DDSketch (quantiles), Misra-Gries (heavy hitters).
 
 Built from the published algorithms only:
 - HLL: Flajolet et al., "HyperLogLog: the analysis of a near-optimal
@@ -311,3 +311,82 @@ class DDSketch:
         s.pos = {int(k): int(c) for k, c in pos}
         s.neg = {int(k): int(c) for k, c in neg}
         return s
+
+
+def mg_truncate(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Bulk Misra-Gries step: combine duplicate keys, then — if more than k
+    survive — subtract the (k+1)-th largest combined count from every
+    counter and drop the non-positives (at most k counters can strictly
+    exceed the (k+1)-th largest, so ≤ k remain). Returns
+    (keys, counts, decrement). Deterministic: the kept set and counts are
+    pure functions of the input multiset."""
+    if len(keys) == 0:
+        return keys, counts.astype(np.int64, copy=False), 0
+    order = np.argsort(keys, kind="stable")
+    ks, cs = keys[order], counts[order].astype(np.int64, copy=False)
+    first = np.empty(len(ks), dtype=bool)
+    first[0] = True
+    first[1:] = ks[1:] != ks[:-1]
+    idx = np.flatnonzero(first)
+    sums = np.add.reduceat(cs, idx)
+    uk = ks[idx]
+    if len(uk) <= k:
+        return uk, sums, 0
+    kth = np.partition(sums, -(k + 1))[-(k + 1)]  # (k+1)-th largest
+    keep = sums > kth
+    return uk[keep], sums[keep] - kth, int(kth)
+
+
+class MG:
+    """Misra-Gries heavy-hitters summary (Misra & Gries 1982; mergeable
+    form per Agarwal et al., "Mergeable Summaries", PODS 2012 §3): at most
+    k counters; after ANY merge tree over a weight-W stream, every kept
+    estimate satisfies  true - W/(k+1) <= est <= true,  and every key with
+    true count > W/(k+1) is PRESENT. That containment guarantee is what the
+    two-pass exact heavy-hitters pipeline relies on: pass 1 merges MG
+    partials into a ≤ k candidate superset, pass 2 re-counts only the
+    candidates exactly — so the final output is exact even though the
+    sketch is lossy. Tracks the exact total weight `n` alongside."""
+
+    __slots__ = ("k", "keys", "counts", "n")
+
+    def __init__(self, k: int = 4096):
+        self.k = k
+        self.keys = np.empty(0, dtype=object)
+        self.counts = np.empty(0, dtype=np.int64)
+        self.n = 0
+
+    def add_counts(self, keys: np.ndarray, counts: np.ndarray) -> "MG":
+        self.n += int(np.sum(counts)) if len(counts) else 0
+        self.keys, self.counts, _ = mg_truncate(
+            np.concatenate([self.keys, np.asarray(keys, dtype=object)]),
+            np.concatenate(
+                [self.counts, np.asarray(counts, dtype=np.int64)]
+            ),
+            self.k,
+        )
+        return self
+
+    def merge(self, other: "MG") -> "MG":
+        self.n += other.n
+        n = self.n  # add_counts re-adds other's kept weight; restore after
+        self.add_counts(other.keys, other.counts)
+        self.n = n
+        return self
+
+    def candidates(self) -> np.ndarray:
+        return self.keys
+
+    def estimate(self, key) -> int:
+        hit = np.flatnonzero(self.keys == key)
+        return int(self.counts[hit[0]]) if len(hit) else 0
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((self.k, self.keys, self.counts, self.n))
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "MG":
+        k, keys, counts, n = pickle.loads(b)
+        mg = MG(k)
+        mg.keys, mg.counts, mg.n = keys, counts, n
+        return mg

@@ -1623,6 +1623,129 @@ def q_lm_score_docs(sf_dir: str):
     ).select_columns(["doc_id", "n_bigrams", "nll_e6_sum"])
 
 
+def q_heavy_terms_docs(sf_dir: str, k: int = 4096, denom: int = 1000):
+    """EXACT heavy hitters (terms with frequency > n_tokens/1000) via the
+    two-pass sketch-guided plan — the shuffle-free scale path for frequent
+    terms at 10^12 tokens, where an exact whole-vocabulary groupby would
+    all-to-all-exchange every token:
+
+      pass 1: each batch emits a bulk Misra-Gries summary of its term
+        counts (≤ k rows) + an exact token-count sentinel; partials
+        stream-compact at the driver with the SAME mg_truncate kernel.
+        Mergeable-summaries guarantee (Agarwal et al. 2012): every term
+        with true count > W/(k+1) is in the merged candidate set — with
+        k = 4096 and threshold W/1000, no heavy term can be missed.
+      pass 2: the ≤ k candidate strings broadcast in the task closure;
+        each batch counts ONLY candidate occurrences (sorted-array
+        searchsorted membership + bincount), a tiny groupby sums them,
+        and the exact integer filter cnt * denom > n cuts.
+
+    Output is EXACT and order-free (hash-exact oracle), even though pass 1
+    is lossy — the sketch only prunes the candidate space. Precondition:
+    k + 1 >= denom, else the MG bound W/(k+1) sits ABOVE the threshold
+    W/denom and heavy terms could be missed (enforced)."""
+    if k + 1 < denom:
+        raise ValueError(
+            "heavy_terms: need k + 1 >= denom for the containment guarantee"
+        )
+    from fdpg_query_data_validation_ray.functions.sketches import mg_truncate
+
+    import pandas as pd
+    import re as _re
+
+    from fdpg_query_data_validation_ray.stages.text import _tokenize_batch
+
+    token_re = _re.compile(r"\S+")
+
+    def partials(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("").str.lower()
+        flat, counts, _starts = _tokenize_batch(s, token_re)
+        n_tok = int(counts.sum())
+        if n_tok == 0:
+            uk = np.empty(0, dtype=object)
+            uc = np.empty(0, dtype=np.int64)
+        else:
+            uk, uc, _ = mg_truncate(flat, np.ones(len(flat), np.int64), k)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate([np.zeros(len(uk), np.int32), [1]]),
+                    pa.int32(),
+                ),
+                "term": pa.array(list(uk) + [""], pa.string()),
+                "cnt": pa.array(
+                    np.concatenate([uc, [n_tok]]), pa.int64()
+                ),
+            }
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        term = t["term"].to_numpy(zero_copy_only=False)
+        ctr = kind == 0
+        uk, uc, _ = mg_truncate(term[ctr], cnt[ctr], k)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate([np.zeros(len(uk), np.int32), [1]]),
+                    pa.int32(),
+                ),
+                "term": pa.array(list(uk) + [""], pa.string()),
+                "cnt": pa.array(
+                    np.concatenate([uc, [int(cnt[~ctr].sum())]]), pa.int64()
+                ),
+            }
+        )
+
+    from fdpg_query_data_validation_ray.stages.text import _streamed_combine
+
+    docs = _read(sf_dir, "documents", ["text"])
+    agg = _streamed_combine(
+        docs.map_batches(partials, batch_format="pyarrow"), combine
+    )
+    kind = agg["kind"].to_numpy(zero_copy_only=False)
+    n_total = int(agg["cnt"].to_numpy(zero_copy_only=False)[kind == 1].sum())
+    cand = np.sort(agg["term"].to_numpy(zero_copy_only=False)[kind == 0])
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("").str.lower()
+        flat, counts, _starts = _tokenize_batch(s, token_re)
+        if len(flat) == 0 or len(cand) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        pos = np.searchsorted(cand, flat)
+        pos_c = np.minimum(pos, len(cand) - 1)
+        hit = cand[pos_c] == flat
+        bc = np.bincount(pos_c[hit], minlength=len(cand))
+        nz = np.flatnonzero(bc)
+        return pa.table(
+            {
+                "term": pa.array(cand[nz], pa.string()),
+                "cnt": pa.array(bc[nz], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    def cut(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["term", "cnt"])
+        keep = pc.greater(
+            pc.multiply(t["cnt"], pa.scalar(denom, pa.int64())),
+            pa.scalar(n_total, pa.int64()),
+        )
+        return t.filter(keep)
+
+    return (
+        docs.map_batches(exact_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt"))
+        .map_batches(cut, batch_format="pyarrow")
+    )
+
+
 def q_chunk_docs(sf_dir: str):
     """Sliding-window training-chunk splitting (stages/text.py ChunkStage):
     every doc becomes ceil(n_tokens/16) chunks of up to 32 whitespace
@@ -2247,6 +2370,7 @@ QUERIES = {
     "decontaminate_fuzzy_docs": q_decontaminate_fuzzy_docs,
     "chunk_docs": q_chunk_docs,
     "ccnet_buckets": q_ccnet_buckets,
+    "heavy_terms_docs": q_heavy_terms_docs,
     "shuffle_docs": q_shuffle_docs,
     "embedding_centroids": q_embedding_centroids,
     "docs_ranked_by_len": q_docs_ranked_by_len,

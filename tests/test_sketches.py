@@ -138,3 +138,131 @@ def test_dd_extreme_quantiles_hit_min_max_buckets():
     s = DDSketch().add_values(np.array([-100.0, 1.0, 2.0, 3.0, 1000.0]))
     assert abs(s.quantile(0.0) + 100.0) / 100.0 < 0.01
     assert abs(s.quantile(1.0) - 1000.0) / 1000.0 < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (MG + mg_truncate + the two-pass exact plan)
+# ---------------------------------------------------------------------------
+
+
+def test_mg_guarantee_and_bounds():
+    import numpy as np
+
+    from fdpg_query_data_validation_ray.functions.sketches import MG
+
+    rng = np.random.default_rng(3)
+    # zipf-ish stream with a fat head, k small enough to force truncation
+    items = np.array([f"t{int(v)}" for v in rng.zipf(1.3, size=20000)], object)
+    k = 16
+    mg = MG(k)
+    for lo in range(0, len(items), 1700):  # uneven batch splits
+        chunk = items[lo : lo + 1700]
+        u, c = np.unique(chunk, return_counts=True)
+        mg.add_counts(u.astype(object), c)
+    vals, true = np.unique(items, return_counts=True)
+    n = len(items)
+    assert mg.n == n
+    bound = n / (k + 1)
+    truth = dict(zip(vals.tolist(), true.tolist()))
+    # every item above the bound is PRESENT
+    for v, t in truth.items():
+        if t > bound:
+            assert v in set(mg.keys.tolist()), v
+    # estimates never overshoot and undershoot by at most the bound
+    for key, est in zip(mg.keys.tolist(), mg.counts.tolist()):
+        assert est <= truth[key]
+        assert truth[key] - est <= bound
+
+
+def test_mg_merge_tree_preserves_containment():
+    import numpy as np
+
+    from fdpg_query_data_validation_ray.functions.sketches import MG
+
+    rng = np.random.default_rng(9)
+    items = np.array([f"w{int(v)}" for v in rng.zipf(1.5, size=12000)], object)
+    k = 8
+    parts = np.array_split(items, 13)
+    sketches = []
+    for p in parts:
+        u, c = np.unique(p, return_counts=True)
+        sketches.append(MG(k).add_counts(u.astype(object), c))
+    # pairwise random-shape merge tree
+    while len(sketches) > 1:
+        i = int(rng.integers(0, len(sketches) - 1))
+        a = sketches.pop(i)
+        b = sketches.pop(int(rng.integers(0, len(sketches))))
+        sketches.append(a.merge(b))
+    mg = sketches[0]
+    vals, true = np.unique(items, return_counts=True)
+    n = len(items)
+    assert mg.n == n
+    for v, t in zip(vals.tolist(), true.tolist()):
+        if t > n / (k + 1):
+            assert v in set(mg.keys.tolist()), v
+
+
+def test_mg_roundtrip_and_estimate():
+    import numpy as np
+
+    from fdpg_query_data_validation_ray.functions.sketches import MG
+
+    mg = MG(4).add_counts(
+        np.array(["a", "b", "a", "c"], object), np.array([10, 2, 5, 1])
+    )
+    mg2 = MG.from_bytes(mg.to_bytes())
+    assert mg2.estimate("a") == mg.estimate("a") >= 15 - mg.n / 5
+    assert mg2.n == mg.n
+    assert mg2.estimate("zzz") == 0
+
+
+def test_heavy_terms_two_pass_exact_under_truncation(ray_session):
+    """Force pass-1 MG truncation (k far below the vocab) and check the
+    two-pass plan still returns the EXACT heavy set — the containment
+    guarantee is what makes the lossy sketch safe."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.pipelines.queries import (
+        q_heavy_terms_docs,
+    )
+
+    rng = np.random.default_rng(17)
+    vocab = [f"v{i}" for i in range(500)]
+    texts, counter = [], collections.Counter()
+    for _ in range(300):
+        toks = list(rng.choice(vocab, size=40))
+        toks += ["hot1", "hot2"] * 3  # planted heavies
+        counter.update(toks)
+        texts.append(" ".join(toks))
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="qdv_heavy_")
+    pq.write_table(
+        pa.table({"doc_id": list(range(300)), "text": texts,
+                  "lang": ["en"] * 300, "source": ["s"] * 300,
+                  "n_chars": [len(t) for t in texts]}),
+        os.path.join(d, "documents.parquet"),
+    )
+    # k=64 << vocab (forces truncation) but k+1 >= denom=50, so the MG
+    # bound n/65 sits below the n/50 threshold — containment holds.
+    got = (
+        q_heavy_terms_docs(d, k=64, denom=50)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    n = sum(counter.values())
+    want = sorted((t, c) for t, c in counter.items() if c * 50 > n)
+    import pytest
+
+    with pytest.raises(ValueError):
+        q_heavy_terms_docs(d, k=30, denom=50)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert "hot1" in set(got.term) and "hot2" in set(got.term)
