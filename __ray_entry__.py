@@ -1237,6 +1237,23 @@ def oracle_sql() -> dict[str, str]:
                    FROM words GROUP BY w)
             SELECT term, cnt FROM wc, tot WHERE cnt * 1000 > n
         """,
+        # SQ8 scalar quantization: exact per-dim min/max, then the same
+        # subtract/divide/multiply/add/floor IEEE sequence as SQ8Stage
+        # (float32 values promoted to float64 on both sides)
+        "quantize_embeddings": """
+            WITH e AS (
+              SELECT vec_id, CAST(x AS BIGINT) AS dim,
+                     CAST(embedding[x] AS DOUBLE) AS val
+              FROM embeddings,
+                   LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS x)),
+            mm AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx
+                   FROM e GROUP BY dim)
+            SELECT e.vec_id, e.dim,
+                   CAST(CASE WHEN mm.mx = mm.mn THEN 0
+                        ELSE FLOOR((e.val - mm.mn) / (mm.mx - mm.mn) * 255 + 0.5)
+                   END AS BIGINT) AS code
+            FROM e JOIN mm USING (dim)
+        """,
     }
     # CCNet head/middle/tail: per-lang NTILE(3) tertiles over the SAME
     # quantized-NLL scoring query as lm_score_docs (composed verbatim so

@@ -138,6 +138,8 @@ HEADLINE = [
     "ccnet_buckets",
     # round 5: two-pass exact heavy hitters (MG candidates + exact recount)
     "heavy_terms_docs",
+    # round 5: SQ8 scalar quantization of embeddings
+    "quantize_embeddings",
 ]
 
 

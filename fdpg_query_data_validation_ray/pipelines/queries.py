@@ -1623,6 +1623,55 @@ def q_lm_score_docs(sf_dir: str):
     ).select_columns(["doc_id", "n_bigrams", "nll_e6_sum"])
 
 
+def q_quantize_embeddings(sf_dir: str):
+    """SQ8 scalar quantization (FAISS-style) — the 4× memory-reduction
+    step before ANN at scale: per-dimension exact (min, max) via a
+    dimension-bounded combiner groupby (stages/similarity.py
+    embedding_dim_minmax — driver receives O(d) rows), bounds broadcast in
+    the stage closure, every vector mapped to
+    code = FLOOR((x-mn)/(mx-mn)*255 + 0.5) uint8 codes in one streaming
+    map_batches (SQ8Stage emits packed list<uint8>). The query explodes
+    codes to (vec_id, dim, code) rows so the IEEE-replayed DuckDB oracle
+    can hash-check every code."""
+    from fdpg_query_data_validation_ray.stages.similarity import (
+        SQ8Stage,
+        embedding_dim_minmax,
+    )
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mn, mx = embedding_dim_minmax(emb, "embedding")
+
+    def explode(t: pa.Table) -> pa.Table:
+        arr = t["codes"].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = np.asarray(arr.offsets)
+        lens = np.diff(offs).astype(np.int64)
+        total = int(lens.sum())
+        dim_el = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs[:-1].astype(np.int64), lens)
+            + 1
+        )
+        ids = np.repeat(
+            t["vec_id"].to_numpy(zero_copy_only=False), lens
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "dim": pa.array(dim_el, pa.int64()),
+                "code": pa.array(
+                    arr.values.to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return emb.map_batches(
+        SQ8Stage(mn, mx, "embedding", "vec_id"), batch_format="pyarrow"
+    ).map_batches(explode, batch_format="pyarrow")
+
+
 def q_heavy_terms_docs(sf_dir: str, k: int = 4096, denom: int = 1000):
     """EXACT heavy hitters (terms with frequency > n_tokens/1000) via the
     two-pass sketch-guided plan — the shuffle-free scale path for frequent
@@ -2371,6 +2420,7 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "ccnet_buckets": q_ccnet_buckets,
     "heavy_terms_docs": q_heavy_terms_docs,
+    "quantize_embeddings": q_quantize_embeddings,
     "shuffle_docs": q_shuffle_docs,
     "embedding_centroids": q_embedding_centroids,
     "docs_ranked_by_len": q_docs_ranked_by_len,

@@ -1036,3 +1036,113 @@ def semdedup(
     return labeled.groupby("cluster").map_groups(
         prune, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (per-dimension min/max -> uint8 codes)
+# ---------------------------------------------------------------------------
+
+
+def embedding_dim_minmax(ds, vec_column: str = "embedding"):
+    """Exact per-dimension (min, max) over an embedding column — the train
+    step of FAISS-style SQ8 scalar quantization. Per-batch combiner emits
+    one (dim, mn, mx) row per dimension (min/max are order-free, so the
+    result is exact under any batching); a dimension-count-bounded groupby
+    reduces the partials and the driver receives only O(d) rows. Returns
+    (mn, mx) float64 arrays indexed by 0-based dim; ragged vectors
+    contribute to the dims they have."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[vec_column].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = np.asarray(arr.offsets)
+        vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = np.diff(offs).astype(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()),
+                 "mn": pa.array([], pa.float64()),
+                 "mx": pa.array([], pa.float64())}
+            )
+        dim_el = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs[:-1].astype(np.int64), lens)
+        )
+        order = np.argsort(dim_el, kind="stable")
+        d_s, v_s = dim_el[order], vals[order]
+        first = np.empty(total, dtype=bool)
+        first[0] = True
+        first[1:] = d_s[1:] != d_s[:-1]
+        bounds = np.flatnonzero(first)
+        return pa.table(
+            {
+                "dim": pa.array(d_s[bounds], pa.int64()),
+                "mn": pa.array(np.minimum.reduceat(v_s, bounds), pa.float64()),
+                "mx": pa.array(np.maximum.reduceat(v_s, bounds), pa.float64()),
+            }
+        )
+
+    mm = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    d = int(mm["dim"].max()) + 1 if len(mm) else 0
+    mn = np.full(d, np.inf)
+    mx = np.full(d, -np.inf)
+    mn[mm["dim"].to_numpy(np.int64)] = mm["mn"].to_numpy(np.float64)
+    mx[mm["dim"].to_numpy(np.int64)] = mm["mx"].to_numpy(np.float64)
+    return mn, mx
+
+
+class SQ8Stage:
+    """Quantize float embeddings to uint8 codes with broadcast per-dim
+    bounds:  code = FLOOR((x - mn) / (mx - mn) * 255 + 0.5)  (constant
+    dims -> 0). The subtract/divide/multiply/add/floor sequence is replayed
+    verbatim by the DuckDB oracle in float64, so codes are hash-exact; the
+    stage emits packed list<uint8> (4x memory reduction before ANN), and
+    query layers explode to rows where SQL comparability is needed.
+    Bounds live in the actor/task closure once (O(d) state), never per
+    batch."""
+
+    def __init__(self, mn: np.ndarray, mx: np.ndarray,
+                 vec_column: str = "embedding", id_column: str = "vec_id"):
+        self.mn = np.asarray(mn, np.float64)
+        rng = np.asarray(mx, np.float64) - self.mn
+        self.rng = rng
+        self.const = rng == 0
+        self.vec_column = vec_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch[self.vec_column].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = np.asarray(arr.offsets)
+        vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = np.diff(offs).astype(np.int64)
+        total = int(lens.sum())
+        dim_el = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs[:-1].astype(np.int64), lens)
+        )
+        mn_el = self.mn[dim_el]
+        rng_el = self.rng[dim_el]
+        safe = np.where(self.const[dim_el], 1.0, rng_el)
+        code = np.floor((vals - mn_el) / safe * 255.0 + 0.5)
+        code[self.const[dim_el]] = 0.0
+        codes = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            pa.array(code.astype(np.uint8), pa.uint8()),
+        )
+        return pa.table(
+            {
+                self.id_column: batch[self.id_column],
+                "codes": codes,
+            }
+        )

@@ -1,0 +1,59 @@
+"""SQ8 scalar quantization: bounds builder + code stage. End-to-end code
+hash parity vs DuckDB is covered by the oracle gate (quantize_embeddings);
+these pin the stage math and the distributed min/max builder."""
+
+import numpy as np
+import pyarrow as pa
+
+from fdpg_query_data_validation_ray.stages.similarity import (
+    SQ8Stage,
+    embedding_dim_minmax,
+)
+
+
+def _codes(stage, vecs, ids=None):
+    ids = ids if ids is not None else list(range(len(vecs)))
+    t = pa.table({"vec_id": ids, "embedding": vecs})
+    out = stage(t)
+    return out["codes"].to_pylist()
+
+
+def test_sq8_reconstruction_error_bounded():
+    rng = np.random.default_rng(4)
+    m = rng.normal(size=(200, 16)).astype(np.float32)
+    mn = m.min(axis=0).astype(np.float64)
+    mx = m.max(axis=0).astype(np.float64)
+    st = SQ8Stage(mn, mx)
+    codes = np.array(_codes(st, [row.tolist() for row in m]), np.float64)
+    recon = mn + codes / 255.0 * (mx - mn)
+    # round-to-nearest over 255 steps: error <= half a step per element
+    step = (mx - mn) / 255.0
+    assert np.all(np.abs(recon - m.astype(np.float64)) <= step / 2 + 1e-12)
+    assert codes.min() >= 0 and codes.max() <= 255
+
+
+def test_sq8_constant_dim_and_extremes():
+    st = SQ8Stage(np.array([0.0, 5.0]), np.array([2.0, 5.0]))
+    got = _codes(st, [[0.0, 5.0], [2.0, 5.0], [1.0, 5.0]])
+    assert got == [[0, 0], [255, 0], [128, 0]]
+
+
+def test_sq8_ragged_vectors():
+    st = SQ8Stage(np.array([0.0, 0.0]), np.array([1.0, 2.0]))
+    got = _codes(st, [[1.0], [0.5, 1.0]])
+    assert got == [[255], [128, 128]]
+
+
+def test_dim_minmax_distributed_matches_numpy(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(8)
+    m = rng.uniform(-3, 3, size=(500, 8))
+    ds = rd.from_arrow(
+        pa.table(
+            {"vec_id": list(range(500)),
+             "embedding": [row.tolist() for row in m]}
+        )
+    ).repartition(7)
+    mn, mx = embedding_dim_minmax(ds)
+    assert np.allclose(mn, m.min(axis=0)) and np.allclose(mx, m.max(axis=0))
