@@ -138,8 +138,9 @@ HEADLINE = [
     "ccnet_buckets",
     # round 5: two-pass exact heavy hitters (MG candidates + exact recount)
     "heavy_terms_docs",
-    # round 5: SQ8 scalar quantization of embeddings
+    # round 5: SQ8 scalar quantization + PQ codes of embeddings
     "quantize_embeddings",
+    "pq_codes_embeddings",
 ]
 
 

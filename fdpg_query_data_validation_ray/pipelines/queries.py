@@ -1672,6 +1672,53 @@ def q_quantize_embeddings(sf_dir: str):
     ).map_batches(explode, batch_format="pyarrow")
 
 
+def q_pq_codes_embeddings(sf_dir: str):
+    """Product-quantization codes (Jégou et al. 2011) — the other half of
+    the FAISS compression family next to `quantize_embeddings` (SQ8):
+    codebooks k-means-trained per subspace on a deterministic bounded
+    sample (`pq_train`, sample-based BY DESIGN — the corpus is only ever
+    assigned), broadcast in the stage closure, every vector mapped to m=4
+    uint8 sub-codes in one streaming einsum map_batches. Rows-only check
+    (k-means is not SQL-expressible); tests pin determinism, partition
+    invariance, code ranges and an ADC-reconstruction recall bar. Output
+    exploded to (vec_id, sub, code) for a stable compare schema."""
+    from fdpg_query_data_validation_ray.stages.similarity import (
+        PQAssignStage,
+        pq_train,
+    )
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pq_train(emb, m=4, k=64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        arr = t["codes"].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = np.asarray(arr.offsets)
+        lens = np.diff(offs).astype(np.int64)
+        sub = (
+            np.arange(int(lens.sum()), dtype=np.int64)
+            - np.repeat(offs[:-1].astype(np.int64), lens)
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.repeat(t["vec_id"].to_numpy(zero_copy_only=False), lens),
+                    pa.int64(),
+                ),
+                "sub": pa.array(sub, pa.int64()),
+                "code": pa.array(
+                    arr.values.to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return emb.map_batches(
+        PQAssignStage(books, "embedding", "vec_id"), batch_format="pyarrow"
+    ).map_batches(explode, batch_format="pyarrow")
+
+
 def q_heavy_terms_docs(sf_dir: str, k: int = 4096, denom: int = 1000):
     """EXACT heavy hitters (terms with frequency > n_tokens/1000) via the
     two-pass sketch-guided plan — the shuffle-free scale path for frequent
@@ -2421,6 +2468,7 @@ QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,
     "heavy_terms_docs": q_heavy_terms_docs,
     "quantize_embeddings": q_quantize_embeddings,
+    "pq_codes_embeddings": q_pq_codes_embeddings,
     "shuffle_docs": q_shuffle_docs,
     "embedding_centroids": q_embedding_centroids,
     "docs_ranked_by_len": q_docs_ranked_by_len,

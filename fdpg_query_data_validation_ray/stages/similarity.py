@@ -1146,3 +1146,99 @@ class SQ8Stage:
                 "codes": codes,
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ: per-subspace k-means codebooks -> uint8 codes)
+# ---------------------------------------------------------------------------
+
+
+def pq_train(ds, m: int = 4, k: int = 64, vec_column: str = "embedding",
+             dim: int | None = None, sample_size: int = 65536,
+             iters: int = 10, seed: int = 13) -> np.ndarray:
+    """PQ codebooks (Jégou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search"): split dims into m contiguous subspaces, k-means each
+    (Euclidean Lloyd) on a deterministic bounded sample — the FAISS-standard
+    train path (PQ training is sample-based by design; the full corpus is
+    only ever ASSIGNED, never pulled). Returns float32 (m, k, dim/m).
+    Empty clusters keep their previous centroid (deterministic)."""
+    sample = ds.limit(sample_size).take_all()
+    if not sample:
+        raise ValueError("pq_train: empty dataset")
+    X = np.asarray([r[vec_column] for r in sample], dtype=np.float64)
+    d = X.shape[1] if dim is None else dim
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        init = rng.choice(len(S), size=min(k, len(S)), replace=False)
+        C = S[init].copy()
+        if len(C) < k:
+            C = np.vstack([C, S[rng.integers(0, len(S), k - len(C))]
+                           + rng.normal(scale=1e-6, size=(k - len(C), dsub))])
+        for _ in range(iters):
+            d2 = (
+                (C * C).sum(axis=1)[None, :]
+                - 2.0 * (S @ C.T)
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books.astype(np.float32)
+
+
+class PQAssignStage:
+    """Assign PQ codes with broadcast codebooks: each vector maps to m
+    uint8 sub-codes (nearest codebook entry per subspace, Euclidean).
+    Vectorized: one einsum over (n, m, dsub) x (m, k, dsub) per batch.
+    O(m·k·dsub) closure state, zero exchange — the corpus-wide assignment
+    streams at any scale (codes are a 4·d/m-fold memory cut)."""
+
+    def __init__(self, codebooks: np.ndarray, vec_column: str = "embedding",
+                 id_column: str = "vec_id"):
+        self.cb = np.asarray(codebooks, np.float64)
+        self.cb_sq = (self.cb * self.cb).sum(axis=2)  # (m, k)
+        self.vec_column = vec_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mb, kb, dsub = self.cb.shape
+        arr = batch[self.vec_column].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        X = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        if n == 0:
+            return pa.table(
+                {self.id_column: batch[self.id_column],
+                 "codes": pa.array([], pa.list_(pa.uint8()))}
+            )
+        d = X.size // n
+        if d != mb * dsub:
+            raise ValueError(f"PQAssign: vector dim {d} != m*dsub {mb * dsub}")
+        Xs = X.reshape(n, mb, dsub)
+        sims = np.einsum("nmd,mkd->nmk", Xs, self.cb)
+        codes = np.argmin(self.cb_sq[None, :, :] - 2.0 * sims, axis=2)
+        packed = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * mb, mb, dtype=np.int32)),
+            pa.array(codes.ravel().astype(np.uint8), pa.uint8()),
+        )
+        return pa.table(
+            {self.id_column: batch[self.id_column], "codes": packed}
+        )
+
+
+def pq_reconstruct(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """Decode (n, m) uint8 codes back to (n, d) float vectors — the ADC
+    lookup used by tests and PQ-based scorers."""
+    cb = np.asarray(codebooks, np.float64)
+    m = cb.shape[0]
+    return np.concatenate(
+        [cb[j][codes[:, j]] for j in range(m)], axis=1
+    )

@@ -88,3 +88,97 @@ def test_sq8_preserves_ann_neighbors():
         [len(set(e) & set(a)) / 10 for e, a in zip(exact, approx)]
     )
     assert overlap >= 0.9, overlap
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_assign_deterministic_and_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.similarity import (
+        PQAssignStage,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(6)
+    m = rng.normal(size=(400, 8)).astype(np.float32)
+    t = pa.table(
+        {"vec_id": list(range(400)), "embedding": [r.tolist() for r in m]}
+    )
+
+    def run(n_parts):
+        ds = rd.from_arrow(t).repartition(n_parts)
+        books = pq_train(rd.from_arrow(t), m=2, k=8)  # train on stable order
+        out = (
+            ds.map_batches(PQAssignStage(books), batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        return out
+
+    a, b = run(3), run(9)
+    assert a.equals(b)
+    codes = np.array(a["codes"].tolist())
+    assert codes.shape == (400, 2) and codes.min() >= 0 and codes.max() < 8
+
+
+def test_pq_adc_recall_on_clustered_data():
+    from fdpg_query_data_validation_ray.stages.similarity import (
+        PQAssignStage,
+        pq_reconstruct,
+    )
+
+    rng = np.random.default_rng(2)
+    centers = rng.normal(size=(16, 16))
+    m = (centers[rng.integers(0, 16, 2000)]
+         + 0.1 * rng.normal(size=(2000, 16))).astype(np.float32)
+    # train codebooks directly (same Lloyd as pq_train, no Ray needed)
+    books = np.empty((4, 32, 4))
+    for j in range(4):
+        S = m[:, j * 4:(j + 1) * 4].astype(np.float64)
+        C = S[rng.choice(len(S), 32, replace=False)].copy()
+        for _ in range(10):
+            d2 = (C * C).sum(1)[None] - 2 * (S @ C.T)
+            a = np.argmin(d2, 1)
+            for c in range(32):
+                mem = S[a == c]
+                if len(mem):
+                    C[c] = mem.mean(0)
+        books[j] = C
+    st = PQAssignStage(books)
+    out = st(pa.table(
+        {"vec_id": list(range(2000)), "embedding": [r.tolist() for r in m]}
+    ))
+    codes = np.array(out["codes"].to_pylist())
+    recon = pq_reconstruct(books, codes)
+
+    def topk(mat, q, k=10):
+        a_ = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        return np.argsort(-(qn @ a_.T), axis=1)[:, :k]
+
+    # the standard PQ metric: recall@100 of the true top-10 — PQ codes
+    # collapse near-identical points, so exact top-10 ordering inside a
+    # tight cluster is not recoverable (nor needed); what matters is that
+    # the true neighbors land in the re-rank candidate set.
+    exact = topk(m.astype(np.float64), m[:40].astype(np.float64), k=10)
+    approx = topk(recon, m[:40].astype(np.float64), k=100)
+    recall = np.mean(
+        [len(set(e) & set(a_)) / 10 for e, a_ in zip(exact, approx)]
+    )
+    assert recall >= 0.9, recall
+
+
+def test_pq_train_validates_dim():
+    import pytest
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.similarity import pq_train
+
+    t = pa.table({"vec_id": [1], "embedding": [[1.0, 2.0, 3.0]]})
+    with pytest.raises(ValueError):
+        pq_train(rd.from_arrow(t), m=2, k=4)
