@@ -141,6 +141,8 @@ HEADLINE = [
     # round 5: SQ8 scalar quantization + PQ codes of embeddings
     "quantize_embeddings",
     "pq_codes_embeddings",
+    # round 5: ADC-pruned exact-re-ranked PQ knn
+    "knn_cosine_pq",
 ]
 
 

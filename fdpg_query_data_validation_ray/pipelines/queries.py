@@ -837,6 +837,32 @@ def q_knn_cosine_ivf(sf_dir: str):
     )
 
 
+def q_knn_cosine_pq(sf_dir: str):
+    """PQ-accelerated ANN (stages/similarity.py knn_cosine_pq): one
+    streaming assign pass appends uint8 codes, ADC lookup tables prune each
+    batch to a 128-candidate shortlist per query, exact cosine re-ranks
+    ONLY the shortlist — the FAISS ADC search pattern. Rows-only check
+    (sample-trained k-means codebooks aren't SQL-expressible); the recall
+    bar vs exact knn is pinned in tests."""
+    import pyarrow.parquet as pq
+
+    from fdpg_query_data_validation_ray.stages.similarity import knn_cosine_pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mask = pc.is_in(emb["vec_id"], value_set=pa.array(KNN_QUERY_IDS, pa.int64()))
+    qt = emb.filter(mask)
+    qt = qt.take(pc.sort_indices(qt["vec_id"]))
+    qm = np.array(qt["embedding"].to_pylist(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_cosine_pq(ds, (qt["vec_id"].to_pylist(), qm), k=5)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rank"]).cast(
+            pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64()), ("rank", pa.int64())])
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_drift_docs(sf_dir: str):
     """Distribution drift: PSI on the lang histogram + KS (via KLL sketches)
     on n_chars, comparing odd vs even doc_ids (reference snapshot = even).
@@ -2469,6 +2495,7 @@ QUERIES = {
     "heavy_terms_docs": q_heavy_terms_docs,
     "quantize_embeddings": q_quantize_embeddings,
     "pq_codes_embeddings": q_pq_codes_embeddings,
+    "knn_cosine_pq": q_knn_cosine_pq,
     "shuffle_docs": q_shuffle_docs,
     "embedding_centroids": q_embedding_centroids,
     "docs_ranked_by_len": q_docs_ranked_by_len,

@@ -1201,11 +1201,14 @@ class PQAssignStage:
     streams at any scale (codes are a 4·d/m-fold memory cut)."""
 
     def __init__(self, codebooks: np.ndarray, vec_column: str = "embedding",
-                 id_column: str = "vec_id"):
+                 id_column: str = "vec_id", append_to_batch: bool = False):
         self.cb = np.asarray(codebooks, np.float64)
         self.cb_sq = (self.cb * self.cb).sum(axis=2)  # (m, k)
         self.vec_column = vec_column
         self.id_column = id_column
+        # append: keep the batch's other columns (e.g. the float vectors a
+        # downstream exact re-ranker needs) instead of emitting codes only
+        self.append_to_batch = append_to_batch
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mb, kb, dsub = self.cb.shape
@@ -1215,9 +1218,11 @@ class PQAssignStage:
         n = len(arr)
         X = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
         if n == 0:
+            packed = pa.array([], pa.list_(pa.uint8()))
+            if self.append_to_batch:
+                return batch.append_column("codes", packed)
             return pa.table(
-                {self.id_column: batch[self.id_column],
-                 "codes": pa.array([], pa.list_(pa.uint8()))}
+                {self.id_column: batch[self.id_column], "codes": packed}
             )
         d = X.size // n
         if d != mb * dsub:
@@ -1229,6 +1234,8 @@ class PQAssignStage:
             pa.array(np.arange(0, (n + 1) * mb, mb, dtype=np.int32)),
             pa.array(codes.ravel().astype(np.uint8), pa.uint8()),
         )
+        if self.append_to_batch:
+            return batch.append_column("codes", packed)
         return pa.table(
             {self.id_column: batch[self.id_column], "codes": packed}
         )
@@ -1242,3 +1249,120 @@ def pq_reconstruct(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
     return np.concatenate(
         [cb[j][codes[:, j]] for j in range(m)], axis=1
     )
+
+
+class PQTopK:
+    """ADC-pruned, exact-re-ranked per-batch top-k — the production PQ
+    search pattern: asymmetric-distance scores from an O(Q·m·k) lookup
+    table prune each batch to `shortlist` candidates per query (m gathers
+    per row instead of d multiplies), then ONLY the shortlist gets exact
+    cosine before the batch emits k+1 rows per query. Cosine over codes
+    uses the subspace decomposition ||recon(x)||² = Σ_j ||cb_j[code_j]||²
+    (subspaces concatenate orthogonally), so no reconstruction happens in
+    the prune."""
+
+    def __init__(self, queries_ref, codebooks: np.ndarray, k: int,
+                 shortlist: int = 128, vec_column: str = "embedding",
+                 id_column: str = "vec_id"):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.query_ids, qm = q
+        self.qm = _normalize(np.asarray(qm, dtype=np.float32)).astype(np.float64)
+        cb = np.asarray(codebooks, np.float64)
+        mb, kb, dsub = cb.shape
+        # LUT[q, j, c] = q_sub[j] · cb[j][c];  norms2[j, c] = ||cb[j][c]||²
+        self.lut = np.einsum(
+            "qjd,jcd->qjc", self.qm.reshape(len(self.qm), mb, dsub), cb
+        )
+        self.norms2 = (cb * cb).sum(axis=2)
+        self.m = mb
+        self.k = k
+        self.shortlist = shortlist
+        self.vec_column = vec_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_column).to_pylist())
+        n = len(ids)
+        out = {"query_id": [], "vec_id": [], "similarity": []}
+        if n == 0:
+            return pa.table(
+                {k: pa.array(v, pa.int64() if k != "similarity" else pa.float64())
+                 for k, v in out.items()}
+            )
+        codes_arr = batch["codes"].combine_chunks()
+        if isinstance(codes_arr, pa.ChunkedArray):
+            codes_arr = codes_arr.combine_chunks()
+        codes = (
+            codes_arr.values.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .reshape(n, self.m)
+        )
+        # ADC prune: scores (Q, n) by m gathers; norm² by m gathers
+        s = np.zeros((len(self.qm), n))
+        n2 = np.zeros(n)
+        for j in range(self.m):
+            s += self.lut[:, j, :][:, codes[:, j]]
+            n2 += self.norms2[j, codes[:, j]]
+        adc = s / np.sqrt(np.maximum(n2, 1e-30))[None, :]
+        cand_n = min(self.shortlist, n)
+        exact_m = _normalize(batch_matrix(batch.column(self.vec_column)))
+        k_emit = min(self.k + 1, n)
+        for qi, qid in enumerate(self.query_ids):
+            if cand_n < n:
+                cand = np.argpartition(-adc[qi], cand_n - 1)[:cand_n]
+            else:
+                cand = np.arange(n)
+            exact = exact_m[cand].astype(np.float64) @ self.qm[qi]
+            top = (
+                np.argpartition(-exact, k_emit - 1)[:k_emit]
+                if len(exact) > k_emit
+                else np.arange(len(exact))
+            )
+            for t in top:
+                out["query_id"].append(qid)
+                out["vec_id"].append(ids[cand[t]])
+                out["similarity"].append(float(exact[t]))
+        return pa.table(out)
+
+
+def knn_cosine_pq(
+    ds,
+    queries: tuple[list, np.ndarray],
+    k: int,
+    m: int = 4,
+    n_codes: int = 64,
+    shortlist: int = 128,
+    vec_column: str = "embedding",
+    id_column: str = "vec_id",
+    exclude_self: bool = True,
+    codebooks: np.ndarray | None = None,
+):
+    """PQ-accelerated top-k cosine: sample-trained codebooks (reusable via
+    `codebooks=`), one streaming assign pass (codes appended beside the
+    vectors), ADC prune + exact re-rank per batch, then the same
+    deterministic (−similarity, vec_id) global merge as `knn_cosine`.
+    Same output schema as knn_cosine/knn_cosine_ivf."""
+    books = codebooks if codebooks is not None else pq_train(
+        ds, m=m, k=n_codes, vec_column=vec_column
+    )
+    partials = ds.map_batches(
+        PQAssignStage(books, vec_column, id_column, append_to_batch=True),
+        batch_format="pyarrow",
+    ).map_batches(
+        PQTopK(queries, books, k, shortlist, vec_column, id_column),
+        batch_format="pyarrow",
+    )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        qid = group["query_id"].iloc[0]
+        g = group
+        if exclude_self:
+            g = g[g["vec_id"] != qid]
+        g = g.sort_values(
+            ["similarity", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return g.assign(rank=np.arange(1, len(g) + 1))
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")

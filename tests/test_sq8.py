@@ -182,3 +182,24 @@ def test_pq_train_validates_dim():
     t = pa.table({"vec_id": [1], "embedding": [[1.0, 2.0, 3.0]]})
     with pytest.raises(ValueError):
         pq_train(rd.from_arrow(t), m=2, k=4)
+
+
+def test_knn_cosine_pq_recall_vs_exact(ray_session):
+    """ADC-prune + exact-re-rank knn recovers >= 0.9 of the exact top-5 on
+    the sf0.001 embeddings (same bar family as knn_cosine_ivf)."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.pipelines.queries import (
+        q_knn_cosine,
+        q_knn_cosine_pq,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_knn_cosine(sf).to_pandas()
+    approx = q_knn_cosine_pq(sf).to_pandas()
+    e = exact.groupby("query_id")["vec_id"].apply(set)
+    a = approx.groupby("query_id")["vec_id"].apply(set)
+    recall = np.mean([len(e[q] & a[q]) / len(e[q]) for q in e.index])
+    assert recall >= 0.9, recall
+    # schema parity with the other knn variants
+    assert list(approx.columns) == ["query_id", "vec_id", "rank"]
