@@ -1254,6 +1254,22 @@ def oracle_sql() -> dict[str, str]:
                    END AS BIGINT) AS code
             FROM e JOIN mm USING (dim)
         """,
+        # feature hashing: dim = md5-low60 % 64, sign from bit 6 (disjoint
+        # from the dim bits), signed occurrence counts per (doc, dim)
+        "hash_vectorize_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS t
+              FROM documents),
+            words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+            h AS (SELECT doc_id,
+                         md5_number_lower(w) & ((1::UBIGINT << 60) - 1) AS hv
+                  FROM words)
+            SELECT doc_id, CAST(hv % 64 AS BIGINT) AS dim,
+                   CAST(SUM(CASE WHEN (hv >> 6) & 1 = 0 THEN 1 ELSE -1 END)
+                        AS BIGINT) AS val
+            FROM h GROUP BY doc_id, dim
+        """,
     }
     # CCNet head/middle/tail: per-lang NTILE(3) tertiles over the SAME
     # quantized-NLL scoring query as lm_score_docs (composed verbatim so

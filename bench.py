@@ -143,6 +143,8 @@ HEADLINE = [
     "pq_codes_embeddings",
     # round 5: ADC-pruned exact-re-ranked PQ knn
     "knn_cosine_pq",
+    # round 5: feature-hashing vectorizer (64-dim signed token counts)
+    "hash_vectorize_docs",
 ]
 
 

@@ -1868,6 +1868,21 @@ def q_heavy_terms_docs(sf_dir: str, k: int = 4096, denom: int = 1000):
     )
 
 
+def q_hash_vectorize_docs(sf_dir: str):
+    """Feature-hashing vectorizer (stages/text.py HashVectorizeStage):
+    every doc becomes signed token counts over 64 hashed dims — the
+    fixed-dimension featurizer fast quality classifiers consume. Stateless
+    row-count-changing map_batches, zero exchange; md5 token hashing is
+    DuckDB-replayable so every (doc_id, dim, val) row is hash-exact."""
+    from fdpg_query_data_validation_ray.stages.text import HashVectorizeStage
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        HashVectorizeStage("text", "doc_id", n_dims=64),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+
+
 def q_chunk_docs(sf_dir: str):
     """Sliding-window training-chunk splitting (stages/text.py ChunkStage):
     every doc becomes ceil(n_tokens/16) chunks of up to 32 whitespace
@@ -2496,6 +2511,7 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "pq_codes_embeddings": q_pq_codes_embeddings,
     "knn_cosine_pq": q_knn_cosine_pq,
+    "hash_vectorize_docs": q_hash_vectorize_docs,
     "shuffle_docs": q_shuffle_docs,
     "embedding_centroids": q_embedding_centroids,
     "docs_ranked_by_len": q_docs_ranked_by_len,

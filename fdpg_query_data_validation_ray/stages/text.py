@@ -1654,3 +1654,67 @@ class ChunkStage:
             },
             schema=out_schema,
         )
+
+
+class HashVectorizeStage:
+    """Feature hashing (Weinberger et al. 2009, "Feature Hashing for Large
+    Scale Multitask Learning") — the fixed-dimension featurizer fast
+    text-quality classifiers train on: every token hashes to
+    dim = h % n_dims with sign ±1 from an independent hash bit, and a
+    document's vector is the signed occurrence count per dim. Emitted
+    EXPLODED as (id, dim, val) rows over occupied dims (val may be 0 by ±1
+    cancellation — occupancy, not value, decides emission) so the DuckDB
+    oracle can replay it exactly: the token hash is md5_low60 ==
+    md5_number_lower(w) & ((1<<60)-1), dim = h % n_dims, sign from bit 6
+    (disjoint from the dim bits while n_dims ≤ 64).
+
+    Vectorized: one tokenize pass; md5 only over the batch's UNIQUE tokens
+    (inverse-mapped back — web-text batches repeat tokens heavily); one
+    lexsort + reduceat for the per-(doc, dim) sums. Stateless,
+    row-count-changing, zero exchange."""
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id",
+                 n_dims: int = 64):
+        if not (1 <= n_dims <= 64):
+            raise ValueError("n_dims must be in [1, 64] (sign uses bit 6)")
+        self.text_column = text_column
+        self.id_column = id_column
+        self.n_dims = n_dims
+        self.token_re = re.compile(r"\S+")
+
+    def __call__(self, batch) -> pa.Table:
+        t = batch if isinstance(batch, pa.Table) else pa.Table.from_pandas(batch)
+        id_type = t.schema.field(self.id_column).type
+        schema = pa.schema(
+            [pa.field(self.id_column, id_type),
+             pa.field("dim", pa.int64()),
+             pa.field("val", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        s = _col_series(t, self.text_column).fillna("").str.lower()
+        flat, counts, _starts = _tokenize_batch(s, self.token_re)
+        if len(flat) == 0:
+            return schema.empty_table()
+        uniq, inv = np.unique(flat, return_inverse=True)
+        h = md5_low60(list(uniq))[inv]
+        dim = (h % np.uint64(self.n_dims)).astype(np.int64)
+        sign = np.where((h >> np.uint64(6)) & np.uint64(1) == 0, 1, -1).astype(
+            np.int64
+        )
+        ids = t[self.id_column].to_numpy(zero_copy_only=False)
+        doc_el = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        order = np.lexsort((dim, doc_el))
+        d_s, m_s, v_s = doc_el[order], dim[order], sign[order]
+        first = np.empty(len(d_s), dtype=bool)
+        first[0] = True
+        first[1:] = (d_s[1:] != d_s[:-1]) | (m_s[1:] != m_s[:-1])
+        bounds = np.flatnonzero(first)
+        return pa.table(
+            {
+                self.id_column: pa.array(ids[d_s[bounds]], id_type),
+                "dim": pa.array(m_s[bounds], pa.int64()),
+                "val": pa.array(np.add.reduceat(v_s, bounds), pa.int64()),
+            },
+            schema=schema,
+        )

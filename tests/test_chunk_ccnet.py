@@ -119,3 +119,41 @@ def test_ntile_formula_matches_definition():
         want = np.repeat([1, 2, 3], sizes)
         got = _ntile_bucket(n, r)
         assert np.array_equal(got, want), n
+
+
+def test_hash_vectorize_stage_semantics():
+    """Feature hashing: signed counts per occupied (doc, dim); batch-split
+    invariance; empty/null docs emit nothing; oracle bit-parity is covered
+    by the gate (hash_vectorize_docs)."""
+    from fdpg_query_data_validation_ray.stages.text import (
+        HashVectorizeStage,
+        md5_low60,
+    )
+
+    st = HashVectorizeStage(n_dims=16)
+    t = pa.table(
+        {"doc_id": [1, 2, 3], "text": ["x y x", None, ""]}
+    )
+    out = st(t).to_pandas()
+    assert set(out.doc_id) == {1}
+    hx, hy = md5_low60(["x"]), md5_low60(["y"])
+    sx = 1 if (int(hx[0]) >> 6) & 1 == 0 else -1
+    row_x = out[out.dim == int(hx[0]) % 16]
+    if int(hx[0]) % 16 == int(hy[0]) % 16:
+        assert len(out) == 1
+    else:
+        assert int(row_x.val.iloc[0]) == 2 * sx
+        assert len(out) == 2
+    # batch-split invariance
+    big = pa.table(
+        {"doc_id": list(range(30)),
+         "text": [f"w{i % 5} w{i % 3} shared" for i in range(30)]}
+    )
+    whole = st(big)
+    parts = pa.concat_tables([st(big.slice(0, 11)), st(big.slice(11, 8)),
+                              st(big.slice(19))])
+    assert whole.equals(parts)
+    import pytest
+
+    with pytest.raises(ValueError):
+        HashVectorizeStage(n_dims=128)
