@@ -1270,6 +1270,31 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS val
             FROM h GROUP BY doc_id, dim
         """,
+        # linear classifier inference over the same hashed features:
+        # w[d] = md5('w|'||d) % 2000001 - 1000000; score = Σ sign·w[dim]
+        "classifier_score_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS t
+              FROM documents),
+            words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+            h AS (SELECT doc_id,
+                         md5_number_lower(w) & ((1::UBIGINT << 60) - 1) AS hv
+                  FROM words),
+            c AS (
+              SELECT doc_id,
+                (CASE WHEN (hv >> 6) & 1 = 0 THEN 1 ELSE -1 END)
+                * (CAST((md5_number_lower('w|' ||
+                         CAST(CAST(hv % 64 AS BIGINT) AS VARCHAR))
+                         & ((1::UBIGINT << 60) - 1)) % 2000001 AS BIGINT)
+                   - 1000000) AS contrib
+              FROM h),
+            agg AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_i
+                    FROM c GROUP BY doc_id),
+            nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+            SELECT nt.doc_id, nt.n_tokens, coalesce(agg.score_i, 0) AS score_i
+            FROM nt LEFT JOIN agg USING (doc_id)
+        """,
     }
     # CCNet head/middle/tail: per-lang NTILE(3) tertiles over the SAME
     # quantized-NLL scoring query as lm_score_docs (composed verbatim so

@@ -144,7 +144,9 @@ HEADLINE = [
     # round 5: ADC-pruned exact-re-ranked PQ knn
     "knn_cosine_pq",
     # round 5: feature-hashing vectorizer (64-dim signed token counts)
+    # + linear classifier inference over the same features
     "hash_vectorize_docs",
+    "classifier_score_docs",
 ]
 
 

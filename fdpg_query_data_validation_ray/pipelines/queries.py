@@ -1883,6 +1883,22 @@ def q_hash_vectorize_docs(sf_dir: str):
     )
 
 
+def q_classifier_score_docs(sf_dir: str):
+    """Linear quality-classifier inference (stages/text.py
+    LinearScoreStage): every doc scored w·x over hashed token features —
+    the fasttext-style batched-model-inference pattern (weights built once
+    in the stage, exact integer dot products, zero exchange). The default
+    md5-derived weights make inference end-to-end DuckDB-replayable;
+    trained weights use identical plumbing."""
+    from fdpg_query_data_validation_ray.stages.text import LinearScoreStage
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        LinearScoreStage(n_dims=64),
+        batch_format="pyarrow",
+        batch_size=2048,
+    ).select_columns(["doc_id", "n_tokens", "score_i"])
+
+
 def q_chunk_docs(sf_dir: str):
     """Sliding-window training-chunk splitting (stages/text.py ChunkStage):
     every doc becomes ceil(n_tokens/16) chunks of up to 32 whitespace
@@ -2512,6 +2528,7 @@ QUERIES = {
     "pq_codes_embeddings": q_pq_codes_embeddings,
     "knn_cosine_pq": q_knn_cosine_pq,
     "hash_vectorize_docs": q_hash_vectorize_docs,
+    "classifier_score_docs": q_classifier_score_docs,
     "shuffle_docs": q_shuffle_docs,
     "embedding_centroids": q_embedding_centroids,
     "docs_ranked_by_len": q_docs_ranked_by_len,

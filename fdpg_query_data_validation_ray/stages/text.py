@@ -1718,3 +1718,64 @@ class HashVectorizeStage:
             },
             schema=schema,
         )
+
+
+class LinearScoreStage:
+    """Batched linear-classifier inference over hashed token features — the
+    fasttext-style quality-classifier scoring pass every curated corpus
+    runs (reference analog: the per-record validator calls in
+    /root/reference/data_quality_check/app/validation_runner.py, scoring
+    re-expressed as a vectorized batch transform). score = Σ_tokens
+    sign(tok) · w[dim(tok)] over the SAME feature hashing as
+    HashVectorizeStage (md5-low60, dim = h % n_dims, sign from bit 6).
+
+    The weight vector lives in the stage once (built in __init__, never per
+    batch). Default weights are a DETERMINISTIC md5-derived stand-in —
+    w[d] = (md5_number_lower('w|' || d) % 2000001) − 1000000, integers in
+    [−1e6, 1e6] — so scores are exact integers and the DuckDB oracle can
+    replay inference end-to-end; pass trained integer weights for a real
+    model (the plumbing is identical)."""
+
+    def __init__(self, n_dims: int = 64, weights: np.ndarray | None = None,
+                 text_column: str = "text", id_column: str = "doc_id"):
+        if not (1 <= n_dims <= 64):
+            raise ValueError("n_dims must be in [1, 64]")
+        self.n_dims = n_dims
+        if weights is None:
+            wh = md5_low60([f"w|{d}" for d in range(n_dims)])
+            weights = (wh % np.uint64(2_000_001)).astype(np.int64) - 1_000_000
+        self.w = np.asarray(weights, np.int64)
+        if len(self.w) != n_dims:
+            raise ValueError("weights length must equal n_dims")
+        self.text_column = text_column
+        self.id_column = id_column
+        self.token_re = re.compile(r"\S+")
+
+    def __call__(self, batch) -> pa.Table:
+        n = _nrows(batch)
+        if n == 0:
+            return _emit(
+                batch,
+                {"n_tokens": (pd.Series([], dtype=np.int64), pa.int64()),
+                 "score_i": (pd.Series([], dtype=np.int64), pa.int64())},
+            )
+        s = _col_series(batch, self.text_column).fillna("").str.lower()
+        flat, counts, starts = _tokenize_batch(s, self.token_re)
+        scores = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            uniq, inv = np.unique(flat, return_inverse=True)
+            h = md5_low60(list(uniq))[inv]
+            dim = (h % np.uint64(self.n_dims)).astype(np.int64)
+            sign = np.where(
+                (h >> np.uint64(6)) & np.uint64(1) == 0, 1, -1
+            ).astype(np.int64)
+            contrib = sign * self.w[dim]
+            nonempty = counts > 0
+            scores[nonempty] = np.add.reduceat(contrib, starts[nonempty])
+        return _emit(
+            batch,
+            {
+                "n_tokens": (counts.astype(np.int64), pa.int64()),
+                "score_i": (scores, pa.int64()),
+            },
+        )

@@ -157,3 +157,33 @@ def test_hash_vectorize_stage_semantics():
 
     with pytest.raises(ValueError):
         HashVectorizeStage(n_dims=128)
+
+
+def test_linear_score_stage_matches_bruteforce():
+    from fdpg_query_data_validation_ray.stages.text import (
+        LinearScoreStage,
+        md5_low60,
+    )
+
+    st = LinearScoreStage(n_dims=16)
+    docs = ["alpha beta alpha", "", None, "gamma"]
+    out = st(pa.table({"doc_id": [1, 2, 3, 4], "text": docs})).to_pandas()
+
+    def slow(text):
+        if not text:
+            return 0
+        total = 0
+        for tok in text.lower().split():
+            h = int(md5_low60([tok])[0])
+            sign = 1 if (h >> 6) & 1 == 0 else -1
+            total += sign * int(st.w[h % 16])
+        return total
+
+    assert list(out.score_i) == [slow(d) for d in docs]
+    assert list(out.n_tokens) == [3, 0, 0, 1]
+    # custom trained weights use identical plumbing
+    custom = LinearScoreStage(n_dims=16, weights=np.arange(16))
+    o2 = custom(pa.table({"doc_id": [1], "text": ["alpha"]})).to_pandas()
+    h = int(md5_low60(["alpha"])[0])
+    sgn = 1 if (h >> 6) & 1 == 0 else -1
+    assert int(o2.score_i.iloc[0]) == sgn * (h % 16)
