@@ -1591,7 +1591,7 @@ class ChunkStage:
     stride < window; disjoint blocks when stride == window). Zero-token
     docs emit no chunks. Embarrassingly parallel (no exchange, no state):
     reference-analog of the per-record transform loop
-    (/root/reference/data_quality_check/app/validation_runner.py:23-44),
+    (/root/reference/extraction/main.py:45-60 simple_test),
     re-expressed as a row-count-changing map_batches.
 
     Vectorization: one pandas C-regex tokenize pass, chunk index frames by
@@ -1724,7 +1724,7 @@ class LinearScoreStage:
     """Batched linear-classifier inference over hashed token features — the
     fasttext-style quality-classifier scoring pass every curated corpus
     runs (reference analog: the per-record validator calls in
-    /root/reference/data_quality_check/app/validation_runner.py, scoring
+    /root/reference/extraction/main.py:249-270, scoring
     re-expressed as a vectorized batch transform). score = Σ_tokens
     sign(tok) · w[dim(tok)] over the SAME feature hashing as
     HashVectorizeStage (md5-low60, dim = h % n_dims, sign from bit 6).
