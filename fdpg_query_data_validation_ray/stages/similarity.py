@@ -917,9 +917,9 @@ def semdedup(
     centroid similarity, so they stay inside the band; pass
     pairwise_cap=None to force the exact O(c²) path.
 
-    Reference analog: dedup semantics family of
-    /root/reference/data_quality_check/... (the reference has no embedding
-    ops; this is the LLM-pipeline extension the build mandates)."""
+    Reference analog: the IssueSet dedup-semantics family
+    (/root/reference/extraction/IssueSet.py) — the reference has no
+    embedding ops; this is the LLM-pipeline extension the build mandates."""
     import ray
     import ray.data as rd  # noqa: F401
 
