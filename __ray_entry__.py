@@ -1295,6 +1295,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT nt.doc_id, nt.n_tokens, coalesce(agg.score_i, 0) AS score_i
             FROM nt LEFT JOIN agg USING (doc_id)
         """,
+        # frequency-balanced subsampling: keep with p ∝ 1/sqrt(n_lang),
+        # saturating at 1 — conversion/sqrt/multiply are all IEEE-identical
+        # between numpy and DuckDB (no pow/exp)
+        "subsample_docs": """
+            WITH lc AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN lc USING (lang)
+            WHERE CAST(md5_number_lower('sub|' || CAST(d.doc_id AS VARCHAR))
+                       & ((1::UBIGINT << 60) - 1) AS DOUBLE)
+                  * sqrt(CAST(lc.n AS DOUBLE))
+                  < 16.0 * 1152921504606846976
+        """,
     }
     # CCNet head/middle/tail: per-lang NTILE(3) tertiles over the SAME
     # quantized-NLL scoring query as lm_score_docs (composed verbatim so

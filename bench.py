@@ -147,6 +147,8 @@ HEADLINE = [
     # + linear classifier inference over the same features
     "hash_vectorize_docs",
     "classifier_score_docs",
+    # round 5: frequency-balanced subsampling (keep p ∝ 1/sqrt(n_lang))
+    "subsample_docs",
 ]
 
 

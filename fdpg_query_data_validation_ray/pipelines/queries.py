@@ -1899,6 +1899,30 @@ def q_classifier_score_docs(sf_dir: str):
     ).select_columns(["doc_id", "n_tokens", "score_i"])
 
 
+def q_subsample_docs(sf_dir: str):
+    """Frequency-balanced subsampling (the mC4/PaLM high-resource
+    downweighting and word2vec frequency-subsampling family): each doc
+    survives with probability ∝ 1/sqrt(n_lang), so over-represented
+    languages shrink toward balance while rare ones keep everything
+    (probability saturates at 1). keep ⟺
+    float64(md5_low60('sub|'||id)) · sqrt(float64(n_lang)) < 2^64 —
+    deterministic under re-runs/partitioning, and IEEE-replayable in SQL
+    (int→double conversion, correctly-rounded sqrt, one multiply: every op
+    bit-identical between numpy and DuckDB; no pow/exp, whose libm
+    rounding differs). Per-lang counts come from a bounded groupby and
+    broadcast in the task closure — zero exchange on the corpus pass
+    (stages/split.py subsample_balanced)."""
+    from fdpg_query_data_validation_ray.stages.split import subsample_balanced
+
+    return subsample_balanced(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        id_column="doc_id",
+        group_column="lang",
+        strength=16.0,
+        salt="sub",
+    )
+
+
 def q_chunk_docs(sf_dir: str):
     """Sliding-window training-chunk splitting (stages/text.py ChunkStage):
     every doc becomes ceil(n_tokens/16) chunks of up to 32 whitespace
@@ -2529,6 +2553,7 @@ QUERIES = {
     "knn_cosine_pq": q_knn_cosine_pq,
     "hash_vectorize_docs": q_hash_vectorize_docs,
     "classifier_score_docs": q_classifier_score_docs,
+    "subsample_docs": q_subsample_docs,
     "shuffle_docs": q_shuffle_docs,
     "embedding_centroids": q_embedding_centroids,
     "docs_ranked_by_len": q_docs_ranked_by_len,

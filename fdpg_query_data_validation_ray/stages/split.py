@@ -181,3 +181,57 @@ def mixture_rules(
         )
 
     return ds.map_batches(tag_and_keep, batch_format="pyarrow")
+
+
+def subsample_balanced(
+    ds,
+    id_column: str,
+    group_column: str,
+    strength: float = 16.0,
+    salt: str = "sub",
+    group_counts: dict | None = None,
+):
+    """Frequency-balanced subsampling: keep each row of group g with
+    probability min(1, strength / sqrt(n_g)) — the mC4/PaLM high-resource
+    language downweighting and word2vec frequency-subsampling family.
+    Over-represented groups shrink toward balance (expected survivors
+    strength·sqrt(n_g)) while groups with n_g ≤ strength² keep every row.
+
+    keep ⟺ float64(md5_low60(salt|id)) · sqrt(float64(n_g)) < strength·2^60.
+    Every op in that predicate — int→double conversion, correctly-rounded
+    sqrt, one multiply, one compare — is IEEE-bit-identical between numpy
+    and DuckDB (no pow/exp, whose libm rounding differs), so the decision
+    replays exactly in SQL for the oracle gate; and it is a pure function of
+    (id, n_g): deterministic under re-runs and re-partitioning.
+
+    Scale: per-group counts come from ONE bounded groupby (cardinality =
+    number of groups — langs/domains/sources, not rows) and ride the task
+    closure as two tiny arrays; the corpus pass itself is a single
+    exchange-free map_batches filter. Pass `group_counts` to pin counts
+    computed elsewhere (e.g. a frozen manifest so the keep-set is stable
+    while the corpus grows); groups absent from it drop their rows.
+    """
+    if strength <= 0:
+        raise ValueError(f"strength must be > 0: {strength}")
+    if group_counts is None:
+        lc = ds.groupby(group_column).count().to_pandas()
+        group_counts = dict(zip(lc[group_column], lc["count()"]))
+    groups_sorted = np.array(sorted(group_counts), dtype=object)
+    sqrt_n = np.sqrt(
+        np.array([group_counts[g] for g in groups_sorted], dtype=np.float64)
+    )
+    threshold = strength * float(_SCALE)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        g = batch[group_column].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(groups_sorted, g)
+        known = (idx < len(groups_sorted)) & (
+            groups_sorted[np.minimum(idx, len(groups_sorted) - 1)] == g
+        )
+        h = _row_hashes(batch, id_column, salt).astype(np.float64)
+        m = known & (h * sqrt_n[np.minimum(idx, len(groups_sorted) - 1)] < threshold)
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -173,3 +173,50 @@ def test_mixture_docs_plan_scans_input_once(ray_session):
     out = E.queries()["mixture_docs"]("/root/testdata/sf0.001").materialize()
     stats = out.stats()
     assert stats.count("ReadParquet") == 1, stats
+
+
+def test_subsample_balanced_properties(ray_session):
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.split import subsample_balanced
+
+    # three groups: tiny (saturated), exactly strength^2 (boundary: the max
+    # hash 2^60-1 times sqrt(256)=16 is still < 16*2^60, so all kept), large
+    n_small, n_edge, n_big = 50, 256, 20_000
+    ids = np.arange(n_small + n_edge + n_big, dtype=np.int64)
+    langs = np.array(
+        ["sm"] * n_small + ["ed"] * n_edge + ["bg"] * n_big, dtype=object
+    )
+    t = pa.table({"doc_id": pa.array(ids), "lang": pa.array(langs)})
+    out_a = (
+        subsample_balanced(rd.from_arrow(t).repartition(3), "doc_id", "lang")
+        .to_pandas()
+    )
+    out_b = (
+        subsample_balanced(rd.from_arrow(t).repartition(17), "doc_id", "lang")
+        .to_pandas()
+    )
+    # deterministic and partition-invariant
+    assert sorted(out_a["doc_id"]) == sorted(out_b["doc_id"])
+    counts = out_a["lang"].value_counts()
+    # groups with n <= strength^2 keep every row
+    assert counts["sm"] == n_small
+    assert counts["ed"] == n_edge
+    # large group: keep-rate ≈ strength/sqrt(n) = 16/sqrt(20000) ≈ 0.113
+    assert abs(counts["bg"] / n_big - 16.0 / np.sqrt(n_big)) < 0.02
+    # pinned external counts: rows of groups absent from the manifest drop
+    pinned = subsample_balanced(
+        rd.from_arrow(t),
+        "doc_id",
+        "lang",
+        group_counts={"sm": n_small, "ed": n_edge},
+    ).to_pandas()
+    assert set(pinned["lang"]) == {"sm", "ed"}
+    assert len(pinned) == n_small + n_edge
+
+
+def test_subsample_balanced_rejects_bad_strength():
+    from fdpg_query_data_validation_ray.stages.split import subsample_balanced
+
+    with pytest.raises(ValueError):
+        subsample_balanced(None, "doc_id", "lang", strength=0.0)
