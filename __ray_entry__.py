@@ -958,6 +958,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE word <> ''
             GROUP BY word ORDER BY n_occurrences DESC, word LIMIT 50
         """,
+        # BPE merge statistic: adjacent char pairs of each distinct token,
+        # weighted by the token's corpus frequency; pair i = substring(tok,
+        # i, 2) for i in 1..len-1 (a length-1 token yields no pairs because
+        # generate_series(1, 0) is empty)
+        "bpe_pair_counts": """
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+                FROM documents WHERE text IS NOT NULL),
+            tf AS (
+                SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+                FROM toks WHERE tok <> '' GROUP BY tok),
+            pairs AS (
+                SELECT substring(tok,
+                                 CAST(unnest(generate_series(1, length(tok) - 1)) AS INTEGER),
+                                 2) AS pair,
+                       f
+                FROM tf)
+            SELECT pair, CAST(SUM(f) AS BIGINT) AS freq
+            FROM pairs GROUP BY pair
+            ORDER BY freq DESC, pair LIMIT 50
+        """,
         "token_count_docs": """
             SELECT doc_id,
                    CASE WHEN text IS NULL OR trim(text) = '' THEN 0

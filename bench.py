@@ -149,6 +149,8 @@ HEADLINE = [
     "classifier_score_docs",
     # round 5: frequency-balanced subsampling (keep p ∝ 1/sqrt(n_lang))
     "subsample_docs",
+    # round 5: BPE merge-candidate statistic (weighted adjacent-pair counts)
+    "bpe_pair_counts",
 ]
 
 

@@ -977,6 +977,16 @@ def q_top_words(sf_dir: str):
     return top_k(counts, 50, ["n_occurrences", "word"], descending=[True, False])
 
 
+def q_bpe_pair_counts(sf_dir: str):
+    """Top-50 BPE merge candidates: adjacent character-pair frequencies
+    over the token vocabulary, weighted by corpus token frequency
+    (stages/text.py bpe_pair_counts — unique-tokens-first per batch,
+    in-batch pair pre-aggregation, one small groupby, distributed top-k)."""
+    from fdpg_query_data_validation_ray.stages.text import bpe_pair_counts
+
+    return bpe_pair_counts(_read(sf_dir, "documents", ["text"]), top_n=50)
+
+
 def q_token_count_docs(sf_dir: str):
     from fdpg_query_data_validation_ray.stages.text import TokenCountStage
 
@@ -2525,6 +2535,7 @@ QUERIES = {
     "cosine_near_dup": q_cosine_near_dup,
     "cosine_dedup_keep": q_cosine_dedup_keep,
     "top_words": q_top_words,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "token_count_docs": q_token_count_docs,
     "normalize_docs": q_normalize_docs,
     "lang_id_docs": q_lang_id_docs,

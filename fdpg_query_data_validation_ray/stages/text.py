@@ -1779,3 +1779,73 @@ class LinearScoreStage:
                 "score_i": (scores, pa.int64()),
             },
         )
+
+
+# overlapping adjacent character pairs of a token; DOTALL so the pair
+# matcher accepts every character the SQL substring sees
+_BPE_PAIR_RE = re.compile(r"(?=(..))", re.DOTALL)
+
+
+def bpe_pair_counts(ds, text_column: str = "text", top_n: int = 50):
+    """BPE tokenizer training's inner statistic (Sennrich et al. 2016, §3.2:
+    the merge loop counts symbol-pair frequencies over the word-frequency
+    dictionary): frequency of each adjacent character pair across the
+    corpus, weighted by token frequency — the argmax pair is the next BPE
+    merge. One distributed pass yields the top-`top_n` merge candidates.
+
+    Scale shape: per batch, tokens collapse to their UNIQUE set first
+    (value_counts), so pair extraction runs once per distinct token per
+    batch — vocabulary-bounded, not token-bounded (the same unique-first
+    trick as hash_vectorize/heavy_terms). Pair partials pre-aggregate
+    inside the batch, so the exchange carries at most
+    (distinct pairs per batch) rows — alphabet², not corpus-sized — into
+    one small groupby, then the distributed top-k. No driver
+    materialization anywhere.
+
+    SQL-replayable: tokenization is the exact top_words split
+    (lower + RE2-\\s-equivalent class), pair extraction matches
+    substring(tok, i, 2) for i in 1..len-1, counts are integers.
+    """
+    import itertools
+
+    from ray.data.aggregate import Sum
+
+    from fdpg_query_data_validation_ray.stages.topk import top_k
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            df[text_column]
+            .dropna()
+            .str.lower()
+            .str.split(r"[ \t\n\f\r]+", regex=True)
+            .explode()
+        )
+        toks = toks[toks != ""]
+        empty = pd.DataFrame(
+            {
+                "pair": pd.Series([], dtype=object),
+                "freq": pd.Series([], dtype=np.int64),
+            }
+        )
+        if toks.empty:
+            return empty
+        vc = toks.value_counts()
+        uniq = pd.Series(vc.index, dtype=object)
+        plists = uniq.str.findall(_BPE_PAIR_RE)
+        cnt = plists.map(len).to_numpy(np.int64)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        w = np.repeat(vc.to_numpy(np.int64), cnt)
+        flat = np.empty(total, dtype=object)
+        flat[:] = list(itertools.chain.from_iterable(plists))
+        return (
+            pd.DataFrame({"pair": flat, "freq": w})
+            .groupby("pair", as_index=False)["freq"]
+            .sum()
+        )
+
+    counts = ds.map_batches(
+        partials, batch_format="pandas", batch_size=4096
+    ).groupby("pair").aggregate(Sum("freq", alias_name="freq"))
+    return top_k(counts, top_n, ["freq", "pair"], descending=[True, False])

@@ -145,3 +145,53 @@ def test_doc_frequency_distributed_batching_invariant():
     assert np.array_equal(
         d1, np.array([brute_df[w] for w in terms], np.int64)[order]
     )
+
+
+def test_bpe_pair_counts_hand_computed(ray_session):
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.text import bpe_pair_counts
+
+    # 'ab' appears twice, 'abc' once, 'x' once (no pairs), plus a null doc
+    t = pa.table({"text": pa.array(["ab ab", "abc x", None], pa.string())})
+    out = (
+        bpe_pair_counts(rd.from_arrow(t), top_n=10)
+        .to_pandas()
+        .set_index("pair")["freq"]
+        .to_dict()
+    )
+    # pair 'ab': 2 (from two 'ab' tokens) + 1 (inside 'abc'); 'bc': 1
+    assert out == {"ab": 3, "bc": 1}
+
+
+def test_bpe_pair_counts_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.text import bpe_pair_counts
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "ab", "x", "éü"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 12))) for _ in range(400)
+    ]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    a = (
+        bpe_pair_counts(rd.from_arrow(t).repartition(2), top_n=100)
+        .to_pandas().reset_index(drop=True)
+    )
+    b = (
+        bpe_pair_counts(rd.from_arrow(t).repartition(13), top_n=100)
+        .to_pandas().reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # brute-force reference: pair counts over the raw token stream
+    from collections import Counter
+
+    ref = Counter()
+    for txt in texts:
+        for tok in txt.lower().split():
+            for i in range(len(tok) - 1):
+                ref[tok[i : i + 2]] += 1
+    got = a.set_index("pair")["freq"].to_dict()
+    top = dict(sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:100])
+    assert got == top
