@@ -390,3 +390,83 @@ class MG:
         mg = MG(k)
         mg.keys, mg.counts, mg.n = keys, counts, n
         return mg
+
+
+class Bloom:
+    """Bloom filter (Bloom 1970) over uint64 key hashes, with
+    Kirsch–Mitzenmacher double hashing (probe_i = h1 + i·h2, h2 forced odd)
+    so k probes derive from one hash pass. `n_bits` must be a power of two
+    (probes mask, not mod). Mergeable by bitwise OR — partial blooms built
+    on different batches/nodes union exactly — and serializable, so it
+    follows the same partial→merge→broadcast lifecycle as HLL/KLL/MG.
+
+    Guarantee: NO false negatives (contains_hashes is True for every added
+    hash); false-positive rate ≈ (1 − e^{−k·n/m})^k for n items in m bits.
+    size_for() picks (m, k) for a target rate."""
+
+    def __init__(self, n_bits: int, k: int, words: np.ndarray | None = None):
+        if n_bits <= 0 or (n_bits & (n_bits - 1)) != 0 or n_bits % 64:
+            raise ValueError(f"n_bits must be a power of two >= 64: {n_bits}")
+        if not 1 <= k <= 16:
+            raise ValueError(f"k must be in [1, 16]: {k}")
+        self.n_bits = n_bits
+        self.k = k
+        self.words = (
+            words
+            if words is not None
+            else np.zeros(n_bits // 64, dtype=np.uint64)
+        )
+
+    def _probes(self, h: np.ndarray, i: int) -> np.ndarray:
+        from fdpg_query_data_validation_ray.functions.hashing import mix64
+
+        h = np.asarray(h, dtype=np.uint64)
+        h2 = mix64(h) | np.uint64(1)
+        return (h + np.uint64(i) * h2) & np.uint64(self.n_bits - 1)
+
+    def add_hashes(self, h: np.ndarray) -> "Bloom":
+        h = np.asarray(h, dtype=np.uint64)
+        for i in range(self.k):
+            idx = self._probes(h, i)
+            np.bitwise_or.at(
+                self.words, (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+        return self
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        h = np.asarray(h, dtype=np.uint64)
+        out = np.ones(len(h), dtype=bool)
+        for i in range(self.k):
+            idx = self._probes(h, i)
+            bit = (
+                self.words[(idx >> np.uint64(6)).astype(np.int64)]
+                >> (idx & np.uint64(63))
+            ) & np.uint64(1)
+            out &= bit.astype(bool)
+        return out
+
+    def merge(self, other: "Bloom") -> "Bloom":
+        if other.n_bits != self.n_bits or other.k != self.k:
+            raise ValueError("cannot merge blooms with different (n_bits, k)")
+        np.bitwise_or(self.words, other.words, out=self.words)
+        return self
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((self.n_bits, self.k, self.words.tobytes()))
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "Bloom":
+        n_bits, k, raw = pickle.loads(b)
+        return Bloom(n_bits, k, np.frombuffer(raw, dtype=np.uint64).copy())
+
+    @staticmethod
+    def size_for(n_items: int, fp_rate: float) -> tuple[int, int]:
+        """(n_bits rounded up to a power of two, k) for a target FP rate:
+        m = −n·ln p / ln²2, k = (m/n)·ln 2 — the standard optimum."""
+        if not 0.0 < fp_rate < 1.0 or n_items <= 0:
+            raise ValueError(f"need n_items > 0, 0 < fp_rate < 1")
+        m = -n_items * np.log(fp_rate) / (np.log(2.0) ** 2)
+        n_bits = 1 << max(6, int(np.ceil(np.log2(m))))
+        k = max(1, min(16, round(n_bits / n_items * np.log(2.0))))
+        return n_bits, int(k)

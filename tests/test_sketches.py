@@ -266,3 +266,56 @@ def test_heavy_terms_two_pass_exact_under_truncation(ray_session):
         q_heavy_terms_docs(d, k=30, denom=50)
     assert [tuple(r) for r in got.itertuples(index=False)] == want
     assert "hot1" in set(got.term) and "hot2" in set(got.term)
+
+
+# ---------------------------------------------------------------- Bloom
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    from fdpg_query_data_validation_ray.functions.sketches import Bloom
+
+    rng = np.random.default_rng(11)
+    added = hash64(rng.integers(0, 2**62, size=20000).astype("uint64"))
+    n_bits, k = Bloom.size_for(len(added), 0.01)
+    bl = Bloom(n_bits, k).add_hashes(added)
+    # the hard guarantee: every added hash reports present
+    assert bool(bl.contains_hashes(added).all())
+    # fp rate on disjoint probes stays near the target (generous 3x slack)
+    probes = hash64(rng.integers(0, 2**62, size=50000).astype("uint64"), seed=7)
+    fresh = probes[~np.isin(probes, added)]
+    fp = bl.contains_hashes(fresh).mean()
+    assert fp < 0.03, fp
+
+
+def test_bloom_merge_equals_single_pass_and_serde():
+    from fdpg_query_data_validation_ray.functions.sketches import Bloom
+
+    rng = np.random.default_rng(5)
+    h = hash64(rng.integers(0, 2**62, size=9000).astype("uint64"))
+    one = Bloom(1 << 17, 5).add_hashes(h)
+    # partials over uneven splits, OR-merged in a scrambled order
+    parts = [Bloom(1 << 17, 5).add_hashes(h[lo : lo + 1234]) for lo in range(0, len(h), 1234)]
+    merged = parts[3]
+    for p in parts[4:] + parts[:3]:
+        merged.merge(p)
+    assert np.array_equal(one.words, merged.words)
+    rt = Bloom.from_bytes(merged.to_bytes())
+    assert rt.n_bits == merged.n_bits and rt.k == merged.k
+    assert np.array_equal(rt.words, merged.words)
+
+
+def test_bloom_validation_and_size_for():
+    import pytest
+
+    from fdpg_query_data_validation_ray.functions.sketches import Bloom
+
+    with pytest.raises(ValueError):
+        Bloom(1000, 4)  # not a power of two
+    with pytest.raises(ValueError):
+        Bloom(1 << 10, 0)
+    with pytest.raises(ValueError):
+        Bloom(1 << 10, 4).merge(Bloom(1 << 11, 4))
+    with pytest.raises(ValueError):
+        Bloom.size_for(0, 0.01)
+    n_bits, k = Bloom.size_for(1000, 0.01)
+    assert n_bits >= 1000 * 9 and 1 <= k <= 16  # ~9.6 bits/item at 1%
