@@ -414,6 +414,21 @@ def oracle_sql() -> dict[str, str]:
         # total-sort leg (KLL boundaries + exact per-range counts). NaN and
         # null excluded on both sides; DuckDB orders NaN above all reals,
         # numpy sorts it last, so the filter keeps the orders identical.
+        # incremental ingestion: post-cutoff lineitems whose
+        # (l_partkey, l_suppkey) pair never shipped pre-cutoff. The Ray plan
+        # is the bloom-sieve anti-join (stages/incremental.py); NOT EXISTS is
+        # its exact relational statement. Cutoff pinned by
+        # pipelines/queries.py INCR_CUTOFF.
+        "incremental_new_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+            FROM lineitem l
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem s
+                WHERE s.l_shipdate < TIMESTAMP '1997-01-01'
+                  AND s.l_partkey = l.l_partkey
+                  AND s.l_suppkey = l.l_suppkey)
+        """,
         "events_ranked_by_value": """
             SELECT event_id,
                    CAST(ROW_NUMBER() OVER (ORDER BY value DESC, event_id)

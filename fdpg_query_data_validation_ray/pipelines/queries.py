@@ -2493,6 +2493,47 @@ def q_semdedup_embeddings(sf_dir: str):
     )
 
 
+INCR_CUTOFF = "1997-01-01"
+
+
+def q_incremental_new_lineitem(sf_dir: str):
+    """Incremental-ingestion primitive (stages/incremental.py): lineitems
+    shipped on/after the snapshot cutoff whose (l_partkey, l_suppkey) pair
+    never shipped BEFORE the cutoff — "process only records whose key is
+    new since the last crawl". Bloom-sieve plan: partial blooms over the
+    seen side fan-in off-driver and broadcast once; bloom MISSES stream
+    through as definitely-new; the maybe-seen sliver is resolved EXACTLY by
+    a value intersect against the seen side. Zero shuffles, 2 passes per
+    side, driver state budget-guarded with a distributed anti-join+native-
+    join fallback. Reference analog: the paged fetch restarts from offset 0
+    every run (data_quality_check/flare_cohort/download.py:24-58) — this is
+    the record-level resume that avoids that rescan."""
+    from fdpg_query_data_validation_ray.stages.incremental import filter_new_keys
+
+    cutoff = pa.scalar(np.datetime64(INCR_CUTOFF, "us"))
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_shipdate"]
+    # n_seen sized from the UNFILTERED parquet metadata count (upper bound —
+    # oversizing the bloom only lowers its fp rate); avoids an extra
+    # filtered pass just to size the filter
+    n_total = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+    base = _read(sf_dir, "lineitem", cols)
+    seen = base.map_batches(
+        lambda t: t.filter(pc.less(t["l_shipdate"], cutoff)).select(
+            ["l_partkey", "l_suppkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    incoming = base.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["l_shipdate"], cutoff)).select(
+            ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return filter_new_keys(
+        incoming, seen, ["l_partkey", "l_suppkey"], n_seen_hint=n_total
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -2575,6 +2616,7 @@ QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "embedding_gram": q_embedding_gram,
     "semdedup_embeddings": q_semdedup_embeddings,
+    "incremental_new_lineitem": q_incremental_new_lineitem,
     "corpus_validate": q_corpus_validate,
 }
 
