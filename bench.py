@@ -151,6 +151,8 @@ HEADLINE = [
     "subsample_docs",
     # round 5: BPE merge-candidate statistic (weighted adjacent-pair counts)
     "bpe_pair_counts",
+    # round 5: bloom-sieve incremental new-key filter (record-level resume)
+    "incremental_new_lineitem",
 ]
 
 

@@ -424,8 +424,26 @@ class Bloom:
         h2 = mix64(h) | np.uint64(1)
         return (h + np.uint64(i) * h2) & np.uint64(self.n_bits - 1)
 
+    # bool-scatter fast path bound: a transient n_bits-byte buffer per call.
+    # 2^31 bits → 256 MB; above that fall back to the in-place scatter-OR
+    # (unbuffered ufunc.at — ~20× slower per probe but O(words) memory).
+    _BOOL_PATH_MAX_BITS = 1 << 31
+
     def add_hashes(self, h: np.ndarray) -> "Bloom":
         h = np.asarray(h, dtype=np.uint64)
+        if self.n_bits <= self._BOOL_PATH_MAX_BITS:
+            # scatter constant True into a bool plane (buffered stores,
+            # duplicate indices harmless), then packbits → uint64 words.
+            # bitorder='little' + little-endian view keeps bit j of word w
+            # at plane index 64w+j, matching contains_hashes' idx&63 probe.
+            bits = np.zeros(self.n_bits, dtype=bool)
+            for i in range(self.k):
+                bits[self._probes(h, i).astype(np.int64)] = True
+            packed = np.packbits(bits, bitorder="little")
+            np.bitwise_or(
+                self.words, packed.view(np.uint64), out=self.words
+            )
+            return self
         for i in range(self.k):
             idx = self._probes(h, i)
             np.bitwise_or.at(

@@ -10,23 +10,31 @@ operator adds the record-level primitive a recurring 100-TB crawl needs:
 
 Physical plan — the classic Bloom-join reduction, adapted to Ray Data's
 broadcast-once / probe-per-batch idiom (same lifecycle as the FK dim sieve,
-stages/fk.py):
+stages/fk.py). All hot passes hash numerically (unique.key_hash: per-column
+hash64 + mix-combine, no key-string materialization); the collision-proof
+key STRINGS (key_encode_array) are built only for the small maybe-seen
+slivers, so exactness is preserved at sliver cost:
 
 1. BUILD  — one streaming pass over the seen side emits a per-block partial
-   Bloom over hash64(key) (Bloom partials OR-union EXACTLY, like HLL
+   Bloom over key_hash (Bloom partials OR-union EXACTLY, like HLL
    registers); partials fan-in through an off-driver merge tree, and only
    the final filter is `ray.put` once. At 1e9 seen keys / 0.5 % fp that is
    ~1.5 GB — one plasma object read per task, never per-batch state.
 2. CANDIDATES — one probe pass over the incoming side collects the UNIQUE
-   key strings that HIT the bloom (true overlap + ~fp·|new|); driver merge
-   is budget-guarded by the sieve cap. A bloom MISS is definitely new (no
-   false negatives), so misses never reach the driver.
-3. INTERSECT — one pass over the seen side keeps only keys ∈ candidates
-   (vectorized is_in against the broadcast candidate array): the output is
-   the EXACT set of incoming∩seen key strings — bloom/hash collisions are
-   resolved here because real VALUES are compared, not hashes.
-4. FILTER — one final probe pass over incoming keeps key ∉ seen_hits. The
-   result streams; nothing incoming-sized ever sits on the driver.
+   uint64 key hashes that HIT the bloom (true overlap + ~fp·|new|); the
+   driver merge is budget-guarded (8 B/row). A bloom MISS is definitely new
+   (no false negatives), so misses never reach the driver.
+3. INTERSECT — one pass over the seen side: a sorted-searchsorted hash
+   prefilter against the broadcast candidate hashes, then collision-proof
+   key strings are built ONLY for the matching sliver; the output is the
+   exact set of (hash, key-string) pairs of incoming∩seen keys (plus any
+   hash-colliding seen keys, which the final string compare disarms).
+4. FILTER — one final probe pass over incoming: rows whose hash is absent
+   from the pair set are definitely new (string equality implies hash
+   equality); rows whose hash matches get their key string built and
+   compared against the stored string(s) for that exact hash — a vectorized
+   searchsorted gather, never a per-batch hash-table rebuild. The result
+   streams; nothing incoming-sized ever sits on the driver.
 
 Zero shuffles; 2 passes per side; driver state bounded by the candidate
 budget. When candidates overflow the budget (incoming mostly-seen AND huge),
@@ -45,12 +53,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from fdpg_query_data_validation_ray.functions.hashing import hash64
 from fdpg_query_data_validation_ray.functions.sketches import Bloom
 from fdpg_query_data_validation_ray.stages.row_checks import (
     key_encode_array,
     row_key_array,
 )
+from fdpg_query_data_validation_ray.stages.unique import key_hash
 
 # driver budget for the candidate / intersect arrays, shared with the
 # uniqueness sieve so one knob governs every driver-resident key set
@@ -60,20 +68,39 @@ def _budget() -> int:
     return int(os.environ.get("QDV_INCR_MAX_DRIVER_ROWS", SIEVE_MAX_DRIVER_ROWS))
 
 
+def _key_strings(table: pa.Table, key_columns: tuple[str, ...]) -> np.ndarray:
+    """Collision-proof key strings for a (sliver) table as a numpy object
+    array."""
+    arr = key_encode_array(table, key_columns)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def _isin_sorted(h: np.ndarray, sorted_vals: np.ndarray) -> np.ndarray:
+    """Vectorized membership of uint64 `h` in a SORTED unique array — a
+    searchsorted gather, O(n log m) with zero per-call allocation of lookup
+    structures (pc.is_in would rebuild its hash table every batch)."""
+    if sorted_vals.size == 0:
+        return np.zeros(len(h), dtype=bool)
+    idx = np.minimum(np.searchsorted(sorted_vals, h), sorted_vals.size - 1)
+    return sorted_vals[idx] == h
+
+
 class _BloomPartial:
     """Per-block partial bloom builder (task-based callable: the empty
     (n_bits, k) spec rides the serialized callable; each task allocates its
     own words array — partials never share state)."""
 
     def __init__(self, key_columns: tuple[str, ...], n_bits: int, k: int):
-        self.key_columns = tuple(key_columns)
+        self.key_columns = list(key_columns)
         self.n_bits = n_bits
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bl = Bloom(self.n_bits, self.k)
         if batch.num_rows:
-            bl.add_hashes(hash64(key_encode_array(batch, self.key_columns)))
+            bl.add_hashes(key_hash(batch, self.key_columns))
         return pa.table({"bloom": pa.array([bl.to_bytes()], pa.large_binary())})
 
 
@@ -90,15 +117,15 @@ def build_seen_bloom(
     key_columns: list[str],
     n_items: int,
     fp_rate: float = 0.005,
-    build_batch_size: int = 65536,
+    build_batch_size: int = 1 << 20,
     fan_in: int = 32,
 ):
-    """One pass over `seen_ds` → ObjectRef[Bloom] over hash64 of the joined
-    key. `n_items` sizes the filter (an UPPER bound is fine — oversizing only
-    lowers the fp rate); callers usually pass the parquet-metadata row count
-    of the unfiltered table. Partials merge through repartition/OR levels of
-    width `fan_in` so the driver only ever ORs ≤ fan_in partial filters, not
-    one per input block."""
+    """One pass over `seen_ds` → ObjectRef[Bloom] over key_hash of the key
+    columns. `n_items` sizes the filter (an UPPER bound is fine — oversizing
+    only lowers the fp rate); callers usually pass the parquet-metadata row
+    count of the unfiltered table. Partials merge through repartition/OR
+    levels of width `fan_in` so the driver only ever ORs ≤ fan_in partial
+    filters, not one per input block."""
     import ray
 
     n_bits, k = Bloom.size_for(max(1, n_items), fp_rate)
@@ -121,76 +148,139 @@ def build_seen_bloom(
     return ray.put(acc)
 
 
-def _collect_unique(ds, column: str, budget: int):
-    """Stream a per-batch-deduplicated key column to the driver under a hard
-    row budget (the fk.py dim-sieve loop). Returns a pa.Array of distinct
-    values, or None on overflow."""
-    chunks: list[pa.Array] = []
+class _BloomHitHashes:
+    """Probe stage: emit each batch's unique key HASHES that hit the bloom
+    (8 B/row — key strings are never built on this pass)."""
+
+    def __init__(self, key_columns: tuple[str, ...], bloom_ref):
+        import ray
+
+        self.key_columns = list(key_columns)
+        self.bloom = ray.get(bloom_ref)  # local object-store read per worker
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        h = key_hash(batch, self.key_columns)
+        hit = self.bloom.contains_hashes(h)
+        return pa.table({"h": pa.array(np.unique(h[hit]), pa.uint64())})
+
+
+def _collect_unique_hashes(ds, budget: int) -> np.ndarray | None:
+    """Stream per-batch-deduplicated uint64 hashes to the driver under a hard
+    row budget. Returns a SORTED unique np.uint64 array, or None on
+    overflow."""
+    chunks: list[np.ndarray] = []
     total = 0
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
         t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        arr = t[column].combine_chunks()
+        arr = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
         chunks.append(arr)
         total += len(arr)
         if total > budget:
             return None
     if not chunks:
-        return pa.array([], pa.string())
-    out = pc.unique(pa.concat_arrays(chunks))
+        return np.array([], dtype=np.uint64)
+    out = np.unique(np.concatenate(chunks))
     return out if len(out) <= budget else None
 
 
-class _BloomHitKeys:
-    """Probe stage: emit each batch's unique key strings that HIT the bloom."""
-
-    def __init__(self, key_columns: tuple[str, ...], bloom_ref):
-        import ray
-
-        self.key_columns = tuple(key_columns)
-        self.bloom = ray.get(bloom_ref)  # local object-store read per worker
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"k": pa.array([], pa.string())})
-        keys = key_encode_array(batch, self.key_columns)
-        hit = self.bloom.contains_hashes(hash64(keys))
-        keys = pa.array(keys) if not isinstance(keys, pa.Array) else keys
-        return pa.table({"k": pc.unique(keys.filter(pa.array(hit)))})
-
-
-class _IsInKeys:
-    """Intersect stage over the SEEN side: keep keys ∈ broadcast candidates."""
+class _HashMatchPairs:
+    """Intersect stage over the SEEN side: sorted-hash prefilter against the
+    broadcast candidate hashes, then emit unique (hash, key-string) pairs
+    for the matching sliver only — the only rows whose collision-proof
+    string is ever materialized on this side."""
 
     def __init__(self, key_columns: tuple[str, ...], cand_ref):
         import ray
 
-        self.key_columns = tuple(key_columns)
-        self.cand = ray.get(cand_ref)
+        self.key_columns = list(key_columns)
+        self.cand = ray.get(cand_ref)  # sorted unique np.uint64
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or len(self.cand) == 0:
-            return pa.table({"k": pa.array([], pa.string())})
-        keys = key_encode_array(batch, self.key_columns)
-        keys = pa.array(keys) if not isinstance(keys, pa.Array) else keys
-        return pa.table({"k": pc.unique(keys.filter(pc.is_in(keys, value_set=self.cand)))})
+        empty = pa.table(
+            {"h": pa.array([], pa.uint64()), "k": pa.array([], pa.string())}
+        )
+        if batch.num_rows == 0 or self.cand.size == 0:
+            return empty
+        h = key_hash(batch, self.key_columns)
+        maybe = _isin_sorted(h, self.cand)
+        if not maybe.any():
+            return empty
+        sub = batch.filter(pa.array(maybe))
+        keys = _key_strings(sub, tuple(self.key_columns))
+        # the key string injectively encodes the key values, so equal strings
+        # always carry equal hashes — dedupe by string, gather the hash
+        uniq_k, first = np.unique(keys, return_index=True)
+        return pa.table(
+            {
+                "h": pa.array(h[maybe][first], pa.uint64()),
+                "k": pa.array(uniq_k, pa.string()),
+            }
+        )
 
 
-class _DropSeen:
-    """Final filter over the incoming side: keep rows whose key is NOT in the
-    exact broadcast seen-hit set."""
+def _collect_pairs(ds, budget: int):
+    """Stream (hash, key) pairs to the driver under the row budget, dedupe by
+    key, and return (sorted_hashes, keys_in_hash_order) — with ties within a
+    hash run broken by key so collision runs are contiguous. None on
+    overflow."""
+    hs: list[np.ndarray] = []
+    ks: list[np.ndarray] = []
+    total = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        hs.append(t["h"].combine_chunks().to_numpy(zero_copy_only=False))
+        ks.append(t["k"].combine_chunks().to_numpy(zero_copy_only=False))
+        total += len(hs[-1])
+        if total > budget:
+            return None
+    if not hs:
+        return np.array([], dtype=np.uint64), np.array([], dtype=object)
+    h = np.concatenate(hs)
+    k = np.concatenate(ks)
+    uniq_k, first = np.unique(k, return_index=True)
+    h = h[first]
+    if len(h) > budget:
+        return None
+    order = np.argsort(h, kind="stable")  # collision runs stay contiguous;
+    return h[order], uniq_k[order]  # intra-run order is irrelevant (set scan)
 
-    def __init__(self, key_columns: tuple[str, ...], seen_ref):
+
+class _DropSeenExact:
+    """Final filter over the incoming side: a sorted-hash searchsorted
+    prefilter (rows whose hash is absent are definitely new), then the exact
+    string comparison only for hash-matching rows — against the stored
+    string(s) at that hash position, so no per-batch is_in hash table."""
+
+    def __init__(self, key_columns: tuple[str, ...], pairs_ref):
         import ray
 
-        self.key_columns = tuple(key_columns)
-        self.seen = ray.get(seen_ref)
+        self.key_columns = list(key_columns)
+        self.sh, self.sk = ray.get(pairs_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or len(self.seen) == 0:
+        if batch.num_rows == 0 or self.sh.size == 0:
             return batch
-        keys = key_encode_array(batch, self.key_columns)
-        keep = pc.invert(pc.is_in(keys, value_set=self.seen))
-        return batch.filter(keep)
+        h = key_hash(batch, self.key_columns)
+        left = np.searchsorted(self.sh, h, side="left")
+        right = np.searchsorted(self.sh, h, side="right")
+        maybe = right > left
+        if not maybe.any():
+            return batch
+        sub = batch.filter(pa.array(maybe))
+        keys = _key_strings(sub, tuple(self.key_columns))
+        l_m = left[maybe]
+        runs = right[maybe] - l_m
+        seen_sub = np.zeros(len(keys), dtype=bool)
+        single = runs == 1
+        if single.any():
+            seen_sub[single] = self.sk[l_m[single]] == keys[single]
+        for i in np.nonzero(~single)[0]:  # intra-seen hash collisions: ~n²/2⁶⁴
+            seen_sub[i] = keys[i] in self.sk[l_m[i] : l_m[i] + runs[i]]
+        keep = np.ones(batch.num_rows, dtype=bool)
+        keep[np.nonzero(maybe)[0][seen_sub]] = False
+        return batch.filter(pa.array(keep))
 
 
 def filter_new_keys(
@@ -203,9 +293,10 @@ def filter_new_keys(
     mode: str = "auto",
 ):
     """Rows of `incoming_ds` whose joined key never occurs in `seen_ds`.
-    Broadcast plan keys rows with the collision-free key_encode_array; the
-    shuffle fallback inherits fk.py's CONCAT_WS fk_key encoding.
-    Exact (key VALUES are compared in the intersect step — bloom and hash64
+    The broadcast plan prefilters by the string-free combined key_hash and
+    resolves hash-matching slivers with the collision-free key_encode_array;
+    the shuffle fallback inherits fk.py's CONCAT_WS fk_key encoding.
+    Exact (key VALUES are compared for every hash match — bloom and hash64
     collisions cannot drop a genuinely-new row). mode="auto": bloom-sieve
     broadcast plan, falling back to the distributed anti-join+native-join
     plan when the candidate set overflows the driver budget;
@@ -219,29 +310,27 @@ def filter_new_keys(
         n_seen = n_seen_hint if n_seen_hint is not None else seen_ds.count()
         bloom_ref = build_seen_bloom(seen_ds, key_columns, n_seen, fp_rate)
         budget = _budget()
-        cands = _collect_unique(
+        cands = _collect_unique_hashes(
             incoming_ds.map_batches(
-                _BloomHitKeys(tuple(key_columns), bloom_ref),
+                _BloomHitHashes(tuple(key_columns), bloom_ref),
                 batch_format="pyarrow",
                 batch_size=65536,
             ),
-            "k",
             budget,
         )
         if cands is not None:
             cand_ref = ray.put(cands)
-            seen_hits = _collect_unique(
+            pairs = _collect_pairs(
                 seen_ds.map_batches(
-                    _IsInKeys(tuple(key_columns), cand_ref),
+                    _HashMatchPairs(tuple(key_columns), cand_ref),
                     batch_format="pyarrow",
                     batch_size=65536,
                 ),
-                "k",
                 budget,
             )
-            if seen_hits is not None:
+            if pairs is not None:
                 return incoming_ds.map_batches(
-                    _DropSeen(tuple(key_columns), ray.put(seen_hits)),
+                    _DropSeenExact(tuple(key_columns), ray.put(pairs)),
                     batch_format="pyarrow",
                     batch_size=65536,
                 )

@@ -142,15 +142,50 @@ def test_partition_invariance(ray_session):
     assert results[0] == results[1] == results[2]
 
 
+def test_exact_under_forced_hash_collisions(ray_session, monkeypatch):
+    """Degenerate 2-bit key hash → massive collision runs in the pair set.
+    The stage callables (driven in-process so the monkeypatch applies) must
+    still resolve membership exactly via the string comparison."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages import incremental as inc
+
+    # a stable degenerate hash of k1 alone, mod 4
+    monkeypatch.setattr(
+        inc,
+        "key_hash",
+        lambda t, cols: (
+            t.column(cols[0]).combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+            & np.uint64(3)
+        ),
+    )
+    rng = np.random.default_rng(11)
+    seen_t = _mk(rng, 600, 150)
+    inc_t = _mk(rng, 500, 300, payload_from=1_000)
+
+    # pair set: every distinct seen key, hashed degenerately (cand = all 4 hashes)
+    cand = np.array([0, 1, 2, 3], dtype=np.uint64)
+    pairs_stage = inc._HashMatchPairs(("k1", "k2"), ray.put(cand))
+    pt = pairs_stage(seen_t)
+    h = pt["h"].combine_chunks().to_numpy(zero_copy_only=False)
+    k = pt["k"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(h, kind="stable")
+    drop = inc._DropSeenExact(("k1", "k2"), ray.put((h[order], k[order])))
+    out = drop(inc_t)
+    got = set(zip(out["k1"].to_pylist(), out["k2"].to_pylist(), out["payload"].to_pylist()))
+    assert got == _truth(inc_t, seen_t)
+    # sanity: the degenerate hash really produced multi-key runs
+    assert len(np.unique(h)) <= 4 and len(k) > 4
+
+
 def test_bloom_build_fan_in_tree(ray_session):
     """Many input blocks → the fan-in merge tree still produces a bloom that
     contains every seen key (no false negatives end-to-end)."""
     import ray
     import ray.data as rd
 
-    from fdpg_query_data_validation_ray.functions.hashing import hash64
     from fdpg_query_data_validation_ray.stages.incremental import build_seen_bloom
-    from fdpg_query_data_validation_ray.stages.row_checks import key_encode_array
+    from fdpg_query_data_validation_ray.stages.unique import key_hash
 
     rng = np.random.default_rng(5)
     seen_t = _mk(rng, 3000, 2000)
@@ -162,5 +197,5 @@ def test_bloom_build_fan_in_tree(ray_session):
         build_batch_size=64,
     )
     bloom = ray.get(ref)
-    h = hash64(key_encode_array(seen_t, ("k1", "k2")))
+    h = key_hash(seen_t, ["k1", "k2"])
     assert bool(bloom.contains_hashes(h).all())
