@@ -429,6 +429,28 @@ def oracle_sql() -> dict[str, str]:
                   AND s.l_partkey = l.l_partkey
                   AND s.l_suppkey = l.l_suppkey)
         """,
+        # percentile cut: integer-math threshold (n+9)//10 mirrors the
+        # engine's (n·numer + denom − 1)//denom — no float CEIL drift
+        "top_fraction_docs": """
+            WITH r AS (
+              SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+                          AS BIGINT) AS rank
+              FROM documents
+              WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+            )
+            SELECT doc_id, rank FROM r
+            WHERE rank <= (SELECT (COUNT(*) + 9) // 10 FROM r)
+        """,
+        "sample_k_docs": """
+            SELECT doc_id,
+                   CAST(md5_number_lower('samplek|' || CAST(doc_id AS VARCHAR))
+                        & ((1::UBIGINT << 60) - 1) AS BIGINT) AS sample_key
+            FROM documents
+            WHERE doc_id IS NOT NULL
+            ORDER BY sample_key, doc_id
+            LIMIT 100
+        """,
         "events_ranked_by_value": """
             SELECT event_id,
                    CAST(ROW_NUMBER() OVER (ORDER BY value DESC, event_id)

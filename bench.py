@@ -153,6 +153,9 @@ HEADLINE = [
     "bpe_pair_counts",
     # round 5: bloom-sieve incremental new-key filter (record-level resume)
     "incremental_new_lineitem",
+    # round 5: percentile cut (top-X% by key) + exact-k uniform sample
+    "top_fraction_docs",
+    "sample_k_docs",
 ]
 
 

@@ -1596,6 +1596,27 @@ def q_events_ranked_by_value(sf_dir: str):
     )
 
 
+def q_top_fraction_docs(sf_dir: str):
+    """Percentile cut (stages/topk.py take_top_fraction): the top 10 % of
+    documents by (n_chars DESC, doc_id) — the FineWeb/DCLM "keep the best
+    X % by score" selection, composed from range_rank + an integer-math
+    rank threshold (ceil(n/10) = (n+9)//10 on both sides)."""
+    from fdpg_query_data_validation_ray.stages.topk import take_top_fraction
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return take_top_fraction(ds, "n_chars", "doc_id", 1, 10, descending=True)
+
+
+def q_sample_k_docs(sf_dir: str):
+    """Exact-k uniform global sample (stages/sampling.py sample_k): the 100
+    docs with the smallest salted md5 id hash — deterministic under re-runs
+    and any partitioning, O(k·blocks) exchange via top_k's local prune."""
+    from fdpg_query_data_validation_ray.stages.sampling import sample_k
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return sample_k(ds, 100, "doc_id")
+
+
 def q_span_dedup_docs(sf_dir: str):
     """C4-style duplicate-span removal (Raffel et al. 2020 §2.2): every
     non-overlapping full 3-token span that occurs more than once in the
@@ -2617,6 +2638,8 @@ QUERIES = {
     "embedding_gram": q_embedding_gram,
     "semdedup_embeddings": q_semdedup_embeddings,
     "incremental_new_lineitem": q_incremental_new_lineitem,
+    "top_fraction_docs": q_top_fraction_docs,
+    "sample_k_docs": q_sample_k_docs,
     "corpus_validate": q_corpus_validate,
 }
 

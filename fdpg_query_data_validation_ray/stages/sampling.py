@@ -65,3 +65,28 @@ def first_n_per_key(
 
     pruned = ds.map_batches(local_cap, batch_format="pandas")
     return pruned.groupby("__part").map_groups(final_cap_part, batch_format="pandas")
+
+
+def sample_k(ds, k: int, id_column: str, salt: str = "samplek",
+             key_column: str = "sample_key"):
+    """Exact-k uniform global sample without a shuffle — the distributed,
+    rerun-stable stand-in for reservoir sampling (Vitter 1985): rank every
+    row by a deterministic salted id hash and keep the k smallest. Identical
+    rows come back on every run, any partitioning, and any node count; the
+    hash replays in SQL (ORDER BY md5_number_lower(salt||'|'||CAST(id AS
+    VARCHAR)) & (1<<60)-1, id LIMIT k — split.py's mechanism). Scale shape
+    is top_k's hierarchical local prune: each block contributes ≤ k rows,
+    the exchange moves O(k · blocks) rows, never the table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fdpg_query_data_validation_ray.stages.split import _row_hashes
+    from fdpg_query_data_validation_ray.stages.topk import top_k
+
+    def add_key(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[id_column]))
+        h = _row_hashes(t, id_column, salt).astype(np.int64)  # < 2^60: fits
+        return t.append_column(key_column, pa.array(h, pa.int64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    return top_k(keyed, k, [key_column, id_column], descending=False)

@@ -280,3 +280,37 @@ def range_rank(ds, key_column: str, id_column: str, descending: bool = False,
         .groupby("_range")
         .map_groups(rank_group, batch_format="pyarrow")
     )
+
+
+def take_top_fraction(ds, key_column: str, id_column: str, numer: int,
+                      denom: int, descending: bool = True,
+                      rank_column: str = "rank"):
+    """Percentile cut: keep the best ceil(n·numer/denom) rows by key order —
+    the FineWeb/DCLM "top X% by quality score" selection, as a first-class
+    distributed operator.
+
+    Composes range_rank (exact global ROW_NUMBER over unbounded keys) with a
+    rank threshold. The threshold count n is the rank-ELIGIBLE row count
+    (null keys/ids and NaN keys excluded, exactly range_rank's domain), read
+    from the materialized rank table — (id, rank) is 16 B/row in the object
+    store, spill-safe, and materializing it means the 3-pass rank pipeline
+    runs once instead of twice. The fraction is a rational numer/denom so
+    the threshold is INTEGER math on both engine and oracle sides
+    (ceil(n·numer/denom) = (n·numer + denom − 1) // denom) — no float-ceil
+    boundary drift. Scale shape inherits range_rank's: O(sketch) driver
+    state, one groupby exchange, per-range local sorts."""
+    if not (0 < numer <= denom):
+        raise ValueError(f"need 0 < numer <= denom: {numer}/{denom}")
+    ranked = range_rank(
+        ds, key_column, id_column, descending=descending,
+        rank_column=rank_column,
+    ).materialize()
+    n = ranked.count()
+    if n == 0:
+        return ranked
+    thr = (n * numer + denom - 1) // denom
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t[rank_column], thr))
+
+    return ranked.map_batches(keep, batch_format="pyarrow")

@@ -83,3 +83,65 @@ def test_range_rank_auto_ranges_int_key(ray_session):
     d = df.sort_values(["k", "i"], ascending=[False, True])
     assert got["i"].tolist() == d["i"].tolist()
     assert got["rank"].tolist() == list(range(1, n + 1))
+
+
+def test_take_top_fraction_matches_pandas(ray_session):
+    """Percentile cut keeps exactly ceil(n·numer/denom) rows — the top ones
+    under (key DESC, id) — for any partitioning; integer threshold math."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.topk import take_top_fraction
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    df = pd.DataFrame(
+        {"i": np.arange(n, dtype=np.int64),
+         "k": rng.normal(size=n)}
+    )
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = (
+            take_top_fraction(ds, "k", "i", 1, 10, descending=True)
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        thr = (n * 1 + 10 - 1) // 10
+        want = df.sort_values(["k", "i"], ascending=[False, True]).head(thr)
+        assert got["i"].tolist() == want["i"].tolist()
+        assert got["rank"].tolist() == list(range(1, thr + 1))
+    # degenerate fractions: 1/1 keeps everything; tiny n never keeps 0
+    ds = ray.data.from_pandas(df.head(3))
+    assert take_top_fraction(ds, "k", "i", 1, 1).count() == 3
+    assert take_top_fraction(ds, "k", "i", 1, 10).count() == 1  # ceil(0.3)
+
+
+def test_sample_k_deterministic_and_uniformish(ray_session):
+    """sample_k: exactly k rows, identical under re-runs and repartitioning,
+    stable as the corpus GROWS (hash-rank: old winners only displaced by
+    better hashes, never reshuffled)."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.sampling import sample_k
+
+    ids = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64)})
+    outs = [
+        sample_k(ray.data.from_pandas(ids).repartition(p), 50, "doc_id")
+        .to_pandas()["doc_id"].tolist()
+        for p in (1, 6, 13)
+    ]
+    assert outs[0] == outs[1] == outs[2] and len(outs[0]) == 50
+    # growth stability: the winning set over a SUPERSET is a superset-rank
+    # re-cut — every survivor of the big corpus present in the small corpus
+    # must also have won there
+    big = sample_k(
+        ray.data.from_pandas(
+            pd.DataFrame({"doc_id": np.arange(4000, dtype=np.int64)})
+        ),
+        50,
+        "doc_id",
+    ).to_pandas()
+    small_set = set(outs[0])
+    for d in big["doc_id"]:
+        if d < 2000:
+            assert d in small_set
