@@ -442,6 +442,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, rank FROM r
             WHERE rank <= (SELECT (COUNT(*) + 9) // 10 FROM r)
         """,
+        # C4 line filter over planted 4-word lines: list slicing replays the
+        # engine's word regrouping; the parity CASE replays the punctuation
+        # planting; then the two published line rules + the doc-level HAVING
+        "c4_filter_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\\S+') AS t
+              FROM documents),
+            lines AS (
+              SELECT doc_id,
+                     CAST((x - 1) // 4 AS BIGINT) AS li,
+                     array_to_string(t[x:least(x + 3, len(t))], ' ') ||
+                       CASE WHEN (doc_id + (x - 1) // 4) % 2 = 0
+                            THEN '.' ELSE '' END AS line,
+                     least(x + 3, len(t)) - x + 1 AS n_words
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, len(t), 4)) AS x)),
+            kept AS (
+              SELECT doc_id, li, line FROM lines
+              WHERE regexp_matches(line, '[.!?]$') AND n_words >= 4)
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY li) AS text_clean,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM kept GROUP BY doc_id HAVING COUNT(*) >= 3
+        """,
         "sample_k_docs": """
             SELECT doc_id,
                    CAST(md5_number_lower('samplek|' || CAST(doc_id AS VARCHAR))

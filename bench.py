@@ -156,6 +156,8 @@ HEADLINE = [
     # round 5: percentile cut (top-X% by key) + exact-k uniform sample
     "top_fraction_docs",
     "sample_k_docs",
+    # round 5: C4 line-level structural cleaning
+    "c4_filter_docs",
 ]
 
 

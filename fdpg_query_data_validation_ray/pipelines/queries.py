@@ -1617,6 +1617,61 @@ def q_sample_k_docs(sf_dir: str):
     return sample_k(ds, 100, "doc_id")
 
 
+def _plant_lines(t: pa.Table) -> pa.Table:
+    """Deterministically impose line structure on the synthetic corpus (which
+    has no newlines or punctuation): words regroup into 4-word lines; a line
+    gets a terminal '.' iff (doc_id + line_index) is even. Replayed verbatim
+    in the oracle via list slicing (t[x:x+3] + the same parity CASE), so the
+    lined text is byte-identical on both sides — the q_redact_pii_docs
+    planting pattern. Vectorized: one flatten + per-word suffix select + one
+    groupby join per doc."""
+    import numpy as np
+    import pandas as pd
+
+    n = t.num_rows
+    doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
+    col = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+    wl = pc.split_pattern_regex(col, r"\s+")
+    flat = pc.list_flatten(wl).to_numpy(zero_copy_only=False)
+    par = pc.list_parent_indices(wl).to_numpy(zero_copy_only=False)
+    nonempty = flat != ""  # regex split can emit "" at text edges
+    flat, par = flat[nonempty], par[nonempty]
+    lined = np.full(n, "", dtype=object)
+    if len(flat):
+        starts = np.searchsorted(par, np.arange(n))
+        ordn = np.arange(len(par)) - starts[par]
+        li = ordn // 4
+        last_of_doc = np.ones(len(par), dtype=bool)
+        last_of_doc[:-1] = par[:-1] != par[1:]
+        last_of_line = (ordn % 4 == 3) | last_of_doc
+        punct = ((doc_id[par] + li) % 2) == 0
+        dot = last_of_line & punct
+        sep = np.where(last_of_doc, "", np.where(last_of_line, "\n", " "))
+        toks = pd.Series(flat, dtype=object) + np.where(dot, ".", "") + sep
+        joined = toks.groupby(par, sort=True).agg("".join)
+        lined[joined.index.to_numpy()] = joined.to_numpy()
+    return pa.table(
+        {"doc_id": t["doc_id"], "text": pa.array(lined, pa.string())}
+    )
+
+
+def q_c4_filter_docs(sf_dir: str):
+    """C4 line-level structural cleaning (stages/text.py C4LineFilterStage):
+    plant deterministic 4-word lines with parity punctuation (identically in
+    the oracle), keep lines ending in [.!?] with ≥ 4 words, keep docs with
+    ≥ 3 surviving lines."""
+    from fdpg_query_data_validation_ray.stages.text import C4LineFilterStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _plant_lines, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        C4LineFilterStage(min_words=4, min_lines=3),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+
+
 def q_span_dedup_docs(sf_dir: str):
     """C4-style duplicate-span removal (Raffel et al. 2020 §2.2): every
     non-overlapping full 3-token span that occurs more than once in the
@@ -2640,6 +2695,7 @@ QUERIES = {
     "incremental_new_lineitem": q_incremental_new_lineitem,
     "top_fraction_docs": q_top_fraction_docs,
     "sample_k_docs": q_sample_k_docs,
+    "c4_filter_docs": q_c4_filter_docs,
     "corpus_validate": q_corpus_validate,
 }
 

@@ -1849,3 +1849,68 @@ def bpe_pair_counts(ds, text_column: str = "text", top_n: int = 50):
         partials, batch_format="pandas", batch_size=4096
     ).groupby("pair").aggregate(Sum("freq", alias_name="freq"))
     return top_k(counts, top_n, ["freq", "pair"], descending=[True, False])
+
+
+class C4LineFilterStage:
+    """C4 line-level structural cleaning (Raffel et al. 2020 §2.2, the three
+    published line rules a web page passes before the doc-level filters):
+    keep only lines that end in terminal punctuation ([.!?]) and contain at
+    least `min_words` words; drop documents with fewer than `min_lines`
+    surviving lines. Output: (id, text_clean, n_lines) — the cleaned text is
+    the kept lines rejoined with '\n' in original order.
+
+    Reference analog: the reference validates whole records and filters by
+    severity (data_quality_check/flare_cohort/validate.py); sub-record
+    structural cleaning has no counterpart there — this is the LLM-corpus
+    operator the brief's pipeline family requires.
+
+    Vectorized: one Arrow split per batch, regex/word-count kernels over the
+    FLAT line array (never per-row Python), then a pandas groupby join —
+    one C-level group pass plus a single str.join per surviving DOC."""
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id",
+                 min_words: int = 4, min_lines: int = 3):
+        self.text_column = text_column
+        self.id_column = id_column
+        self.min_words = min_words
+        self.min_lines = min_lines
+
+    def _empty(self, id_type: pa.DataType) -> pa.Table:
+        return pa.table(
+            {self.id_column: pa.array([], id_type),
+             "text_clean": pa.array([], pa.string()),
+             "n_lines": pa.array([], pa.int64())}
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        id_type = t.schema.field(self.id_column).type
+        if t.num_rows == 0:
+            return self._empty(id_type)
+        col = pc.fill_null(pc.cast(t[self.text_column], pa.string()), "")
+        ll = pc.split_pattern(col, "\n")
+        flat = pc.list_flatten(ll)
+        par = pc.list_parent_indices(ll).to_numpy(zero_copy_only=False)
+        keep = pc.and_(
+            pc.match_substring_regex(flat, r"[.!?]$"),
+            pc.greater_equal(
+                pc.count_substring_regex(flat, r"\S+"), self.min_words
+            ),
+        ).to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return self._empty(id_type)
+        lines_k = flat.to_numpy(zero_copy_only=False)[keep]
+        par_k = par[keep]
+        df = pd.DataFrame({"p": par_k, "line": lines_k})
+        g = df.groupby("p", sort=True)["line"]
+        joined = g.agg("\n".join)
+        n = g.size()
+        ok = (n >= self.min_lines).to_numpy()
+        p_idx = joined.index.to_numpy()[ok]
+        ids = t[self.id_column].combine_chunks().take(
+            pa.array(p_idx, pa.int64())
+        )
+        return pa.table(
+            {self.id_column: ids,
+             "text_clean": pa.array(joined.to_numpy()[ok], pa.string()),
+             "n_lines": pa.array(n.to_numpy()[ok].astype(np.int64), pa.int64())}
+        )

@@ -359,3 +359,42 @@ def test_split_frames_rejects_plausible_garbage_boundary():
     frame = encode_bmp_gray(np.zeros((8, 8), dtype=np.uint8))
     garbage = b"BM" + struct.pack("<I", 20) + b"\x00" * 60  # bad info header
     assert split_frames(frame + garbage) == [frame]
+
+
+def test_c4_line_filter_rules(ray_session):
+    """Both published line rules + the doc-level min_lines cut, plus empty /
+    null / no-newline edge cases and within-doc line-order preservation."""
+    import pyarrow as pa
+
+    from fdpg_query_data_validation_ray.stages.text import C4LineFilterStage
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": [
+                # 3 qualifying lines, 1 short, 1 unpunctuated → kept, n=3
+                "alpha beta gamma delta.\nshort one.\nfive words on this line!\n"
+                "no terminal punct here at all\nfinal line has four words?",
+                # only 2 qualifying lines → dropped by min_lines
+                "one two three four.\nfive six seven eight!",
+                None,
+                "",
+                # single long line, no newline, punctuated → 1 line → dropped
+                "a b c d e f g h i.",
+            ],
+        }
+    )
+    out = C4LineFilterStage(min_words=4, min_lines=3)(t)
+    assert out["doc_id"].to_pylist() == [1]
+    assert out["n_lines"].to_pylist() == [3]
+    assert out["text_clean"].to_pylist() == [
+        "alpha beta gamma delta.\nfive words on this line!\n"
+        "final line has four words?"
+    ]
+    # batch-split invariance: same rows regardless of batching
+    a = C4LineFilterStage(min_words=4, min_lines=1)(t.slice(0, 2))
+    b = C4LineFilterStage(min_words=4, min_lines=1)(t.slice(2))
+    whole = C4LineFilterStage(min_words=4, min_lines=1)(t)
+    import pyarrow as pa2
+
+    assert pa2.concat_tables([a, b]).equals(whole)
