@@ -442,6 +442,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, rank FROM r
             WHERE rank <= (SELECT (COUNT(*) + 9) // 10 FROM r)
         """,
+        "distinct_terms_per_lang": """
+            WITH words AS (
+              SELECT lang,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '\\S+')) AS term
+              FROM documents WHERE lang IS NOT NULL)
+            SELECT lang, CAST(COUNT(DISTINCT term) AS BIGINT)
+                     AS n_distinct_terms
+            FROM words GROUP BY lang
+        """,
         # C4 line filter over planted 4-word lines: list slicing replays the
         # engine's word regrouping; the parity CASE replays the punctuation
         # planting; then the two published line rules + the doc-level HAVING

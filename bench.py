@@ -158,6 +158,8 @@ HEADLINE = [
     "sample_k_docs",
     # round 5: C4 line-level structural cleaning
     "c4_filter_docs",
+    # round 5: grouped exact distinct (COUNT(DISTINCT term) per lang)
+    "distinct_terms_per_lang",
 ]
 
 

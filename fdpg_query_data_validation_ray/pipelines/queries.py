@@ -1655,6 +1655,30 @@ def _plant_lines(t: pa.Table) -> pa.Table:
     )
 
 
+def q_distinct_terms_per_lang(sf_dir: str):
+    """Grouped exact distinct: COUNT(DISTINCT token) per language
+    (stages/stats.py distinct_count_per_key) — tokenize per batch (one Arrow
+    split + parent-index gather, no per-row Python), local (lang, term)
+    dedup as the combiner, one pair groupby, tiny per-lang count."""
+    from fdpg_query_data_validation_ray.stages.stats import distinct_count_per_key
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.fill_null(pc.cast(t["text"], pa.string()), ""))
+        wl = pc.split_pattern_regex(txt, r"\s+")
+        flat = pc.list_flatten(wl)
+        par = pc.list_parent_indices(wl)
+        lang = pc.take(t["lang"].combine_chunks(), par)
+        keep = pc.not_equal(flat, "")
+        return pa.table(
+            {"lang": pc.filter(lang, keep), "term": pc.filter(flat, keep)}
+        )
+
+    pairs = ds.map_batches(tokens, batch_format="pyarrow", batch_size=2048)
+    return distinct_count_per_key(pairs, "lang", "term", alias="n_distinct_terms")
+
+
 def q_c4_filter_docs(sf_dir: str):
     """C4 line-level structural cleaning (stages/text.py C4LineFilterStage):
     plant deterministic 4-word lines with parity punctuation (identically in
@@ -2696,6 +2720,7 @@ QUERIES = {
     "top_fraction_docs": q_top_fraction_docs,
     "sample_k_docs": q_sample_k_docs,
     "c4_filter_docs": q_c4_filter_docs,
+    "distinct_terms_per_lang": q_distinct_terms_per_lang,
     "corpus_validate": q_corpus_validate,
 }
 

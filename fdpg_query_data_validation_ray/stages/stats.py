@@ -341,3 +341,43 @@ def column_stats(
         merge_concurrency=merge_concurrency, batch_size=batch_size,
     )
     return finalize(list(merged.values()))
+
+
+def distinct_count_per_key(ds, key_column: str, value_column: str,
+                           alias: str = "n_distinct",
+                           batch_size: int = 8192):
+    """Exact COUNT(DISTINCT value) GROUP BY key — the grouped-distinct
+    workhorse next to the global `q_distinct_exact` plan and the HLL
+    estimate (`hll_column`): per-batch LOCAL (key, value) dedup acts as the
+    combiner (each batch contributes each pair once, so the exchange moves
+    distinct-pair rows, never data rows), ONE groupby dedups pairs globally,
+    and a tiny per-key Count finishes. Null keys and null values are
+    excluded, matching SQL COUNT(DISTINCT) + non-null grouping. Driver never
+    sees data; output is O(distinct keys)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_column], pa.string())
+        v = pc.cast(t[value_column], pa.string())
+        mask = pc.and_(pc.is_valid(k), pc.is_valid(v))
+        df = pd.DataFrame(
+            {
+                key_column: k.filter(mask).to_numpy(zero_copy_only=False),
+                value_column: v.filter(mask).to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                key_column: pa.array(df[key_column], pa.string()),
+                value_column: pa.array(df[value_column], pa.string()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(local_pairs, batch_format="pyarrow", batch_size=batch_size)
+        .groupby([key_column, value_column])
+        .aggregate(Count(alias_name="_n"))
+    )
+    return pairs.groupby(key_column).aggregate(Count(alias_name=alias))

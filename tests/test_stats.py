@@ -143,3 +143,33 @@ def test_psi_terms_lang_null_doc_id_and_lang_match_oracle(ray_session, tmp_path)
     ora = con.execute(E.oracle_sql()["psi_terms_lang"]).df().reset_index(drop=True)
     assert ray_df.equals(ora)
     assert ray_df["e_count"].sum() == 2 and ray_df["a_count"].sum() == 2
+
+
+def test_distinct_count_per_key_exact_and_null_safe(ray_session):
+    """Grouped distinct equals pandas groupby-nunique; nulls on either side
+    are excluded; result invariant to partitioning."""
+    import pandas as pd
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.stats import distinct_count_per_key
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c", None], n, p=[0.4, 0.3, 0.2, 0.1]),
+            "v": rng.choice([str(i) for i in range(40)] + [None], n),
+        }
+    )
+    want = (
+        df.dropna(subset=["k", "v"]).groupby("k")["v"].nunique().to_dict()
+    )
+    for parts in (1, 9):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = (
+            distinct_count_per_key(ds, "k", "v", alias="n")
+            .to_pandas()
+            .set_index("k")["n"]
+            .to_dict()
+        )
+        assert got == want
