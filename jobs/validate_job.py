@@ -104,19 +104,17 @@ def build_plan(cfg: dict):
     )
 
 
-def stage_ndjson(files: list[str], out_dir: str) -> list[str]:
-    """Stage NDJSON inputs to `{out}/_staged_parquet` exactly once.
+def _stage_with_manifest(files: list[str], out_dir: str, convert) -> list[str]:
+    """Stage flat-file inputs to `{out}/_staged_parquet` exactly once.
 
     The conversion is itself checkpointed: `_staging_manifest.json` records
     the input files' (path, size, mtime); a re-submit with an unchanged input
     set reuses the staged parquet (the validation pass then resumes off its
     own per-partition checkpoints as usual), while ANY input change triggers
     a full restage — staged parquet must never silently diverge from the
-    NDJSON it claims to represent (mirrors the resume plan guard,
+    files it claims to represent (mirrors the resume plan guard,
     state/checkpoint.py)."""
     import shutil
-
-    from fdpg_query_data_validation_ray.sources.ndjson import ndjson_to_parquet
 
     staged = os.path.join(out_dir, "_staged_parquet")
     manifest_path = os.path.join(out_dir, "_staging_manifest.json")
@@ -132,10 +130,24 @@ def stage_ndjson(files: list[str], out_dir: str) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     if os.path.isdir(staged):
         shutil.rmtree(staged)
-    ndjson_to_parquet(files, staged)
+    convert(files, staged)
     with open(manifest_path, "w") as f:
         json.dump(fingerprint, f)
     return sorted(glob.glob(os.path.join(staged, "*.parquet")))
+
+
+def stage_ndjson(files: list[str], out_dir: str) -> list[str]:
+    """NDJSON → staged parquet (see _stage_with_manifest)."""
+    from fdpg_query_data_validation_ray.sources.ndjson import ndjson_to_parquet
+
+    return _stage_with_manifest(files, out_dir, ndjson_to_parquet)
+
+
+def stage_csv(files: list[str], out_dir: str) -> list[str]:
+    """CSV → staged parquet (see _stage_with_manifest)."""
+    from fdpg_query_data_validation_ray.sources.csvsrc import csv_to_parquet
+
+    return _stage_with_manifest(files, out_dir, csv_to_parquet)
 
 
 _PA_TYPES = {
@@ -257,9 +269,9 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--input-format",
-        choices=["parquet", "ndjson", "paged-offset"],
+        choices=["parquet", "ndjson", "csv", "paged-offset"],
         default="parquet",
-        help="ndjson (incl. .gz) inputs are staged ONCE to "
+        help="ndjson (incl. .gz) and csv inputs are staged ONCE to "
         "{out}/_staged_parquet (zstd) so the checked pass gets storage-level "
         "column pruning; a staging manifest makes the conversion resumable — "
         "re-submitting with unchanged inputs skips it",
@@ -317,6 +329,8 @@ def main(argv=None) -> int:
         files = sorted(glob.glob(args.input)) or [args.input]
         if args.input_format == "ndjson":
             files = stage_ndjson(files, args.out)
+        elif args.input_format == "csv":
+            files = stage_csv(files, args.out)
     plan = build_plan(json.load(open(args.config)))
     report = run_validation(
         files, args.out, plan,
