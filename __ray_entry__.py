@@ -1170,6 +1170,21 @@ def oracle_sql() -> dict[str, str]:
                           AND a.ts + INTERVAL 5 MINUTE
             GROUP BY a.event_id, a.user_id
         """,
+        "events_user_deltas": """
+            WITH q AS (
+                SELECT user_id, event_id,
+                       CAST(FLOOR(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                            AS BIGINT) AS value_e,
+                       ts
+                FROM events
+                WHERE user_id IS NOT NULL
+            )
+            SELECT user_id, event_id, value_e,
+                   LAG(value_e) OVER w AS prev_value_e,
+                   value_e - LAG(value_e) OVER w AS delta_e
+            FROM q
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
         "events_sessionize": """
             WITH e AS (
               SELECT user_id, ts, event_id,

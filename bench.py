@@ -160,6 +160,8 @@ HEADLINE = [
     "c4_filter_docs",
     # round 5: grouped exact distinct (COUNT(DISTINCT term) per lang)
     "distinct_terms_per_lang",
+    # round 5: per-key LAG window (prev value + exact fixed-point delta)
+    "events_user_deltas",
 ]
 
 

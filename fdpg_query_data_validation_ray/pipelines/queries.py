@@ -1416,6 +1416,35 @@ def q_events_range_neighbors(sf_dir: str):
     )
 
 
+def q_events_user_deltas(sf_dir: str):
+    """Per-key LAG window: each event's previous value within the same user
+    under the (ts, event_id) order, plus the exact fixed-point delta —
+    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) as a
+    distributed coarse-partition kernel (stages/temporal.py:lag_delta).
+    Quantization to e6 integers happens BEFORE the delta, so the result is
+    exact int64 arithmetic with NULL firsts, hash-exact vs the window
+    oracle."""
+    from fdpg_query_data_validation_ray.stages.temporal import lag_delta
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = lag_delta(ds, "user_id", "ts", "event_id", "value")
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("value_e", pa.int64()),
+            ("prev_value_e", pa.int64()),
+            ("delta_e", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(
+            ["user_id", "event_id", "value_e", "prev_value_e", "delta_e"]
+        ).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 
 def q_split_docs(sf_dir: str):
     """Deterministic train/val/test assignment by id hash (stages/split.py):
@@ -2642,6 +2671,7 @@ QUERIES = {
     "events_asof_purchase": q_events_asof_purchase,
     "events_sessionize": q_events_sessionize,
     "events_range_neighbors": q_events_range_neighbors,
+    "events_user_deltas": q_events_user_deltas,
     "issue_dedup_counts": q_issue_dedup_counts,
     "unique_docs_lang_nchars": q_unique_docs_lang_nchars,
     "fk_orders_customer": q_fk_orders_customer,

@@ -676,3 +676,85 @@ def detect_hot_keys(ds, key_column: str, limit_rows: int, top_cap: int = 65_536)
     keys = buf.column(0).to_pylist()
     counts = buf.column(1).to_pylist()
     return {k: c for k, c in zip(keys, counts) if c > limit_rows}
+
+
+def lag_delta(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_column: str,
+    value_col: str,
+    scale: int = 1_000_000,
+    hot_key_limit: int | None = None,
+    hot_key_policy: str = "warn",
+):
+    """Per-key LAG window: for every row, the previous row's value within the
+    same key under the (ts, id) order, plus the exact fixed-point delta —
+    LAG(value) OVER (PARTITION BY key ORDER BY ts, id) as a distributed
+    operator. The missing window-function leg next to the tumbling/rolling
+    sums (`events_hourly_moving`) and sessionize: per-row access to the
+    neighboring row of the same key.
+
+    Exactness: the value is quantized to `scale` fixed-point integers
+    (FLOOR(v*scale+0.5), the repo-wide IEEE sequence) BEFORE the delta, so
+    delta = value_e - prev_e is exact int64 arithmetic — no float
+    subtraction order anywhere. First row of each key gets NULL prev/delta,
+    like SQL LAG.
+
+    Plan: same coarse-partition shape as sessionize — key-hash part routing,
+    ONE kernel per part for all its keys (lexsort by (key, ts, id), shift by
+    one, key-change mask nulls the seam). A key's rows never straddle parts,
+    so no stitching is needed; per-key block sizes are metered against the
+    hot-key guard. Exchange moves each row once; no driver state.
+
+    Null keys are dropped (mirror the oracle with WHERE key IS NOT NULL);
+    null values quantize to NULL and propagate NULL deltas, like SQL.
+    """
+    n_parts = _n_parts()
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, ts_col, id_column, value_col])
+        t = t.filter(pc.is_valid(t[key_col].combine_chunks()))
+        e = pc.cast(
+            pc.floor(pc.add(pc.multiply(pc.cast(t[value_col], pa.float64()),
+                                        float(scale)), 0.5)),
+            pa.int64(),
+        )
+        t = t.drop_columns([value_col]).append_column("value_e", e)
+        return t.append_column("part", _part_of(t[key_col], n_parts))
+
+    empty_out = {
+        key_col: pd.Series(dtype="int64"),
+        id_column: pd.Series(dtype="int64"),
+        "value_e": pd.Series(dtype="Int64"),
+        "prev_value_e": pd.Series(dtype="Int64"),
+        "delta_e": pd.Series(dtype="Int64"),
+    }
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(empty_out)
+        codes, uniques = pd.factorize(g[key_col], sort=False)
+        ts = _ts_int64(g[ts_col])
+        ids = g[id_column].to_numpy()
+        order = np.lexsort((ids, ts, codes))
+        codes_s = codes[order]
+        _check_hot_keys(codes_s, uniques, "lag_delta", hot_key_limit,
+                        hot_key_policy)
+        v_s = pd.Series(g["value_e"].to_numpy()[order], dtype="Int64")
+        key_change = np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        prev = v_s.shift(1)
+        prev[key_change] = pd.NA
+        return pd.DataFrame(
+            {
+                key_col: np.asarray(uniques)[codes_s],
+                id_column: ids[order],
+                "value_e": v_s,
+                "prev_value_e": prev,
+                "delta_e": v_s - prev,
+            }
+        )
+
+    pruned = ds.map_batches(route, batch_format="pyarrow", batch_size=16384)
+    return pruned.groupby("part").map_groups(per_part, batch_format="pandas")

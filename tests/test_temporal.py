@@ -436,3 +436,83 @@ def test_sessionize_presplit_mixed_seams(ray_session):
     )
     assert ref.loc[ref["user_id"] == 777, "n_sessions"].iloc[0] > 100
     pd.testing.assert_frame_equal(ref, got, check_exact=True)
+
+
+def test_lag_delta_semantics(ray_session):
+    """LAG per key: first row of each key gets NULL prev/delta; ties on ts
+    break by id; null values propagate NULL like SQL LAG arithmetic."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import lag_delta
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, None], pa.int64()),
+            "ts": pa.array([100, 200, 200, 50, 60, 10], pa.int64()),
+            "value": pa.array([1.5, 2.25, None, 4.0, 3.0, 9.0], pa.float64()),
+        }
+    )
+    out = (
+        lag_delta(rd.from_arrow(t).repartition(3), "user_id", "ts",
+                  "event_id", "value")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # null key dropped
+    assert set(out["event_id"]) == {1, 2, 3, 4, 5}
+
+    def row(eid):
+        r = out[out["event_id"] == eid].iloc[0]
+        g = lambda v: None if pd.isna(v) else int(v)
+        return (g(r["value_e"]), g(r["prev_value_e"]), g(r["delta_e"]))
+
+    assert row(1) == (1_500_000, None, None)
+    assert row(2) == (2_250_000, 1_500_000, 750_000)
+    assert row(3) == (None, 2_250_000, None)   # null value, non-null prev
+    assert row(4) == (4_000_000, None, None)
+    assert row(5) == (3_000_000, 4_000_000, -1_000_000)
+
+
+def test_lag_delta_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import lag_delta
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 37, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 500, n), pa.int64()),
+            "value": pa.array(rng.normal(0, 10, n), pa.float64()),
+        }
+    )
+
+    def run(parts):
+        return (
+            lag_delta(rd.from_arrow(t).repartition(parts), "user_id", "ts",
+                      "event_id", "value")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+
+    a, b = run(2), run(13)
+    pd.testing.assert_frame_equal(a, b)
+
+    # brute-force oracle: pandas groupby shift over the (ts, id) order
+    df = t.to_pandas()
+    df["value_e"] = np.floor(df["value"] * 1e6 + 0.5).astype(np.int64)
+    df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    df["prev_value_e"] = df.groupby("user_id")["value_e"].shift(1)
+    ref = df.sort_values("event_id").reset_index(drop=True)
+    got = a.set_index("event_id")
+    for eid, r in ref.set_index("event_id").iterrows():
+        g = got.loc[eid]
+        assert int(g["value_e"]) == int(r["value_e"])
+        if pd.isna(r["prev_value_e"]):
+            assert pd.isna(g["prev_value_e"]) and pd.isna(g["delta_e"])
+        else:
+            assert int(g["prev_value_e"]) == int(r["prev_value_e"])
+            assert int(g["delta_e"]) == int(r["value_e"] - r["prev_value_e"])
