@@ -907,6 +907,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY qs.q
             ORDER BY qs.q
         """,
+        "quantiles_value_by_type": """
+            WITH p AS (
+                SELECT ln((1.0+0.01)/(1.0-0.01)) AS lg
+            ),
+            v AS (
+                SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
+                WHERE event_type IS NOT NULL AND value > 0
+            ),
+            b AS (
+                SELECT event_type,
+                       CAST(ceil(ln(x) * (1.0/(SELECT lg FROM p))) AS BIGINT) AS k,
+                       COUNT(*) AS c
+                FROM v GROUP BY 1, 2
+            ),
+            o AS (
+                SELECT event_type, k,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY k) AS cum,
+                       SUM(c) OVER (PARTITION BY event_type) AS n
+                FROM b
+            ),
+            qs(q) AS (VALUES (0.25),(0.5),(0.9),(0.99))
+            SELECT o.event_type, qs.q AS q,
+                   CAST(FLOOR(2*exp(MIN(o.k) * (SELECT lg FROM p))
+                              / (exp((SELECT lg FROM p)) + 1)
+                              * 1000000.0 + 0.5) AS BIGINT) AS value_micro
+            FROM qs JOIN o ON o.cum > qs.q * (o.n - 1)
+            GROUP BY o.event_type, qs.q
+        """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents

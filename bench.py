@@ -162,6 +162,8 @@ HEADLINE = [
     "distinct_terms_per_lang",
     # round 5: per-key LAG window (prev value + exact fixed-point delta)
     "events_user_deltas",
+    # round 5: grouped DDSketch quantiles (GROUP BY key + percentile)
+    "quantiles_value_by_type",
 ]
 
 

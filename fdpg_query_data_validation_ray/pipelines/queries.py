@@ -1311,6 +1311,30 @@ def q_quantiles_nchars(sf_dir: str):
     )
 
 
+def q_quantiles_value_by_type(sf_dir: str):
+    """Grouped DDSketch quantiles (GROUP BY key + percentile at scale): per
+    event_type quantiles of the positive values. The exchange moves
+    (key, sketch) rows — O(keys × blocks) bounded bytes, never data rows —
+    and the bucket math replays per group in the SQL oracle, hash-exact
+    (stages/stats.py:quantile_by_key)."""
+    from fdpg_query_data_validation_ray.stages.stats import quantile_by_key
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = quantile_by_key(ds, "event_type", "value",
+                          qs=(0.25, 0.5, 0.9, 0.99))
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("q", pa.float64()),
+            ("value_micro", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_type", "q", "value_micro"]).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 def q_corpus_validate(sf_dir: str):
     """Flagship: derive the (repo,path,commit,lang,content) corpus from the
     documents table, run the checkpointed validation pipeline, return the
@@ -2751,6 +2775,7 @@ QUERIES = {
     "sample_k_docs": q_sample_k_docs,
     "c4_filter_docs": q_c4_filter_docs,
     "distinct_terms_per_lang": q_distinct_terms_per_lang,
+    "quantiles_value_by_type": q_quantiles_value_by_type,
     "corpus_validate": q_corpus_validate,
 }
 

@@ -381,3 +381,95 @@ def distinct_count_per_key(ds, key_column: str, value_column: str,
         .aggregate(Count(alias_name="_n"))
     )
     return pairs.groupby(key_column).aggregate(Count(alias_name=alias))
+
+
+def quantile_by_key(ds, key_column: str, value_column: str,
+                    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+                    alpha: float = 0.01,
+                    batch_size: int = 8192):
+    """Grouped quantiles at scale: per-key DDSketch — GROUP BY key +
+    percentile, the grouped leg next to the global `quantiles_nchars` plan.
+
+    Per batch, ONE lexsort groups the batch's rows by key and each key's
+    positive values feed a DDSketch (the per-key loop is over distinct keys
+    in the batch, not rows; add_values is vectorized). The exchange then
+    moves (key, sketch-bytes) rows — O(keys × blocks), bounded per row by
+    the sketch's bucket count, never data rows. A key-hash COARSE partition
+    merge (one pandas group per part, same plan as stages/temporal.py)
+    merges each key's sketches — commutative counter addition, so results
+    are identical under any batching/partitioning — and emits len(qs) rows
+    per key.
+
+    Exactness contract: the DD bucket index is a pure function of the value
+    (ceil(ln(x)/ln(gamma))), so a SQL oracle that replays the bucket math
+    per group reproduces the SAME quantile values, hash-exact (see the
+    quantiles_nchars oracle). Only positive values rank (DD positive store;
+    mirror with WHERE x > 0); null/≤0-only keys emit nothing."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+
+    n_parts = _verify_parts()
+
+    def local_sketch(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_column], pa.string())
+        x = pc.cast(t[value_column], pa.float64())
+        mask = pc.and_(pc.is_valid(k), pc.greater(x, 0.0))
+        k = k.filter(mask).to_numpy(zero_copy_only=False)
+        x = x.filter(mask).to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table(
+                {
+                    key_column: pa.array([], pa.string()),
+                    "dd": pa.array([], pa.binary()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+        codes, uniques = pd.factorize(pd.Series(k), sort=False)
+        order = np.argsort(codes, kind="stable")
+        codes_s, x_s = codes[order], x[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        )
+        ends = np.append(starts[1:], len(codes_s))
+        keys_out, blobs = [], []
+        for s, e in zip(starts, ends):
+            sk = DDSketch(alpha)
+            sk.add_values(x_s[s:e])
+            keys_out.append(uniques[codes_s[s]])
+            blobs.append(sk.to_bytes())
+        ko = pa.array(keys_out, pa.string())
+        part = pa.array(
+            (hash64(ko) & np.uint64(n_parts - 1)).astype(np.int32)
+        )
+        return pa.table(
+            {key_column: ko, "dd": pa.array(blobs, pa.binary()), "part": part}
+        )
+
+    qs_arr = np.asarray(qs, dtype=np.float64)
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        keys_out, q_out, v_out = [], [], []
+        for key, grp in g.groupby(key_column, sort=False):
+            merged = DDSketch(alpha)
+            for raw in grp["dd"]:
+                merged.merge(DDSketch.from_bytes(raw))
+            if merged.n == 0:
+                continue
+            for q in qs_arr:
+                keys_out.append(key)
+                q_out.append(float(q))
+                v_out.append(int(np.floor(merged.quantile(q) * 1e6 + 0.5)))
+        return pd.DataFrame(
+            {
+                key_column: pd.Series(keys_out, dtype="string"),
+                "q": pd.Series(q_out, dtype="float64"),
+                "value_micro": pd.Series(v_out, dtype="int64"),
+            }
+        )
+
+    sketches = ds.map_batches(
+        local_sketch, batch_format="pyarrow", batch_size=batch_size
+    )
+    return sketches.groupby("part").map_groups(merge_part, batch_format="pandas")

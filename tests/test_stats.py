@@ -173,3 +173,55 @@ def test_distinct_count_per_key_exact_and_null_safe(ray_session):
             .to_dict()
         )
         assert got == want
+
+
+def test_quantile_by_key_grouped(ray_session):
+    """Per-key DDSketch quantiles: partition invariance, per-key relative
+    error ≤ alpha vs exact quantiles, positive-only + null-key exclusion."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.stats import quantile_by_key
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    keys = rng.choice(["a", "b", "c"], n).astype(object)
+    keys[:5] = None                       # null keys excluded
+    vals = rng.lognormal(0.0, 1.5, n)
+    vals[rng.random(n) < 0.05] *= -1.0    # negatives excluded from ranks
+    t = pa.table({"k": pa.array(keys, pa.string()),
+                  "x": pa.array(vals, pa.float64())})
+
+    def run(parts, batch):
+        return (
+            quantile_by_key(rd.from_arrow(t).repartition(parts), "k", "x",
+                            qs=(0.25, 0.5, 0.9), batch_size=batch)
+            .to_pandas().sort_values(["k", "q"]).reset_index(drop=True)
+        )
+
+    a, b = run(2, 8192), run(11, 257)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["k"]) == {"a", "b", "c"}
+    assert len(a) == 9
+
+    df = pd.DataFrame({"k": keys, "x": vals})
+    df = df[df["k"].notna() & (df["x"] > 0)]
+    for (k, q), grp in a.groupby(["k", "q"]):
+        got = grp["value_micro"].iloc[0] / 1e6
+        xs = np.sort(df[df["k"] == k]["x"].to_numpy())
+        exact = xs[int(q * (len(xs) - 1))]
+        assert abs(got - exact) <= 0.0101 * exact + 1e-9
+
+
+def test_quantile_by_key_empty_and_nonpositive(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.stats import quantile_by_key
+
+    t = pa.table({"k": pa.array(["z", "z", None], pa.string()),
+                  "x": pa.array([-1.0, 0.0, 5.0], pa.float64())})
+    out = quantile_by_key(rd.from_arrow(t), "k", "x").to_pandas()
+    assert len(out) == 0  # no positive values for any non-null key
