@@ -1213,6 +1213,22 @@ def oracle_sql() -> dict[str, str]:
             FROM q
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
+        "events_user_window": """
+            WITH q AS (
+                SELECT user_id, event_id, ts,
+                       CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                            AS BIGINT) AS value_e
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            )
+            SELECT user_id, event_id,
+                   CAST(SUM(value_e) OVER w AS BIGINT) AS win_sum_e,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+            FROM q
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW)
+        """,
         "events_sessionize": """
             WITH e AS (
               SELECT user_id, ts, event_id,

@@ -164,6 +164,8 @@ HEADLINE = [
     "events_user_deltas",
     # round 5: grouped DDSketch quantiles (GROUP BY key + percentile)
     "quantiles_value_by_type",
+    # round 5: per-row time-RANGE rolling window aggregate
+    "events_user_window",
 ]
 
 

@@ -1470,6 +1470,37 @@ def q_events_user_deltas(sf_dir: str):
 
 
 
+def q_events_user_window(sf_dir: str):
+    """Per-row time-RANGE rolling aggregate: each event's trailing-1-hour
+    SUM(value)/COUNT(*) within its user — SUM(..) OVER (PARTITION BY user_id
+    ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) as
+    a distributed coarse-partition kernel
+    (stages/temporal.py:rolling_window_sum). Values quantize to cents BEFORE
+    the prefix sums, so every window sum is exact int64 arithmetic,
+    hash-exact vs the window oracle."""
+    from fdpg_query_data_validation_ray.stages.temporal import rolling_window_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = rolling_window_sum(
+        ds, "user_id", "ts", "event_id", "value",
+        window_us=3_600_000_000, scale=100,
+    )
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("win_sum_e", pa.int64()),
+            ("win_n", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(
+            ["user_id", "event_id", "win_sum_e", "win_n"]
+        ).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 def q_split_docs(sf_dir: str):
     """Deterministic train/val/test assignment by id hash (stages/split.py):
     stable under re-runs, partitioning, and corpus growth; oracle reproduces
@@ -2696,6 +2727,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_range_neighbors": q_events_range_neighbors,
     "events_user_deltas": q_events_user_deltas,
+    "events_user_window": q_events_user_window,
     "issue_dedup_counts": q_issue_dedup_counts,
     "unique_docs_lang_nchars": q_unique_docs_lang_nchars,
     "fk_orders_customer": q_fk_orders_customer,

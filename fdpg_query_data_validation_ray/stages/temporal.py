@@ -758,3 +758,122 @@ def lag_delta(
 
     pruned = ds.map_batches(route, batch_format="pyarrow", batch_size=16384)
     return pruned.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def rolling_window_sum(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_column: str,
+    value_col: str,
+    window_us: int,
+    scale: int = 100,
+    hot_key_limit: int | None = None,
+    hot_key_policy: str = "warn",
+):
+    """Per-row time-RANGE rolling aggregate — SUM(value), COUNT(*) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN `window_us` PRECEDING AND
+    CURRENT ROW) as a distributed operator. The per-ROW window leg next to
+    the bucketized moving sum (`events_hourly_moving` works on hourly
+    aggregates) and `lag_delta` (previous-row access): every raw row gets the
+    exact sum/count of its key's rows in the trailing time interval,
+    including CURRENT-ROW ts peers (SQL RANGE semantics: all rows with
+    ts in [ts_i - window, ts_i], regardless of position).
+
+    Exactness: values quantize to `scale` fixed-point ints BEFORE the cumsum
+    (FLOOR(v*scale+0.5), repo-wide IEEE sequence) so every window sum is
+    int64 arithmetic; SQL's SUM-skips-NULLs is mirrored with a parallel
+    valid-count cumsum (all-NULL window -> NULL sum, COUNT(*) still counts).
+
+    Plan: the coarse-partition shape shared by sessionize/lag_delta —
+    key-hash part routing, ONE kernel per part. Inside a part, each key's
+    run is made GLOBALLY sorted by offsetting ts with a per-key base larger
+    than the part's ts span + window, so two np.searchsorted calls resolve
+    every row's window bounds across all keys at once (no per-key loop); an
+    int64-overflow guard falls back to a per-run loop. Window sums come from
+    prefix-sum differences. A key's rows never straddle parts, so no seam
+    stitching; per-key block sizes are metered against the hot-key guard.
+
+    Null keys and null ts are dropped (mirror the oracle with WHERE key IS
+    NOT NULL AND ts IS NOT NULL); null values count rows but add nothing.
+    """
+    n_parts = _n_parts()
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, ts_col, id_column, value_col])
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t[key_col].combine_chunks()),
+                pc.is_valid(t[ts_col].combine_chunks()),
+            )
+        )
+        x = pc.cast(t[value_col], pa.float64())
+        # NaN behaves as null (SUM skips it), matching SQL null semantics
+        x = pc.if_else(pc.is_nan(x), pa.scalar(None, pa.float64()), x)
+        e = pc.cast(
+            pc.floor(pc.add(pc.multiply(x, float(scale)), 0.5)), pa.int64()
+        )
+        t = t.drop_columns([value_col]).append_column("value_e", e)
+        return t.append_column("part", _part_of(t[key_col], n_parts))
+
+    empty_out = {
+        key_col: pd.Series(dtype="int64"),
+        id_column: pd.Series(dtype="int64"),
+        "win_sum_e": pd.Series(dtype="Int64"),
+        "win_n": pd.Series(dtype="int64"),
+    }
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(empty_out)
+        codes, uniques = pd.factorize(g[key_col], sort=False)
+        ts = _ts_int64(g[ts_col])
+        ids = g[id_column].to_numpy()
+        order = np.lexsort((ids, ts, codes))
+        codes_s, ts_s, ids_s = codes[order], ts[order], ids[order]
+        _check_hot_keys(codes_s, uniques, "rolling_window_sum",
+                        hot_key_limit, hot_key_policy)
+        valid = (~g["value_e"].isna().to_numpy())[order]
+        filled = np.where(
+            valid, g["value_e"].fillna(0).to_numpy(dtype=np.int64)[order], 0
+        )
+
+        span = int(ts_s.max()) - int(ts_s.min())
+        base = span + int(window_us) + 1
+        n_keys = len(uniques)
+        lo_q = ts_s - np.int64(window_us)
+        if n_keys * base < np.iinfo(np.int64).max // 2:
+            # offset trick: per-key base larger than span+window makes the
+            # concatenated ts array globally sorted and windows key-local
+            adj = ts_s + codes_s.astype(np.int64) * np.int64(base)
+            lo = np.searchsorted(adj, codes_s.astype(np.int64)
+                                 * np.int64(base) + lo_q, side="left")
+            hi = np.searchsorted(adj, adj, side="right")
+        else:  # pragma: no cover - astronomically wide ts spans only
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            starts = np.flatnonzero(
+                np.concatenate([[True], codes_s[1:] != codes_s[:-1]]))
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                lo[s:e] = s + np.searchsorted(ts_s[s:e], lo_q[s:e], "left")
+                hi[s:e] = s + np.searchsorted(ts_s[s:e], ts_s[s:e], "right")
+
+        csum = np.concatenate([[0], np.cumsum(filled, dtype=np.int64)])
+        cvalid = np.concatenate([[0], np.cumsum(valid, dtype=np.int64)])
+        win_sum = csum[hi] - csum[lo]
+        win_valid = cvalid[hi] - cvalid[lo]
+        out_sum = pd.array(win_sum, dtype="Int64")
+        out_sum[win_valid == 0] = pd.NA
+        return pd.DataFrame(
+            {
+                key_col: np.asarray(uniques)[codes_s],
+                id_column: ids_s,
+                "win_sum_e": out_sum,
+                "win_n": (hi - lo).astype(np.int64),
+            }
+        )
+
+    pruned = ds.map_batches(route, batch_format="pyarrow", batch_size=16384)
+    return pruned.groupby("part").map_groups(per_part, batch_format="pandas")

@@ -516,3 +516,85 @@ def test_lag_delta_partition_invariance(ray_session):
         else:
             assert int(g["prev_value_e"]) == int(r["prev_value_e"])
             assert int(g["delta_e"]) == int(r["value_e"] - r["prev_value_e"])
+
+
+def test_rolling_window_sum_brute_force_and_invariance(ray_session):
+    """RANGE-window semantics vs an O(n^2) brute force: trailing window
+    includes boundary (ts == cur-W) and ALL current-ts peers; null values
+    count rows but add nothing; all-null windows sum to NULL."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import rolling_window_sum
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    ts = rng.integers(0, 400, n)          # dense ints -> many exact ties
+    vals = rng.normal(0, 50, n)
+    vals[rng.random(n) < 0.08] = np.nan   # null values
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 23, n), pa.int64()),
+            "ts": pa.array(ts, pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    W = 50
+
+    def run(parts, batch=16384):
+        return (
+            rolling_window_sum(
+                rd.from_arrow(t).repartition(parts), "user_id", "ts",
+                "event_id", "value", window_us=W, scale=100)
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+
+    a, b = run(2), run(17)
+    pd.testing.assert_frame_equal(a, b)
+
+    df = t.to_pandas()
+    v_e = np.floor(df["value"].to_numpy() * 100 + 0.5)
+    got = a.set_index("event_id")
+    for i in range(0, n, 7):  # sample rows; full loop is slow
+        u, cur = df["user_id"][i], df["ts"][i]
+        m = (df["user_id"].to_numpy() == u) & (df["ts"].to_numpy() >= cur - W) \
+            & (df["ts"].to_numpy() <= cur)
+        g = got.loc[i]
+        assert int(g["win_n"]) == int(m.sum())
+        w = v_e[m]
+        w = w[~np.isnan(w)]
+        if len(w) == 0:
+            assert pd.isna(g["win_sum_e"])
+        else:
+            assert int(g["win_sum_e"]) == int(w.sum())
+
+
+def test_rolling_window_sum_null_and_edge_semantics(ray_session):
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import rolling_window_sum
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([7, 7, 7, None, 8, 8], pa.int64()),
+            "ts": pa.array([100, 150, 150, 100, 100, None], pa.int64()),
+            "value": pa.array([1.0, None, 2.0, 9.0, None, 4.0], pa.float64()),
+        }
+    )
+    out = (
+        rolling_window_sum(rd.from_arrow(t), "user_id", "ts", "event_id",
+                           "value", window_us=50, scale=100)
+        .to_pandas().set_index("event_id")
+    )
+    # null key (4) and null ts (6) dropped
+    assert set(out.index) == {1, 2, 3, 5}
+    # row 1: only itself
+    assert (int(out.loc[1, "win_sum_e"]), int(out.loc[1, "win_n"])) == (100, 1)
+    # rows 2,3: ts peers at 150, window [100,150] -> rows 1,2,3; null row 2
+    # counts but adds nothing; peers share the same window
+    for eid in (2, 3):
+        assert int(out.loc[eid, "win_n"]) == 3
+        assert int(out.loc[eid, "win_sum_e"]) == 300
+    # row 5: alone, null value -> NULL sum, count 1
+    assert pd.isna(out.loc[5, "win_sum_e"]) and int(out.loc[5, "win_n"]) == 1
