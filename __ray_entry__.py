@@ -1007,6 +1007,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             WHERE rn <= 5
         """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rnk FROM (
+                SELECT lang, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents WHERE lang IS NOT NULL)
+            WHERE rn <= 3
+        """,
         "dedup_exact_docs": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
             FROM documents GROUP BY 1 HAVING COUNT(*) > 1

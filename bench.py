@@ -166,6 +166,8 @@ HEADLINE = [
     "quantiles_value_by_type",
     # round 5: per-row time-RANGE rolling window aggregate
     "events_user_window",
+    # round 5: per-key top-k (descending first_n_per_key)
+    "top_docs_per_lang",
 ]
 
 

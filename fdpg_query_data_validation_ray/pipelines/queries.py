@@ -601,6 +601,33 @@ def q_first_docs_per_lang(sf_dir: str):
     )
 
 
+def q_top_docs_per_lang(sf_dir: str):
+    """Per-key TOP-K: the 3 longest docs per language (n_chars DESC,
+    doc_id tiebreak) — ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+    n_chars DESC, doc_id) <= 3 as the descending leg of first_n_per_key
+    (stages/sampling.py): per-batch local cap is the combiner, the
+    exchange moves O(k · keys · blocks) rows, never the table."""
+    from fdpg_query_data_validation_ray.stages.sampling import first_n_per_key
+
+    ds = _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+    out = first_n_per_key(
+        ds, 3, "lang", ["n_chars", "doc_id"], rank_column="rnk",
+        ascending=[False, True],
+    )
+    schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("doc_id", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("rnk", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(["lang", "doc_id", "n_chars", "rnk"]).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 def q_dedup_exact_docs(sf_dir: str):
     from fdpg_query_data_validation_ray.stages.dedup import exact_duplicate_groups
 
@@ -2747,6 +2774,7 @@ QUERIES = {
     "knn_cosine_ivf": q_knn_cosine_ivf,
     "drift_docs": q_drift_docs,
     "first_docs_per_lang": q_first_docs_per_lang,
+    "top_docs_per_lang": q_top_docs_per_lang,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_exact_props": q_dedup_exact_props,
     "dedup_keep_first": q_dedup_keep_first,

@@ -30,16 +30,25 @@ def first_n_per_key(
     key_column: str,
     order_columns: list[str],
     rank_column: str | None = "rank",
+    ascending: list[bool] | bool = True,
 ):
-    """First `n` rows per `key_column` value, ordered by `order_columns`
-    ascending. Optionally appends a 1-based `rank_column` within each key."""
+    """First `n` rows per `key_column` value under the `order_columns` order
+    (per-column direction via `ascending` — descending first columns make
+    this the per-key TOP-K, e.g. "top 3 docs per language by length"; the
+    grouped ROW_NUMBER() <= n / QUALIFY workhorse). Optionally appends a
+    1-based `rank_column` within each key. Deterministic under any
+    partitioning when the order is total (make the last order column a
+    unique id)."""
     from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
 
     n_parts = _verify_parts()
+    if isinstance(ascending, bool):
+        ascending = [ascending] * len(order_columns)
 
     def local_cap(batch: pd.DataFrame) -> pd.DataFrame:
         out = (
-            batch.sort_values(order_columns, kind="mergesort")
+            batch.sort_values(order_columns, ascending=ascending,
+                              kind="mergesort")
             .groupby(key_column, sort=False)
             .head(n)
         )
@@ -50,7 +59,9 @@ def first_n_per_key(
 
     def final_cap_part(g: pd.DataFrame) -> pd.DataFrame:
         out = (
-            g.sort_values([key_column] + order_columns, kind="mergesort")
+            g.sort_values([key_column] + order_columns,
+                          ascending=[True] + list(ascending),
+                          kind="mergesort")
             .groupby(key_column, sort=False)
             .head(n)
             .drop(columns=["__part"])
