@@ -1087,6 +1087,26 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY pair
             ORDER BY freq DESC, pair LIMIT 50
         """,
+        "entropy_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '\\S+')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS c
+                   FROM toks GROUP BY 1, 2),
+            agg AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                       SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000.0
+                                          + 0.5) AS BIGINT)) AS s
+                FROM tf GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(a.n * CAST(FLOOR(ln(CAST(a.n AS DOUBLE))
+                                 * 1000000.0 + 0.5) AS BIGINT) - a.s, 0)
+                        AS BIGINT) AS ent_num_e6
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "token_count_docs": """
             SELECT doc_id,
                    CASE WHEN text IS NULL OR trim(text) = '' THEN 0

@@ -168,6 +168,8 @@ HEADLINE = [
     "events_user_window",
     # round 5: per-key top-k (descending first_n_per_key)
     "top_docs_per_lang",
+    # round 5: unigram entropy lexical-diversity signal
+    "entropy_docs",
 ]
 
 

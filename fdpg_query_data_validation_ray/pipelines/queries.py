@@ -1649,6 +1649,20 @@ def q_repetition_docs(sf_dir: str):
     )
 
 
+def q_entropy_docs(sf_dir: str):
+    """Unigram Shannon entropy per doc (lexical diversity; low = stuffed
+    boilerplate, anomalously high = noise) — stages/text.py
+    UnigramEntropyStage. ent_num_e6 = n·lnq(n) − Σ c·lnq(c) with per-count
+    e6 ln quantization, so the whole aggregate is exact int64 and the
+    GROUP BY doc,term oracle is hash-exact."""
+    from fdpg_query_data_validation_ray.stages.text import UnigramEntropyStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        UnigramEntropyStage("text"), batch_format="pyarrow", batch_size=1024
+    ).select_columns(["doc_id", "n_tokens", "ent_num_e6"])
+
+
 def q_sample_n_per_lang(sf_dir: str):
     """Deterministic stratified sampling: exactly min(10, |stratum|) docs
     per lang, chosen as the 10 smallest salted-md5 hashes — uniform without
@@ -2775,6 +2789,7 @@ QUERIES = {
     "drift_docs": q_drift_docs,
     "first_docs_per_lang": q_first_docs_per_lang,
     "top_docs_per_lang": q_top_docs_per_lang,
+    "entropy_docs": q_entropy_docs,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_exact_props": q_dedup_exact_props,
     "dedup_keep_first": q_dedup_keep_first,

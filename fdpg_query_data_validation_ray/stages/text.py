@@ -772,6 +772,70 @@ class RepetitionStage:
         )
 
 
+class UnigramEntropyStage:
+    """Per-doc unigram (Shannon) entropy — the lexical-diversity quality
+    signal next to the Gopher repetition fractions: low-entropy docs are
+    keyword-stuffed/boilerplate, abnormally-high-entropy docs are often
+    random noise. Emits
+
+      n_tokens    — token count (lowercased \\S+ runs)
+      ent_num_e6  — n·lnq(n) − Σ_term c·lnq(c)   (lnq(x) = FLOOR(ln(x)·1e6
+                    + 0.5) as int64), i.e. entropy·n in e6 nats, so
+                    H = ent_num_e6 / (n_tokens · 1e6)
+
+    The per-COUNT quantization (the lm_score/tfidf/dsir convention) makes
+    everything after the single ln an exact int64 sum, so the DuckDB oracle
+    (GROUP BY doc, term + the same FLOOR(ln·1e6+0.5)) is hash-exact. Term
+    identity via 64-bit hashes (the RepetitionStage collision caveat,
+    ~1e-16/doc). Zero-token docs emit (0, 0). Fully vectorized: one
+    tokenize pass, one lexsort, reduce-by-run."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+        self.token_re = re.compile(r"\S+")
+
+    def __call__(self, batch):
+        n = _nrows(batch)
+        if n == 0:
+            return _emit(
+                batch,
+                {
+                    "n_tokens": (pd.Series([], dtype=np.int64), pa.int64()),
+                    "ent_num_e6": (pd.Series([], dtype=np.int64), pa.int64()),
+                },
+            )
+        s = _col_series(batch, self.text_column).fillna("").str.lower()
+        flat, counts, _starts = _tokenize_batch(s, self.token_re)
+        nw = counts.astype(np.int64)
+        ent = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            th = hash64(flat)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+            order = np.lexsort((th, doc_idx))
+            d, k = doc_idx[order], th[order]
+            first = np.empty(len(d), dtype=bool)
+            first[0] = True
+            first[1:] = (d[1:] != d[:-1]) | (k[1:] != k[:-1])
+            bounds = np.flatnonzero(first)
+            c = np.diff(np.append(bounds, len(d))).astype(np.int64)
+            lnq_c = np.floor(
+                np.log(c.astype(np.float64)) * 1e6 + 0.5
+            ).astype(np.int64)
+            np.add.at(ent, d[bounds], -c * lnq_c)
+            pos = nw > 0
+            lnq_n = np.floor(
+                np.log(nw[pos].astype(np.float64)) * 1e6 + 0.5
+            ).astype(np.int64)
+            ent[pos] += nw[pos] * lnq_n
+        return _emit(
+            batch,
+            {
+                "n_tokens": (nw, pa.int64()),
+                "ent_num_e6": (ent, pa.int64()),
+            },
+        )
+
+
 # ---------------------------------------------------------------------------
 # LM-perplexity quality filter (CCNet-style, Wenzek et al. 2020)
 # ---------------------------------------------------------------------------

@@ -643,3 +643,54 @@ def test_span_dedup_mode_matrix(ray_session, monkeypatch, sieve, attach):
     )
     pd.testing.assert_frame_equal(out, expected)
     assert out["n_spans_removed"].sum() > 0  # the planted dups actually fired
+
+
+def test_entropy_stage_planted_and_bruteforce():
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from fdpg_query_data_validation_ray.stages.text import UnigramEntropyStage
+
+    def lnq(x):
+        return int(math.floor(math.log(x) * 1e6 + 0.5))
+
+    docs = ["a a a a", "a b c d", "spam spam eggs spam", "", None, "solo",
+            "A a B b"]  # lowercased before counting
+    out = UnigramEntropyStage("text")(pd.DataFrame({"text": docs}))
+    for i, d in enumerate(docs):
+        toks = (d or "").lower().split()
+        n = len(toks)
+        want = 0
+        if n:
+            want = n * lnq(n) - sum(c * lnq(c) for c in Counter(toks).values())
+        assert int(out["n_tokens"][i]) == n
+        assert int(out["ent_num_e6"][i]) == want, d
+    # uniform docs: entropy == 0 exactly; 4 distinct: ent = n*lnq(n)
+    assert int(out["ent_num_e6"][0]) == 0
+    assert int(out["ent_num_e6"][1]) == 4 * lnq(4)
+    # case folding merges A/a
+    assert int(out["ent_num_e6"][6]) == 4 * lnq(4) - 2 * (2 * lnq(2))
+
+    # dual format: pa.Table in == pandas in
+    out2 = UnigramEntropyStage("text")(pa.table({"text": pa.array(docs)}))
+    assert out2["ent_num_e6"].to_pylist() == [int(v) for v in out["ent_num_e6"]]
+
+
+def test_entropy_stage_batch_split_invariance():
+    import pyarrow as pa
+
+    from fdpg_query_data_validation_ray.stages.text import UnigramEntropyStage
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(9)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(0, 30)).tolist())
+            for _ in range(300)]
+    st = UnigramEntropyStage("text")
+    whole = st(pa.table({"text": pa.array(docs)}))
+    parts = [st(pa.table({"text": pa.array(docs[i:i + 37])}))
+             for i in range(0, 300, 37)]
+    merged = pa.concat_tables(parts)
+    assert whole["ent_num_e6"].to_pylist() == merged["ent_num_e6"].to_pylist()
+    assert whole["n_tokens"].to_pylist() == merged["n_tokens"].to_pylist()
