@@ -935,6 +935,33 @@ def oracle_sql() -> dict[str, str]:
             FROM qs JOIN o ON o.cum > qs.q * (o.n - 1)
             GROUP BY o.event_type, qs.q
         """,
+        "zscore_events_by_type": """
+            WITH q AS (
+                SELECT event_id, event_type,
+                       CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                            AS BIGINT) AS x_e
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+                      AND NOT isnan(value)
+            ),
+            m AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x_e) AS BIGINT) AS sum_e,
+                       CAST(SUM(x_e * x_e) AS BIGINT) AS ssq_e
+                FROM q GROUP BY 1
+            )
+            SELECT q.event_id, q.event_type,
+                   CASE WHEN m.n >= 2
+                             AND (m.ssq_e / m.n
+                                  - (m.sum_e / m.n) * (m.sum_e / m.n)) > 0
+                        THEN CAST(FLOOR(
+                            (q.x_e - m.sum_e / m.n)
+                            / sqrt(m.ssq_e / m.n
+                                   - (m.sum_e / m.n) * (m.sum_e / m.n))
+                            * 1000000.0 + 0.5) AS BIGINT)
+                        ELSE NULL END AS z_e6
+            FROM q JOIN m USING (event_type)
+        """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents

@@ -170,6 +170,8 @@ HEADLINE = [
     "top_docs_per_lang",
     # round 5: unigram entropy lexical-diversity signal
     "entropy_docs",
+    # round 5: per-group z-score standardization (broadcast moments)
+    "zscore_events_by_type",
 ]
 
 

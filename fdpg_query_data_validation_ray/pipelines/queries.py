@@ -1362,6 +1362,33 @@ def q_quantiles_value_by_type(sf_dir: str):
     )
 
 
+def q_zscore_events_by_type(sf_dir: str):
+    """Per-group standardization: each event's value z-scored within its
+    event_type (stages/stats.py zscore_by_key) — two-pass broadcast plan:
+    a tiny (key, n, sum_e, ssq_e) moment groupby, ray.put of the O(keys)
+    moment LUT, then a zero-exchange scoring pass. The float finish is one
+    fixed IEEE sequence replayed verbatim in the oracle, hash-exact."""
+    from fdpg_query_data_validation_ray.stages.stats import zscore_by_key
+
+    cols = ["event_id", "event_type", "value"]
+    out = zscore_by_key(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        _read(sf_dir, "events", cols),
+        "event_type", "value", "event_id", scale=100,
+    )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("z_e6", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "event_type", "z_e6"]).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 def q_corpus_validate(sf_dir: str):
     """Flagship: derive the (repo,path,commit,lang,content) corpus from the
     documents table, run the checkpointed validation pipeline, return the
@@ -2851,6 +2878,7 @@ QUERIES = {
     "c4_filter_docs": q_c4_filter_docs,
     "distinct_terms_per_lang": q_distinct_terms_per_lang,
     "quantiles_value_by_type": q_quantiles_value_by_type,
+    "zscore_events_by_type": q_zscore_events_by_type,
     "corpus_validate": q_corpus_validate,
 }
 

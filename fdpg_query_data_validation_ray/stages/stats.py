@@ -473,3 +473,115 @@ def quantile_by_key(ds, key_column: str, value_column: str,
         local_sketch, batch_format="pyarrow", batch_size=batch_size
     )
     return sketches.groupby("part").map_groups(merge_part, batch_format="pandas")
+
+
+def zscore_by_key(ds_moments, ds_rows, key_column: str, value_column: str,
+                  id_column: str, scale: int = 100,
+                  max_keys: int = 1_000_000):
+    """Per-group standardization: z = (x − mean_key) / std_key — the score-
+    normalization step quality pipelines apply before combining signals
+    across heterogeneous groups (per-language perplexity, per-source length,
+    …). Two-pass broadcast plan, NO row shuffle:
+
+      pass 1 (ds_moments): values quantize to `scale` fixed-point ints, a
+        per-batch groupby emits (key, n, sum_e, ssq_e) partials — the
+        combiner — and ONE tiny groupby sums them; the driver receives only
+        O(keys) moment rows (guarded by `max_keys`), never data.
+      pass 2 (ds_rows): the moment dict broadcasts via ray.put and a
+        map_batches computes each row's z with ZERO exchange.
+
+    Exactness contract: n, sum_e = Σx_e, ssq_e = Σx_e² are exact int64
+    (x_e ≤ ~3e6 ⇒ x_e² ≤ ~9e12 ⇒ ~1e6 rows/key before int64 pressure —
+    guard asserts), and the float finish is ONE fixed IEEE sequence
+    replayed verbatim in the oracle:
+
+        z_e6 = FLOOR((x_e − sum_e/n) / sqrt(ssq_e/n − (sum_e/n)*(sum_e/n))
+                     * 1e6 + 0.5)
+
+    Rows whose key has n < 2 or zero variance emit NULL z (SQL STDDEV-ish
+    degeneracy); null keys/values are excluded on both sides."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray
+
+    def partial_moments(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_column], pa.string())
+        x = pc.cast(t[value_column], pa.float64())
+        mask = pc.and_(pc.is_valid(k), pc.and_(pc.is_valid(x),
+                                               pc.invert(pc.is_nan(x))))
+        k = k.filter(mask)
+        x_e = pc.cast(
+            pc.floor(pc.add(pc.multiply(x.filter(mask), float(scale)), 0.5)),
+            pa.int64(),
+        )
+        pt = pa.table({key_column: k, "x_e": x_e})
+        sq = pc.multiply(pt["x_e"], pt["x_e"])
+        pt = pt.append_column("sq", sq)
+        g = pt.group_by([key_column]).aggregate(
+            [("x_e", "count"), ("x_e", "sum"), ("sq", "sum")]
+        )
+        return g.rename_columns([key_column, "n", "sum_e", "ssq_e"])
+
+    from ray.data.aggregate import Sum
+
+    moments = (
+        ds_moments.map_batches(partial_moments, batch_format="pyarrow",
+                               batch_size=16384)
+        .groupby(key_column)
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_e", alias_name="sum_e"),
+                   Sum("ssq_e", alias_name="ssq_e"))
+    )
+    mt = moments.to_pandas()
+    if len(mt) > max_keys:
+        raise ValueError(
+            f"zscore_by_key: {len(mt)} keys exceed the broadcast budget "
+            f"({max_keys}); standardize within coarser groups or raise it"
+        )
+    keys = mt[key_column].tolist()
+    lut = (
+        dict(zip(keys, mt["n"].astype("int64"))),
+        dict(zip(keys, mt["sum_e"].astype("int64"))),
+        dict(zip(keys, mt["ssq_e"].astype("int64"))),
+    )
+    lut_ref = ray.put(lut)
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        m = _ray.get(lut_ref) if isinstance(lut_ref, _ray.ObjectRef) else lut_ref
+        k = pc.cast(t[key_column], pa.string())
+        x = pc.cast(t[value_column], pa.float64())
+        mask = pc.and_(pc.is_valid(k), pc.and_(pc.is_valid(x),
+                                               pc.invert(pc.is_nan(x))))
+        t = t.filter(mask)
+        k = pc.cast(t[key_column], pa.string()).to_pandas()
+        x_e = pc.cast(
+            pc.floor(pc.add(pc.multiply(pc.cast(t[value_column], pa.float64()),
+                                        float(scale)), 0.5)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        d_n, d_s, d_q = m
+        nn = k.map(d_n).to_numpy(dtype=np.float64, na_value=0.0)
+        se = k.map(d_s).to_numpy(dtype=np.float64, na_value=0.0)
+        sq = k.map(d_q).to_numpy(dtype=np.float64, na_value=0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = se / nn
+            var = sq / nn - mean * mean
+            std = np.sqrt(var)
+            z = (x_e - mean) / std
+            z_e6 = np.floor(z * 1e6 + 0.5)
+        ok = (nn >= 2) & (var > 0) & np.isfinite(z_e6)
+        out = pd.array(np.where(ok, z_e6, 0).astype(np.int64), dtype="Int64")
+        out[~ok] = pd.NA
+        return pa.table(
+            {
+                id_column: t[id_column],
+                key_column: t[key_column],
+                "z_e6": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds_rows.map_batches(score, batch_format="pyarrow",
+                               batch_size=16384)

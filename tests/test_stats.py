@@ -225,3 +225,82 @@ def test_quantile_by_key_empty_and_nonpositive(ray_session):
                   "x": pa.array([-1.0, 0.0, 5.0], pa.float64())})
     out = quantile_by_key(rd.from_arrow(t), "k", "x").to_pandas()
     assert len(out) == 0  # no positive values for any non-null key
+
+
+def test_zscore_by_key_matches_numpy_and_degenerates(ray_session):
+    """z values match a float brute force within quantization; single-row
+    and zero-variance keys emit NULL; null keys/values dropped; result
+    invariant to partitioning."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.stats import zscore_by_key
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    keys = rng.choice(["a", "b", "c"], n).astype(object)
+    keys[:4] = None
+    vals = np.round(rng.normal(50, 20, n), 2)
+    vals[4:8] = np.nan
+    t = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "k": pa.array(keys, pa.string()),
+        "v": pa.array(vals, pa.float64()),
+    })
+    # degenerate keys: one singleton, one constant
+    extra = pa.table({
+        "id": pa.array([90001, 90002, 90003], pa.int64()),
+        "k": pa.array(["solo", "const", "const"], pa.string()),
+        "v": pa.array([5.0, 7.0, 7.0], pa.float64()),
+    })
+    t = pa.concat_tables([t, extra])
+
+    def run(parts):
+        ds = rd.from_arrow(t).repartition(parts)
+        return (
+            zscore_by_key(ds, rd.from_arrow(t).repartition(parts),
+                          "k", "v", "id")
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+
+    a, b = run(2), run(13)
+    pd.testing.assert_frame_equal(a, b)
+
+    got = a.set_index("id")
+    assert set(a["id"]) == set(
+        int(i) for i, k, v in zip(t["id"].to_pylist(), t["k"].to_pylist(),
+                                  t["v"].to_pylist())
+        if k is not None and v is not None and v == v
+    )
+    assert pd.isna(got.loc[90001, "z_e6"])  # singleton
+    assert pd.isna(got.loc[90002, "z_e6"])  # zero variance
+    assert pd.isna(got.loc[90003, "z_e6"])
+
+    df = pd.DataFrame({"id": t["id"].to_pylist(), "k": t["k"].to_pylist(),
+                       "v": t["v"].to_pylist()})
+    df = df[df["k"].isin(["a", "b", "c"]) & df["v"].notna()]
+    df["x"] = np.floor(df["v"] * 100 + 0.5)
+    for k, g in df.groupby("k"):
+        mu, sd = g["x"].mean(), g["x"].std(ddof=0)
+        for _, r in g.sample(30, random_state=0).iterrows():
+            want = (r["x"] - mu) / sd
+            assert abs(got.loc[r["id"], "z_e6"] / 1e6 - want) < 2e-5
+
+
+def test_zscore_by_key_budget_guard(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.stats import zscore_by_key
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "k": pa.array(["a", "b", "c"], pa.string()),
+        "v": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+    with pytest.raises(ValueError, match="broadcast budget"):
+        zscore_by_key(rd.from_arrow(t), rd.from_arrow(t), "k", "v", "id",
+                      max_keys=2)
