@@ -935,6 +935,19 @@ def oracle_sql() -> dict[str, str]:
             FROM qs JOIN o ON o.cum > qs.q * (o.n - 1)
             GROUP BY o.event_type, qs.q
         """,
+        "events_type_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click')    AS n_click,
+                   COUNT(*) FILTER (event_type = 'view')     AS n_view,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+                   COUNT(*) FILTER (event_type = 'error')    AS n_error,
+                   COUNT(*) FILTER (event_type IS NULL OR event_type NOT IN
+                       ('click','view','purchase','signup','error'))
+                       AS n_other
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id
+        """,
         "zscore_events_by_type": """
             WITH q AS (
                 SELECT event_id, event_type,

@@ -172,6 +172,8 @@ HEADLINE = [
     "entropy_docs",
     # round 5: per-group z-score standardization (broadcast moments)
     "zscore_events_by_type",
+    # round 5: pivot / one-hot wide aggregate
+    "events_type_pivot",
 ]
 
 

@@ -1389,6 +1389,21 @@ def q_zscore_events_by_type(sf_dir: str):
     )
 
 
+def q_events_type_pivot(sf_dir: str):
+    """Pivot / one-hot aggregate: per user, COUNT(*) per event type as wide
+    columns (stages/stats.py pivot_counts) — the event-log → per-entity
+    feature-vector step. One factorize + scatter per batch is the combiner;
+    the exchange moves wide partial rows, never events. Declared pivot
+    domain (SQL PIVOT ... IN contract); unseen types land in n_other."""
+    from fdpg_query_data_validation_ray.stages.stats import pivot_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_counts(
+        ds, "user_id", "event_type",
+        values=["click", "view", "purchase", "signup", "error"],
+    )
+
+
 def q_corpus_validate(sf_dir: str):
     """Flagship: derive the (repo,path,commit,lang,content) corpus from the
     documents table, run the checkpointed validation pipeline, return the
@@ -2879,6 +2894,7 @@ QUERIES = {
     "distinct_terms_per_lang": q_distinct_terms_per_lang,
     "quantiles_value_by_type": q_quantiles_value_by_type,
     "zscore_events_by_type": q_zscore_events_by_type,
+    "events_type_pivot": q_events_type_pivot,
     "corpus_validate": q_corpus_validate,
 }
 

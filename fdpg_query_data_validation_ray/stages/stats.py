@@ -585,3 +585,53 @@ def zscore_by_key(ds_moments, ds_rows, key_column: str, value_column: str,
 
     return ds_rows.map_batches(score, batch_format="pyarrow",
                                batch_size=16384)
+
+
+def pivot_counts(ds, key_column: str, pivot_column: str,
+                 values: list[str], other_alias: str = "n_other",
+                 batch_size: int = 16384):
+    """Pivot / one-hot aggregate: one row per key with COUNT(*) per pivot
+    value as WIDE columns (n_<value> …, plus `other_alias` for values
+    outside the list) — the GROUP BY + COUNT(*) FILTER / PIVOT workhorse
+    that turns an event log into a per-entity feature vector.
+
+    The pivot domain must be declared (same contract as SQL PIVOT … IN):
+    wide schemas need fixed columns. Per batch, ONE factorize + np.add.at
+    scatter builds a (keys × values) count matrix — the combiner — so the
+    exchange moves O(batch-keys) wide partial rows, never events; a tiny
+    per-column Sum groupby finishes. Null keys are excluded (SQL non-null
+    grouping); null pivot values count toward `other_alias`."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    val_cols = [f"n_{v}" for v in values]
+    val_idx = {v: i for i, v in enumerate(values)}
+    n_vals = len(values)
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t[key_column]
+        mask = pc.is_valid(k.combine_chunks())
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            cols = {key_column: pa.array([], t.schema.field(key_column).type)}
+            for c in val_cols + [other_alias]:
+                cols[c] = pa.array([], pa.int64())
+            return pa.table(cols)
+        keys = t[key_column].to_pandas()
+        codes, uniques = pd.factorize(keys, sort=False)
+        pv = t[pivot_column].to_pandas()
+        cols_of = pv.map(val_idx).fillna(n_vals).to_numpy(dtype=np.int64)
+        m = np.zeros((len(uniques), n_vals + 1), dtype=np.int64)
+        np.add.at(m, (codes, cols_of), 1)
+        out = {key_column: pa.array(uniques)}
+        for j, c in enumerate(val_cols):
+            out[c] = pa.array(m[:, j], pa.int64())
+        out[other_alias] = pa.array(m[:, n_vals], pa.int64())
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+    aggs = [Sum(c, alias_name=c) for c in val_cols + [other_alias]]
+    return partials.groupby(key_column).aggregate(*aggs)

@@ -304,3 +304,40 @@ def test_zscore_by_key_budget_guard(ray_session):
     with pytest.raises(ValueError, match="broadcast budget"):
         zscore_by_key(rd.from_arrow(t), rd.from_arrow(t), "k", "v", "id",
                       max_keys=2)
+
+
+def test_pivot_counts_exact_and_null_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.stats import pivot_counts
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    keys = rng.integers(0, 40, n).astype(object)
+    keys[:3] = None                          # null keys dropped
+    pvs = rng.choice(["x", "y", "z", "weird"], n).astype(object)
+    pvs[3:6] = None                          # null pivot values -> other
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "p": pa.array(pvs, pa.string())})
+
+    def run(parts):
+        return (
+            pivot_counts(rd.from_arrow(t).repartition(parts), "k", "p",
+                         values=["x", "y", "z"])
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+
+    a, b = run(2), run(11)
+    pd.testing.assert_frame_equal(a, b)
+
+    df = pd.DataFrame({"k": keys, "p": pvs})
+    df = df[df["k"].notna()]
+    for _, r in a.iterrows():
+        g = df[df["k"] == r["k"]]
+        for v in ["x", "y", "z"]:
+            assert r[f"n_{v}"] == (g["p"] == v).sum()
+        assert r["n_other"] == ((g["p"] == "weird") | g["p"].isna()).sum()
+    assert a["k"].notna().all()
