@@ -1127,6 +1127,23 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY pair
             ORDER BY freq DESC, pair LIMIT 50
         """,
+        "top_terms_per_lang": """
+            WITH words AS (
+              SELECT lang,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '\\S+')) AS term
+              FROM documents WHERE lang IS NOT NULL),
+            counts AS (
+              SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+              FROM words GROUP BY 1, 2),
+            ranked AS (
+              SELECT lang, term, n,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                         ORDER BY n DESC, term) AS rn
+              FROM counts)
+            SELECT lang, term, n, CAST(rn AS BIGINT) AS rnk
+            FROM ranked WHERE rn <= 5
+        """,
         "entropy_docs": """
             WITH toks AS (
                 SELECT doc_id,

@@ -174,6 +174,8 @@ HEADLINE = [
     "zscore_events_by_type",
     # round 5: pivot / one-hot wide aggregate
     "events_type_pivot",
+    # round 5: exact grouped heavy hitters (top terms per language)
+    "top_terms_per_lang",
 ]
 
 

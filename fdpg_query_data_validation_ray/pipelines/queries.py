@@ -1846,6 +1846,56 @@ def q_distinct_terms_per_lang(sf_dir: str):
     return distinct_count_per_key(pairs, "lang", "term", alias="n_distinct_terms")
 
 
+def q_top_terms_per_lang(sf_dir: str):
+    """Exact GROUPED heavy hitters: the 5 most frequent terms per language
+    (count DESC, term ASC tiebreak) — the per-key leg next to the global
+    two-pass `heavy_terms_docs`. Pure composition: per-batch (lang, term)
+    count partials (the combiner — the exchange moves count rows, never
+    tokens), one Sum groupby, then the descending per-key cap
+    (stages/sampling.py first_n_per_key). Hash-exact vs the ROW_NUMBER
+    oracle."""
+    from ray.data.aggregate import Sum
+
+    from fdpg_query_data_validation_ray.stages.sampling import first_n_per_key
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.fill_null(pc.cast(t["text"], pa.string()), ""))
+        wl = pc.split_pattern_regex(txt, r"\s+")
+        flat = pc.list_flatten(wl)
+        par = pc.list_parent_indices(wl)
+        lang = pc.take(t["lang"].combine_chunks(), par)
+        keep = pc.and_(pc.not_equal(flat, ""), pc.is_valid(lang))
+        pt = pa.table(
+            {"lang": pc.filter(lang, keep), "term": pc.filter(flat, keep)}
+        )
+        g = pt.group_by(["lang", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "term", "n"])
+
+    counts = (
+        ds.map_batches(pair_counts, batch_format="pyarrow", batch_size=2048)
+        .groupby(["lang", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    out = first_n_per_key(
+        counts, 5, "lang", ["n", "term"], rank_column="rnk",
+        ascending=[False, True],
+    )
+    schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("term", pa.string()),
+            ("n", pa.int64()),
+            ("rnk", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(["lang", "term", "n", "rnk"]).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 def q_c4_filter_docs(sf_dir: str):
     """C4 line-level structural cleaning (stages/text.py C4LineFilterStage):
     plant deterministic 4-word lines with parity punctuation (identically in
@@ -2895,6 +2945,7 @@ QUERIES = {
     "quantiles_value_by_type": q_quantiles_value_by_type,
     "zscore_events_by_type": q_zscore_events_by_type,
     "events_type_pivot": q_events_type_pivot,
+    "top_terms_per_lang": q_top_terms_per_lang,
     "corpus_validate": q_corpus_validate,
 }
 
