@@ -1127,6 +1127,14 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY pair
             ORDER BY freq DESC, pair LIMIT 50
         """,
+        "ntile_docs": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+                   CAST(NTILE(4) OVER w AS BIGINT) AS bucket
+            FROM documents
+            WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+            WINDOW w AS (ORDER BY n_chars, doc_id)
+        """,
         "top_terms_per_lang": """
             WITH words AS (
               SELECT lang,

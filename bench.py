@@ -176,6 +176,8 @@ HEADLINE = [
     "events_type_pivot",
     # round 5: exact grouped heavy hitters (top terms per language)
     "top_terms_per_lang",
+    # round 5: NTILE quantile bucketize (curriculum binning)
+    "ntile_docs",
 ]
 
 

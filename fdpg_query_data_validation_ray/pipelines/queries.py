@@ -1404,6 +1404,23 @@ def q_events_type_pivot(sf_dir: str):
     )
 
 
+def q_ntile_docs(sf_dir: str):
+    """NTILE(4) curriculum binning: every doc gets its length quartile under
+    the global (n_chars, doc_id) order (stages/topk.py ntile on top of
+    range_rank). Integer NTILE math on both sides, hash-exact."""
+    from fdpg_query_data_validation_ray.stages.topk import ntile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = ntile(ds, 4, "n_chars", "doc_id", descending=False)
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("rank", pa.int64()), ("bucket", pa.int64())]
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "rank", "bucket"]).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 def q_corpus_validate(sf_dir: str):
     """Flagship: derive the (repo,path,commit,lang,content) corpus from the
     documents table, run the checkpointed validation pipeline, return the
@@ -2946,6 +2963,7 @@ QUERIES = {
     "zscore_events_by_type": q_zscore_events_by_type,
     "events_type_pivot": q_events_type_pivot,
     "top_terms_per_lang": q_top_terms_per_lang,
+    "ntile_docs": q_ntile_docs,
     "corpus_validate": q_corpus_validate,
 }
 

@@ -314,3 +314,50 @@ def take_top_fraction(ds, key_column: str, id_column: str, numer: int,
         return t.filter(pc.less_equal(t[rank_column], thr))
 
     return ranked.map_batches(keep, batch_format="pyarrow")
+
+
+def ntile(ds, k: int, key_column: str, id_column: str,
+          descending: bool = False, rank_column: str = "rank",
+          bucket_column: str = "bucket"):
+    """NTILE(k): assign every row its k-quantile bucket under the global
+    (key [DESC], id) order — curriculum / difficulty binning ("train on the
+    easiest quartile first"), score-band stratification. The bucketize leg
+    on top of range_rank's exact global ROW_NUMBER.
+
+    SQL NTILE semantics replayed with INTEGER math on both sides: with
+    q = n // k and r = n % k, the first r buckets hold q+1 rows, so
+
+        bucket(rank) = (rank-1) // (q+1) + 1              if rank <= r*(q+1)
+                       r + (rank-1 - r*(q+1)) // q + 1    otherwise
+
+    Rank-eligible rows only (range_rank's domain: null key/id and NaN keys
+    excluded). The rank table is materialized once ((id, rank) is 16 B/row,
+    spill-safe) to read n; the bucket map is then a zero-exchange
+    map_batches."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"need k >= 1: {k}")
+    ranked = range_rank(
+        ds, key_column, id_column, descending=descending,
+        rank_column=rank_column,
+    ).materialize()
+    n = ranked.count()
+    if n == 0:
+        return ranked
+    q, r = divmod(n, k)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        rk = t[rank_column].to_numpy(zero_copy_only=False)
+        if q == 0:
+            b = rk  # n < k: one row per bucket, bucket == rank
+        else:
+            cut = r * (q + 1)
+            b = np.where(
+                rk <= cut,
+                (rk - 1) // (q + 1) + 1,
+                r + (rk - 1 - cut) // q + 1,
+            )
+        return t.append_column(bucket_column, pa.array(b, pa.int64()))
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow")

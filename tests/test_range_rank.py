@@ -145,3 +145,50 @@ def test_sample_k_deterministic_and_uniformish(ray_session):
     for d in big["doc_id"]:
         if d < 2000:
             assert d in small_set
+
+
+def test_ntile_distribution_and_edge_cases(ray_session):
+    """NTILE(k): first n%k buckets get the extra row; n<k degenerates to
+    bucket==rank; partition-invariant."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.topk import ntile
+
+    rng = np.random.default_rng(31)
+    n = 1003                      # 1003 = 4*250 + 3 -> sizes 251,251,251,250
+    t = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(rng.normal(0, 1, n), pa.float64()),
+    })
+
+    def run(parts):
+        return (
+            ntile(rd.from_arrow(t).repartition(parts), 4, "v", "id")
+            .to_pandas().sort_values("rank").reset_index(drop=True)
+        )
+
+    a, b = run(2), run(9)
+    pd.testing.assert_frame_equal(a, b)
+    sizes = a.groupby("bucket").size()
+    assert sizes.tolist() == [251, 251, 251, 250]
+    # bucket is monotone in rank and matches the integer NTILE formula
+    q, r = divmod(n, 4)
+    cut = r * (q + 1)
+    rk = a["rank"].to_numpy()
+    want = np.where(rk <= cut, (rk - 1) // (q + 1) + 1,
+                    r + (rk - 1 - cut) // q + 1)
+    assert (a["bucket"].to_numpy() == want).all()
+    # order agrees with a full sort
+    df = t.to_pandas().sort_values(["v", "id"]).reset_index(drop=True)
+    assert (a["id"].to_numpy() == df["id"].to_numpy()).all()
+
+    # n < k: one row per bucket, bucket == rank
+    small = pa.table({"id": pa.array([1, 2], pa.int64()),
+                      "v": pa.array([5.0, 1.0], pa.float64())})
+    s = (ntile(rd.from_arrow(small), 7, "v", "id")
+         .to_pandas().sort_values("rank"))
+    assert s["bucket"].tolist() == [1, 2]
+    assert s["id"].tolist() == [2, 1]
