@@ -1127,6 +1127,24 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY pair
             ORDER BY freq DESC, pair LIMIT 50
         """,
+        "events_funnel": """
+            WITH e AS (
+                SELECT user_id, ts, event_type FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            )
+            SELECT a.user_id, MIN(a.ts) AS first_start_ts
+            FROM e a
+            WHERE a.event_type = 'view' AND EXISTS (
+                SELECT 1 FROM e b
+                WHERE b.user_id = a.user_id AND b.event_type = 'click'
+                  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+                  AND EXISTS (
+                    SELECT 1 FROM e c
+                    WHERE c.user_id = b.user_id
+                      AND c.event_type = 'purchase'
+                      AND c.ts > b.ts AND c.ts <= b.ts + INTERVAL 6 HOUR))
+            GROUP BY a.user_id
+        """,
         "ntile_docs": """
             SELECT doc_id,
                    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,

@@ -178,6 +178,8 @@ HEADLINE = [
     "top_terms_per_lang",
     # round 5: NTILE quantile bucketize (curriculum binning)
     "ntile_docs",
+    # round 5: event-funnel sequence detection
+    "events_funnel",
 ]
 
 

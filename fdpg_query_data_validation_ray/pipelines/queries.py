@@ -1404,6 +1404,32 @@ def q_events_type_pivot(sf_dir: str):
     )
 
 
+def q_events_funnel(sf_dir: str):
+    """Event-funnel detection: users who view → click → purchase with each
+    step within 6 hours of the previous, strictly time-ordered; per
+    converting user the earliest chain-start ts
+    (stages/temporal.py funnel_first_conversion). Backward-induction
+    kernel over coarse key-hash parts; the oracle needs nested EXISTS
+    self-joins — no SQL window form exists."""
+    from fdpg_query_data_validation_ray.stages.temporal import (
+        funnel_first_conversion,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = funnel_first_conversion(
+        ds, "user_id", "ts", "event_type",
+        steps=["view", "click", "purchase"],
+        window_us=6 * 3600 * 1_000_000,
+    )
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("first_start_ts", pa.timestamp("us"))]
+    )
+    return out.map_batches(
+        lambda t: t.select(["user_id", "first_start_ts"]).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 def q_ntile_docs(sf_dir: str):
     """NTILE(4) curriculum binning: every doc gets its length quartile under
     the global (n_chars, doc_id) order (stages/topk.py ntile on top of
@@ -2964,6 +2990,7 @@ QUERIES = {
     "events_type_pivot": q_events_type_pivot,
     "top_terms_per_lang": q_top_terms_per_lang,
     "ntile_docs": q_ntile_docs,
+    "events_funnel": q_events_funnel,
     "corpus_validate": q_corpus_validate,
 }
 

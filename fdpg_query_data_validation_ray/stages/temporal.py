@@ -877,3 +877,109 @@ def rolling_window_sum(
 
     pruned = ds.map_batches(route, batch_format="pyarrow", batch_size=16384)
     return pruned.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def funnel_first_conversion(
+    ds,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    window_us: int,
+    first_ts_col: str = "first_start_ts",
+    hot_key_limit: int | None = None,
+    hot_key_policy: str = "warn",
+):
+    """Event-funnel detection: per key, the EARLIEST start of a completed
+    step chain — "did this user view → click → purchase, each step within
+    `window_us` of the previous, in strict time order?" — the behavioral
+    sequence operator next to sessionize (no SQL window form; the oracle
+    needs nested EXISTS self-joins). Emits one row per CONVERTING key:
+    (key, first_start_ts = min step-1 ts that heads a full chain).
+
+    Chain semantics: strictly increasing ts, each consecutive gap in
+    (0, window_us]. Exact for every key via backward induction — a row at
+    step j qualifies iff SOME qualifying step-j+1 row lands in
+    (ts, ts + window]; the minimum qualifying next-time > ts decides, so
+    one searchsorted per step resolves all rows at once (last step always
+    qualifies). Rows of all keys are processed together: the per-key ts
+    offset-base trick (rolling_window_sum) makes the part's time axis
+    globally sorted with bands wider than span + window, so a chain can
+    never cross keys.
+
+    Plan: route keeps only step-typed rows (columns pruned, types filtered
+    AT THE READ side of the exchange), coarse key-hash partition, ONE
+    vectorized kernel per part, O(steps) searchsorted passes. Null
+    keys/ts excluded (mirror in the oracle)."""
+    n_parts = _n_parts()
+    step_of = {s: i for i, s in enumerate(steps)}
+    k_steps = len(steps)
+    if k_steps < 2:
+        raise ValueError("funnel needs >= 2 steps")
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, ts_col, type_col])
+        m = pc.and_(
+            pc.is_valid(t[key_col].combine_chunks()),
+            pc.and_(
+                pc.is_valid(t[ts_col].combine_chunks()),
+                pc.is_in(t[type_col].combine_chunks(),
+                         value_set=pa.array(steps)),
+            ),
+        )
+        t = t.filter(m)
+        return t.append_column("part", _part_of(t[key_col], n_parts))
+
+    empty_out = {
+        key_col: pd.Series(dtype="int64"),
+        first_ts_col: pd.Series(dtype="datetime64[us]"),
+    }
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(empty_out)
+        codes, uniques = pd.factorize(g[key_col], sort=False)
+        ts = _ts_int64(g[ts_col])
+        sidx = g[type_col].map(step_of).to_numpy(dtype=np.int64)
+        order = np.lexsort((ts, codes))
+        codes_s, ts_s, sidx_s = codes[order], ts[order], sidx[order]
+        _check_hot_keys(codes_s, uniques, "funnel", hot_key_limit,
+                        hot_key_policy)
+        span = int(ts_s.max()) - int(ts_s.min())
+        base = np.int64(span + int(window_us) + 1)
+        adj = ts_s + codes_s.astype(np.int64) * base
+
+        # backward induction over steps: qual = sorted adj times at step
+        # j+1 that head a completed suffix chain
+        qual = adj[sidx_s == (k_steps - 1)]
+        for j in range(k_steps - 2, -1, -1):
+            mine = sidx_s == j
+            t_j = adj[mine]
+            pos = np.searchsorted(qual, t_j, side="right")
+            ok = np.zeros(len(t_j), dtype=bool)
+            has = pos < len(qual)
+            ok[has] = qual[pos[has]] <= t_j[has] + np.int64(window_us)
+            if j == 0:
+                conv = mine.copy()
+                conv[mine] = ok
+                break
+            qual = t_j[ok]
+        if not conv.any():
+            return pd.DataFrame(empty_out)
+        c0, t0 = codes_s[conv], ts_s[conv]
+        first = pd.DataFrame({"c": c0, "t": t0}).groupby("c", sort=False)[
+            "t"].min()
+        raw = g[ts_col].to_numpy()
+        unit = "datetime64[us]" if np.issubdtype(raw.dtype, np.datetime64) \
+            else None
+        vals = first.to_numpy()
+        return pd.DataFrame(
+            {
+                key_col: np.asarray(uniques)[first.index.to_numpy()],
+                first_ts_col: vals.astype(unit) if unit else vals,
+            }
+        )
+
+    pruned = ds.map_batches(route, batch_format="pyarrow", batch_size=16384)
+    return pruned.groupby("part").map_groups(per_part, batch_format="pandas")

@@ -598,3 +598,91 @@ def test_rolling_window_sum_null_and_edge_semantics(ray_session):
         assert int(out.loc[eid, "win_sum_e"]) == 300
     # row 5: alone, null value -> NULL sum, count 1
     assert pd.isna(out.loc[5, "win_sum_e"]) and int(out.loc[5, "win_n"]) == 1
+
+
+def test_funnel_first_conversion_brute_force(ray_session):
+    """3-step funnel vs an O(n^3) brute force over random event logs:
+    strict time order, per-gap window, earliest qualifying start; keys
+    with no chain emit nothing; partition-invariant."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import (
+        funnel_first_conversion,
+    )
+
+    rng = np.random.default_rng(37)
+    n = 4000
+    t = pa.table(
+        {
+            "u": pa.array(rng.integers(0, 60, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 2000, n), pa.int64()),
+            "et": pa.array(rng.choice(["A", "B", "C", "noise"], n),
+                           pa.string()),
+        }
+    )
+    W = 40
+
+    def run(parts):
+        return (
+            funnel_first_conversion(
+                rd.from_arrow(t).repartition(parts), "u", "ts", "et",
+                steps=["A", "B", "C"], window_us=W)
+            .to_pandas().sort_values("u").reset_index(drop=True)
+        )
+
+    a, b = run(2), run(17)
+    pd.testing.assert_frame_equal(a, b)
+
+    df = t.to_pandas()
+    want = {}
+    for u, g in df.groupby("u"):
+        ta = sorted(g[g["et"] == "A"]["ts"])
+        tb = sorted(g[g["et"] == "B"]["ts"])
+        tc = sorted(g[g["et"] == "C"]["ts"])
+        best = None
+        for x in ta:
+            if any(x < y <= x + W and any(y < z <= y + W for z in tc)
+                   for y in tb):
+                best = x
+                break
+        if best is not None:
+            want[u] = best
+    got = dict(zip(a["u"], a["first_start_ts"]))
+    assert {int(k): int(v) for k, v in got.items()} == want
+
+
+def test_funnel_edge_semantics(ray_session):
+    """Boundary inclusion (gap == window), strictness (gap 0 fails),
+    non-greedy start (early A that can't chain doesn't block a later A
+    from converting — but the emitted ts is the earliest QUALIFYING A)."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import (
+        funnel_first_conversion,
+    )
+
+    rows = [
+        # u1: A@0 orphan; A@100 -> B@110 -> C@120 converts; first = 100
+        (1, 0, "A"), (1, 100, "A"), (1, 110, "B"), (1, 120, "C"),
+        # u2: exact-boundary gaps (10) both steps -> converts at 0
+        (2, 0, "A"), (2, 10, "B"), (2, 20, "C"),
+        # u3: zero gap A==B ts -> strict > fails
+        (3, 0, "A"), (3, 0, "B"), (3, 5, "C"),
+        # u4: B before A only -> no chain
+        (4, 5, "B"), (4, 6, "C"), (4, 7, "A"),
+    ]
+    t = pa.table(
+        {
+            "u": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "et": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    out = (
+        funnel_first_conversion(rd.from_arrow(t), "u", "ts", "et",
+                                steps=["A", "B", "C"], window_us=10)
+        .to_pandas().set_index("u")
+    )
+    assert set(out.index) == {1, 2}
+    assert int(out.loc[1, "first_start_ts"]) == 100
+    assert int(out.loc[2, "first_start_ts"]) == 0
