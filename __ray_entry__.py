@@ -1127,6 +1127,51 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY pair
             ORDER BY freq DESC, pair LIMIT 50
         """,
+        "clip_events_by_type": """
+            WITH p AS (
+                SELECT ln((1.0+0.01)/(1.0-0.01)) AS lg
+            ),
+            v AS (
+                SELECT event_id, event_type, CAST(value AS DOUBLE) AS x
+                FROM events
+                WHERE event_type IS NOT NULL AND value > 0
+            ),
+            b AS (
+                SELECT event_type,
+                       CAST(ceil(ln(x) * (1.0/(SELECT lg FROM p)))
+                            AS BIGINT) AS k,
+                       COUNT(*) AS c
+                FROM v GROUP BY 1, 2
+            ),
+            o AS (
+                SELECT event_type, k,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY k)
+                           AS cum,
+                       SUM(c) OVER (PARTITION BY event_type) AS n
+                FROM b
+            ),
+            qs(q) AS (VALUES (0.05), (0.95)),
+            band AS (
+                SELECT o.event_type, qs.q,
+                       CAST(FLOOR(2*exp(MIN(o.k) * (SELECT lg FROM p))
+                                  / (exp((SELECT lg FROM p)) + 1)
+                                  * 1000000.0 + 0.5) AS BIGINT) AS vm
+                FROM qs JOIN o ON o.cum > qs.q * (o.n - 1)
+                GROUP BY o.event_type, qs.q
+            ),
+            wide AS (
+                SELECT event_type,
+                       MAX(vm) FILTER (q = 0.05) AS lo,
+                       MAX(vm) FILTER (q = 0.95) AS hi
+                FROM band GROUP BY event_type
+            )
+            SELECT v.event_id, v.event_type,
+                   CAST(FLOOR(v.x * 1000000.0 + 0.5) AS BIGINT) AS value_e6,
+                   LEAST(GREATEST(
+                       CAST(FLOOR(v.x * 1000000.0 + 0.5) AS BIGINT),
+                       w.lo), w.hi) AS clipped_e6
+            FROM v JOIN wide w USING (event_type)
+        """,
         "events_funnel": """
             WITH e AS (
                 SELECT user_id, ts, event_type FROM events

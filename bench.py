@@ -180,6 +180,8 @@ HEADLINE = [
     "ntile_docs",
     # round 5: event-funnel sequence detection
     "events_funnel",
+    # round 5: per-group quantile winsorization
+    "clip_events_by_type",
 ]
 
 

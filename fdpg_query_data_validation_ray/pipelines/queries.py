@@ -1447,6 +1447,34 @@ def q_ntile_docs(sf_dir: str):
     )
 
 
+def q_clip_events_by_type(sf_dir: str):
+    """Per-group winsorization: each event's value clamped to its
+    event_type's [p5, p95] DDSketch band (stages/stats.py
+    clip_by_key_quantiles) — two-pass broadcast plan, zero row shuffle;
+    the DD bucket math and the integer clamp replay in SQL, hash-exact."""
+    from fdpg_query_data_validation_ray.stages.stats import clip_by_key_quantiles
+
+    out = clip_by_key_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        "event_type", "value", "event_id", lo_q=0.05, hi_q=0.95,
+    )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value_e6", pa.int64()),
+            ("clipped_e6", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(
+            ["event_id", "event_type", "value_e6", "clipped_e6"]
+        ).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 def q_corpus_validate(sf_dir: str):
     """Flagship: derive the (repo,path,commit,lang,content) corpus from the
     documents table, run the checkpointed validation pipeline, return the
@@ -2991,6 +3019,7 @@ QUERIES = {
     "top_terms_per_lang": q_top_terms_per_lang,
     "ntile_docs": q_ntile_docs,
     "events_funnel": q_events_funnel,
+    "clip_events_by_type": q_clip_events_by_type,
     "corpus_validate": q_corpus_validate,
 }
 

@@ -635,3 +635,73 @@ def pivot_counts(ds, key_column: str, pivot_column: str,
                               batch_size=batch_size)
     aggs = [Sum(c, alias_name=c) for c in val_cols + [other_alias]]
     return partials.groupby(key_column).aggregate(*aggs)
+
+
+def clip_by_key_quantiles(ds_build, ds_rows, key_column: str,
+                          value_column: str, id_column: str,
+                          lo_q: float = 0.05, hi_q: float = 0.95,
+                          alpha: float = 0.01, max_keys: int = 1_000_000):
+    """Per-group winsorization: clamp every row's value to its key's
+    [lo_q, hi_q] quantile band — the robust-clipping step feature pipelines
+    apply before scaling (outlier capping that adapts per group). Two-pass
+    broadcast plan like zscore_by_key:
+
+      pass 1: `quantile_by_key` (per-key DDSketch, (key, sketch) exchange)
+        yields the per-key band; the driver holds O(keys) rows
+        (budget-guarded) and broadcasts a {key: (lo_e6, hi_e6)} LUT.
+      pass 2: zero-exchange map_batches clamps each row's e6-quantized
+        value with two vectorized min/max.
+
+    Exactness: the DD bucket index is a pure function of the value, so the
+    SQL oracle replays the SAME band (the quantiles_value_by_type bucket
+    math) and LEAST/GREATEST on the same e6 ints — hash-exact. DD ranks
+    positive values only; rows with value ≤ 0 / null / null key are
+    excluded on both sides."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray
+
+    bands = quantile_by_key(ds_build, key_column, value_column,
+                            qs=(lo_q, hi_q), alpha=alpha).to_pandas()
+    n_keys = bands[key_column].nunique()
+    if n_keys > max_keys:
+        raise ValueError(
+            f"clip_by_key_quantiles: {n_keys} keys exceed the broadcast "
+            f"budget ({max_keys})"
+        )
+    lo = bands[bands["q"] == lo_q].set_index(key_column)["value_micro"]
+    hi = bands[bands["q"] == hi_q].set_index(key_column)["value_micro"]
+    lut_ref = ray.put((lo.to_dict(), hi.to_dict()))
+
+    def clamp(t: pa.Table) -> pa.Table:
+        d_lo, d_hi = ray.get(lut_ref) if isinstance(
+            lut_ref, ray.ObjectRef) else lut_ref
+        k = pc.cast(t[key_column], pa.string())
+        x = pc.cast(t[value_column], pa.float64())
+        mask = pc.and_(pc.is_valid(k),
+                       pc.and_(pc.is_valid(x), pc.greater(x, 0.0)))
+        t = t.filter(mask)
+        ks = pc.cast(t[key_column], pa.string()).to_pandas()
+        x_e6 = pc.cast(
+            pc.floor(pc.add(pc.multiply(pc.cast(t[value_column],
+                                                pa.float64()),
+                                        1e6), 0.5)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        lo_v = ks.map(d_lo).to_numpy(dtype=np.float64, na_value=np.nan)
+        hi_v = ks.map(d_hi).to_numpy(dtype=np.float64, na_value=np.nan)
+        ok = ~np.isnan(lo_v)
+        clipped = np.clip(x_e6, np.where(ok, lo_v, -np.inf),
+                          np.where(ok, hi_v, np.inf)).astype(np.int64)
+        return pa.table(
+            {
+                id_column: t[id_column],
+                key_column: t[key_column],
+                "value_e6": pa.array(x_e6, pa.int64()),
+                "clipped_e6": pa.array(clipped, pa.int64()),
+            }
+        )
+
+    return ds_rows.map_batches(clamp, batch_format="pyarrow",
+                               batch_size=16384)

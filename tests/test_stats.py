@@ -341,3 +341,53 @@ def test_pivot_counts_exact_and_null_semantics(ray_session):
             assert r[f"n_{v}"] == (g["p"] == v).sum()
         assert r["n_other"] == ((g["p"] == "weird") | g["p"].isna()).sum()
     assert a["k"].notna().all()
+
+
+def test_clip_by_key_quantiles_band_and_invariance(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.stats import clip_by_key_quantiles
+
+    rng = np.random.default_rng(43)
+    n = 5000
+    keys = rng.choice(["a", "b"], n).astype(object)
+    keys[:3] = None
+    vals = rng.lognormal(1.0, 1.2, n)
+    vals[3:6] = -1.0  # non-positive excluded
+
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "k": pa.array(keys, pa.string()),
+                  "v": pa.array(vals, pa.float64())})
+
+    def run(parts):
+        ds = rd.from_arrow(t).repartition(parts)
+        return (
+            clip_by_key_quantiles(ds, rd.from_arrow(t).repartition(parts),
+                                  "k", "v", "id")
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+
+    a, b = run(2), run(13)
+    pd.testing.assert_frame_equal(a, b)
+
+    df = pd.DataFrame({"id": np.arange(n), "k": keys, "v": vals})
+    df = df[df["k"].notna() & (df["v"] > 0)]
+    assert set(a["id"]) == set(df["id"])
+    # clipped within band; interior values untouched; band ~ [p5, p95]
+    # within DD relative error
+    for k, g in a.groupby("k"):
+        lo, hi = g["clipped_e6"].min(), g["clipped_e6"].max()
+        assert (g["clipped_e6"] >= lo).all() and (g["clipped_e6"] <= hi).all()
+        inner = g[(g["value_e6"] > lo) & (g["value_e6"] < hi)]
+        assert (inner["clipped_e6"] == inner["value_e6"]).all()
+        xs = np.sort(df[df["k"] == k]["v"].to_numpy())
+        p5 = xs[int(0.05 * (len(xs) - 1))]
+        p95 = xs[int(0.95 * (len(xs) - 1))]
+        assert abs(lo / 1e6 - p5) <= 0.011 * p5 + 1e-9
+        assert abs(hi / 1e6 - p95) <= 0.011 * p95 + 1e-9
+    # clip fraction sane: at most ~12% of rows clipped per side
+    frac = (a["clipped_e6"] != a["value_e6"]).mean()
+    assert frac <= 0.25
