@@ -1127,6 +1127,20 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY pair
             ORDER BY freq DESC, pair LIMIT 50
         """,
+        "diff_docs_halves": """
+            WITH a AS (
+                SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_a
+                FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+            b AS (
+                SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_b
+                FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2)
+            SELECT COALESCE(a.lang, b.lang) AS lang,
+                   COALESCE(a.source, b.source) AS source,
+                   COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+            FROM a FULL JOIN b ON a.lang IS NOT DISTINCT FROM b.lang
+                              AND a.source IS NOT DISTINCT FROM b.source
+            WHERE COALESCE(n_a, 0) <> COALESCE(n_b, 0)
+        """,
         "clip_events_by_type": """
             WITH p AS (
                 SELECT ln((1.0+0.01)/(1.0-0.01)) AS lg

@@ -182,6 +182,8 @@ HEADLINE = [
     "events_funnel",
     # round 5: per-group quantile winsorization
     "clip_events_by_type",
+    # round 5: distributed multiset diff (EXCEPT ALL with counts)
+    "diff_docs_halves",
 ]
 
 

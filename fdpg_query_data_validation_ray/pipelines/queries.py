@@ -1475,6 +1475,38 @@ def q_clip_events_by_type(sf_dir: str):
     )
 
 
+def q_diff_docs_halves(sf_dir: str):
+    """Distributed multiset diff (EXCEPT ALL both directions, with counts):
+    compare the (lang, source) multiset of even-doc_id documents against
+    odd-doc_id documents (stages/stats.py multiset_diff) — the pipeline
+    regression primitive. Combiner partials per side union into ONE
+    groupby; exchange moves distinct-tuple count rows only."""
+    from fdpg_query_data_validation_ray.stages.stats import multiset_diff
+
+    def half(par: int):
+        ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+        return ds.map_batches(
+            lambda t, p=par: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
+            ).select(["lang", "source"]),
+            batch_format="pyarrow",
+        )
+
+    out = multiset_diff(half(0), half(1), ["lang", "source"])
+    schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(["lang", "source", "n_a", "n_b"]).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 def q_corpus_validate(sf_dir: str):
     """Flagship: derive the (repo,path,commit,lang,content) corpus from the
     documents table, run the checkpointed validation pipeline, return the
@@ -3020,6 +3052,7 @@ QUERIES = {
     "ntile_docs": q_ntile_docs,
     "events_funnel": q_events_funnel,
     "clip_events_by_type": q_clip_events_by_type,
+    "diff_docs_halves": q_diff_docs_halves,
     "corpus_validate": q_corpus_validate,
 }
 

@@ -705,3 +705,55 @@ def clip_by_key_quantiles(ds_build, ds_rows, key_column: str,
 
     return ds_rows.map_batches(clamp, batch_format="pyarrow",
                                batch_size=16384)
+
+
+def multiset_diff(ds_a, ds_b, columns: list[str],
+                  batch_size: int = 16384):
+    """Distributed multiset comparison — EXCEPT ALL in both directions at
+    once: one row per `columns` tuple whose multiplicity differs between
+    the two datasets, with both counts (n_a, n_b). The pipeline-regression
+    primitive: "did this refactor change the output?", "what did the new
+    filter remove?" — a full-row diff that never collects rows.
+
+    Per side, a per-batch groupby-count partial is the combiner (the
+    exchange moves distinct-tuple count rows, never data rows); the two
+    partial streams UNION (Ray Dataset union is zero-copy lazy) into ONE
+    groupby over the tuple columns summing per-side counts; equal-count
+    tuples drop. Null tuple components group like SQL's IS NOT DISTINCT
+    (DuckDB GROUP BY treats NULLs as equal), so diffs are exact on null
+    rows too. Output is O(distinct differing tuples)."""
+    from ray.data.aggregate import Sum
+
+    def partial(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            g = t.select(columns).group_by(columns).aggregate(
+                [([], "count_all")]
+            )
+            n = g.column("count_all")
+            zero = pa.array(np.zeros(len(n), np.int64))
+            return pa.table(
+                {
+                    **{c: g[c] for c in columns},
+                    "n_a": n if side == 0 else zero,
+                    "n_b": zero if side == 0 else n,
+                }
+            )
+        return f
+
+    pa_ = ds_a.map_batches(partial(0), batch_format="pyarrow",
+                           batch_size=batch_size)
+    pb_ = ds_b.map_batches(partial(1), batch_format="pyarrow",
+                           batch_size=batch_size)
+    summed = (
+        pa_.union(pb_)
+        .groupby(columns)
+        .aggregate(Sum("n_a", alias_name="n_a"),
+                   Sum("n_b", alias_name="n_b"))
+    )
+
+    def keep_diff(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.invert(pc.equal(t["n_a"], t["n_b"])))
+
+    return summed.map_batches(keep_diff, batch_format="pyarrow")

@@ -391,3 +391,49 @@ def test_clip_by_key_quantiles_band_and_invariance(ray_session):
     # clip fraction sane: at most ~12% of rows clipped per side
     frac = (a["clipped_e6"] != a["value_e6"]).mean()
     assert frac <= 0.25
+
+
+def test_multiset_diff_exact_with_nulls(ray_session):
+    """Multiset EXCEPT-with-counts: exact multiplicities both directions,
+    null tuple components group as equal, identical multisets vanish,
+    partition-invariant."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.stats import multiset_diff
+
+    a = pa.table({
+        "x": pa.array(["p", "p", "q", None, None, "r"], pa.string()),
+        "y": pa.array([1, 1, 2, 3, 3, None], pa.int64()),
+    })
+    b = pa.table({
+        "x": pa.array(["p", "q", "q", None, "r"], pa.string()),
+        "y": pa.array([1, 2, 2, 3, None], pa.int64()),
+    })
+
+    def run(parts):
+        return (
+            multiset_diff(rd.from_arrow(a).repartition(parts),
+                          rd.from_arrow(b).repartition(parts), ["x", "y"])
+            .to_pandas()
+            .sort_values(["x", "y"], na_position="last")
+            .reset_index(drop=True)
+        )
+
+    r1, r2 = run(1), run(3)
+    pd.testing.assert_frame_equal(r1, r2)
+    want = {
+        ("p", 1): (2, 1),
+        ("q", 2): (1, 2),
+        (None, 3): (2, 1),
+    }
+    got = {
+        (None if pd.isna(r["x"]) else r["x"],
+         None if pd.isna(r["y"]) else int(r["y"])): (int(r["n_a"]), int(r["n_b"]))
+        for _, r in r1.iterrows()
+    }
+    assert got == want
+    # identical multisets -> empty diff
+    empty = multiset_diff(rd.from_arrow(a), rd.from_arrow(a), ["x", "y"])
+    assert empty.count() == 0
