@@ -1127,6 +1127,43 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY pair
             ORDER BY freq DESC, pair LIMIT 50
         """,
+        "corr_lineitem": """
+            WITH q AS (
+                SELECT l_returnflag AS k,
+                       CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 1.0 + 0.5)
+                            AS BIGINT) AS xe,
+                       CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 1.0
+                                  + 0.5) AS BIGINT) AS ye
+                FROM lineitem
+                WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+                      AND l_extendedprice IS NOT NULL
+            ),
+            m AS (
+                SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(xe) AS BIGINT) AS sx,
+                       CAST(SUM(ye) AS BIGINT) AS sy,
+                       CAST(SUM(xe * ye) AS BIGINT) AS sxy,
+                       CAST(SUM(xe * xe) AS BIGINT) AS sxx,
+                       CAST(SUM(ye * ye) AS BIGINT) AS syy
+                FROM q GROUP BY k
+            )
+            SELECT k AS l_returnflag, n,
+                   CASE WHEN n >= 2
+                             AND CAST(n AS DOUBLE) * sxx
+                                 - CAST(sx AS DOUBLE) * sx > 0
+                             AND CAST(n AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * sy > 0
+                        THEN CAST(FLOOR(
+                            (CAST(n AS DOUBLE) * sxy
+                             - CAST(sx AS DOUBLE) * sy)
+                            / (sqrt(CAST(n AS DOUBLE) * sxx
+                                    - CAST(sx AS DOUBLE) * sx)
+                               * sqrt(CAST(n AS DOUBLE) * syy
+                                      - CAST(sy AS DOUBLE) * sy))
+                            * 1000000.0 + 0.5) AS BIGINT)
+                        ELSE NULL END AS corr_e6
+            FROM m
+        """,
         "diff_docs_halves": """
             WITH a AS (
                 SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_a

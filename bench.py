@@ -184,6 +184,8 @@ HEADLINE = [
     "clip_events_by_type",
     # round 5: distributed multiset diff (EXCEPT ALL with counts)
     "diff_docs_halves",
+    # round 5: per-group Pearson correlation (integer-moment combiner)
+    "corr_lineitem",
 ]
 
 

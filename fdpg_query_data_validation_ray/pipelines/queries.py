@@ -1507,6 +1507,32 @@ def q_diff_docs_halves(sf_dir: str):
     )
 
 
+def q_corr_lineitem(sf_dir: str):
+    """Per-group Pearson correlation of quantity vs extendedprice per
+    returnflag (stages/stats.py corr_by_key): five exact integer moments
+    per batch groupby are the combiner, one tiny Sum groupby merges, a
+    zero-exchange map finishes the ONE fixed IEEE r formula — hash-exact
+    vs the verbatim SQL replay. Quantity in units, price in whole dollars
+    (int64 headroom documented in the stage)."""
+    from fdpg_query_data_validation_ray.stages.stats import corr_by_key
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = corr_by_key(ds, "l_returnflag", "l_quantity", "l_extendedprice",
+                      x_scale=1, y_scale=1)
+    schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("n", pa.int64()),
+            ("corr_e6", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(["l_returnflag", "n", "corr_e6"]).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 def q_corpus_validate(sf_dir: str):
     """Flagship: derive the (repo,path,commit,lang,content) corpus from the
     documents table, run the checkpointed validation pipeline, return the
@@ -3053,6 +3079,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "clip_events_by_type": q_clip_events_by_type,
     "diff_docs_halves": q_diff_docs_halves,
+    "corr_lineitem": q_corr_lineitem,
     "corpus_validate": q_corpus_validate,
 }
 

@@ -757,3 +757,93 @@ def multiset_diff(ds_a, ds_b, columns: list[str],
         return t.filter(pc.invert(pc.equal(t["n_a"], t["n_b"])))
 
     return summed.map_batches(keep_diff, batch_format="pyarrow")
+
+
+def corr_by_key(ds, key_column: str, x_column: str, y_column: str,
+                x_scale: int = 1, y_scale: int = 1,
+                batch_size: int = 16384):
+    """Per-group Pearson correlation — the feature-screening aggregate
+    ("which quality signals move together, per language/source?"). Pure
+    combiner shape: per batch, ONE pyarrow groupby emits the five exact
+    integer moments (n, Σx, Σy, Σxy, Σx², Σy²) over scale-quantized
+    values; a tiny Sum groupby merges them; a final zero-exchange map
+    finishes
+
+        r = (n·Σxy − Σx·Σy)
+            / (sqrt(n·Σx² − Σx·Σx) · sqrt(n·Σy² − Σy·Σy))
+
+    in ONE fixed IEEE sequence (each moment exact int64 → float64), so the
+    SQL oracle replays it verbatim, hash-exact. Rows with null key/x/y or
+    NaN are excluded; keys with n < 2 or zero variance on either side emit
+    NULL. Int64 headroom: per-key Σ(x_e²) must stay below 2^63 — pick
+    scales so max|x_e| ≤ ~3e6 at ~1e6 rows/key (the zscore_by_key bound);
+    beyond that, standardize per partition first."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t[key_column].combine_chunks()
+        x = pc.cast(t[x_column], pa.float64())
+        y = pc.cast(t[y_column], pa.float64())
+        m = pc.and_(pc.is_valid(k), pc.and_(
+            pc.and_(pc.is_valid(x), pc.invert(pc.is_nan(x))),
+            pc.and_(pc.is_valid(y), pc.invert(pc.is_nan(y))),
+        ))
+        t2 = pa.table({key_column: k, "x": x, "y": y}).filter(m)
+        xe = pc.cast(pc.floor(pc.add(pc.multiply(t2["x"], float(x_scale)),
+                                     0.5)), pa.int64())
+        ye = pc.cast(pc.floor(pc.add(pc.multiply(t2["y"], float(y_scale)),
+                                     0.5)), pa.int64())
+        pt = pa.table(
+            {
+                key_column: t2[key_column],
+                "sx": xe,
+                "sy": ye,
+                "sxy": pc.multiply(xe, ye),
+                "sxx": pc.multiply(xe, xe),
+                "syy": pc.multiply(ye, ye),
+            }
+        )
+        g = pt.group_by([key_column]).aggregate(
+            [("sx", "count"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")]
+        )
+        return g.rename_columns(
+            [key_column, "n", "sx", "sy", "sxy", "sxx", "syy"]
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=batch_size)
+        .groupby(key_column)
+        .aggregate(*(Sum(c, alias_name=c)
+                     for c in ("n", "sx", "sy", "sxy", "sxx", "syy")))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = t["syy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = (n * sxy - sx * sy) / (np.sqrt(vx) * np.sqrt(vy))
+            r_e6 = np.floor(r * 1e6 + 0.5)
+        ok = (n >= 2) & (vx > 0) & (vy > 0) & np.isfinite(r_e6)
+        out = pd.array(np.where(ok, r_e6, 0).astype(np.int64), dtype="Int64")
+        out[~ok] = pd.NA
+        return pa.table(
+            {
+                key_column: t[key_column],
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "corr_e6": pa.array(out, pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -437,3 +437,45 @@ def test_multiset_diff_exact_with_nulls(ray_session):
     # identical multisets -> empty diff
     empty = multiset_diff(rd.from_arrow(a), rd.from_arrow(a), ["x", "y"])
     assert empty.count() == 0
+
+
+def test_corr_by_key_matches_numpy_and_degenerates(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.stats import corr_by_key
+
+    rng = np.random.default_rng(47)
+    n = 3000
+    keys = rng.choice(["a", "b"], n)
+    x = rng.integers(1, 50, n).astype(np.float64)
+    y = 3.0 * x + rng.normal(0, 10, n)          # strong positive corr
+    t = pa.table({"k": pa.array(keys, pa.string()),
+                  "x": pa.array(x, pa.float64()),
+                  "y": pa.array(y, pa.float64())})
+    extra = pa.table({"k": pa.array(["solo", "const", "const"], pa.string()),
+                      "x": pa.array([1.0, 2.0, 3.0], pa.float64()),
+                      "y": pa.array([1.0, 5.0, 5.0], pa.float64())})
+    t = pa.concat_tables([t, extra])
+
+    def run(parts):
+        return (
+            corr_by_key(rd.from_arrow(t).repartition(parts), "k", "x", "y",
+                        x_scale=1, y_scale=100)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+
+    a, b = run(2), run(9)
+    pd.testing.assert_frame_equal(a, b)
+    got = a.set_index("k")
+    assert pd.isna(got.loc["solo", "corr_e6"])    # n < 2
+    assert pd.isna(got.loc["const", "corr_e6"])   # zero y variance
+    df = pd.DataFrame({"k": keys,
+                       "xe": np.floor(x + 0.5),
+                       "ye": np.floor(y * 100 + 0.5)})
+    for k, g in df.groupby("k"):
+        want = np.corrcoef(g["xe"], g["ye"])[0, 1]
+        assert abs(got.loc[k, "corr_e6"] / 1e6 - want) < 1e-4
+        assert int(got.loc[k, "n"]) == len(g)
