@@ -1127,6 +1127,17 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY pair
             ORDER BY freq DESC, pair LIMIT 50
         """,
+        "truncate_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), '\\S+') AS tl
+                FROM documents)
+            SELECT doc_id,
+                   array_to_string(tl[1:64], ' ') AS text_trunc,
+                   CAST(len(tl) AS BIGINT) AS n_tokens,
+                   len(tl) > 64 AS was_truncated
+            FROM toks
+        """,
         "corr_lineitem": """
             WITH q AS (
                 SELECT l_returnflag AS k,

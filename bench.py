@@ -186,6 +186,8 @@ HEADLINE = [
     "diff_docs_halves",
     # round 5: per-group Pearson correlation (integer-moment combiner)
     "corr_lineitem",
+    # round 5: max-length token truncation
+    "truncate_docs",
 ]
 
 

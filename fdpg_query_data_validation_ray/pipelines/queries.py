@@ -1834,6 +1834,19 @@ def q_entropy_docs(sf_dir: str):
     ).select_columns(["doc_id", "n_tokens", "ent_num_e6"])
 
 
+def q_truncate_docs(sf_dir: str):
+    """Max-length truncation to 64 tokens (tokenize→truncate→detokenize,
+    stages/text.py TruncateTokensStage) — all Arrow kernels, zero-copy;
+    byte-exact vs the list-slice + array_to_string oracle."""
+    from fdpg_query_data_validation_ray.stages.text import TruncateTokensStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        TruncateTokensStage("text", 64), batch_format="pyarrow",
+        batch_size=1024,
+    ).select_columns(["doc_id", "text_trunc", "n_tokens", "was_truncated"])
+
+
 def q_sample_n_per_lang(sf_dir: str):
     """Deterministic stratified sampling: exactly min(10, |stratum|) docs
     per lang, chosen as the 10 smallest salted-md5 hashes — uniform without
@@ -3080,6 +3093,7 @@ QUERIES = {
     "clip_events_by_type": q_clip_events_by_type,
     "diff_docs_halves": q_diff_docs_halves,
     "corr_lineitem": q_corr_lineitem,
+    "truncate_docs": q_truncate_docs,
     "corpus_validate": q_corpus_validate,
 }
 

@@ -521,6 +521,45 @@ class NormalizeTextStage:
         )
 
 
+class TruncateTokensStage:
+    """Max-length truncation: keep the first `max_tokens` whitespace tokens
+    of each doc, single-space joined — the tokenize→truncate→detokenize
+    preprocessing every context-bounded training pipeline applies. Emits
+    `out_column` (truncated text), `n_tokens` (pre-truncation count) and
+    `was_truncated`. 100% Arrow kernels, zero-copy: trim → split(\\s+) →
+    list_slice → binary_join; the all-whitespace/empty/null edge (where a
+    split of '' yields one empty token) is corrected with a mask so counts
+    match regexp_extract_all('\\S+') semantics, byte-for-byte replayable
+    in SQL via list slicing + array_to_string."""
+
+    def __init__(self, text_column: str, max_tokens: int,
+                 out_column: str = "text_trunc"):
+        self.text_column = text_column
+        self.max_tokens = int(max_tokens)
+        self.out_column = out_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(batch[self.text_column], pa.string()), "")
+        trimmed = pc.utf8_trim_whitespace(txt)
+        wl = pc.split_pattern_regex(trimmed, r"\s+")
+        n = pc.cast(pc.list_value_length(wl), pa.int64())
+        # '' splits to [''] — mask those to 0 tokens / '' output
+        is_empty = pc.equal(pc.utf8_length(trimmed), 0)
+        n = pc.if_else(is_empty, pa.scalar(0, pa.int64()), n)
+        out = pc.binary_join(
+            pc.list_slice(wl, 0, self.max_tokens), " "
+        )
+        out = pc.if_else(is_empty, pa.scalar("", pa.string()), out)
+        return (
+            batch.append_column(self.out_column, out)
+            .append_column("n_tokens", n)
+            .append_column(
+                "was_truncated",
+                pc.greater(n, pa.scalar(self.max_tokens, pa.int64())),
+            )
+        )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction (the C4/RefinedWeb scrub step)
 # ---------------------------------------------------------------------------

@@ -694,3 +694,23 @@ def test_entropy_stage_batch_split_invariance():
     merged = pa.concat_tables(parts)
     assert whole["ent_num_e6"].to_pylist() == merged["ent_num_e6"].to_pylist()
     assert whole["n_tokens"].to_pylist() == merged["n_tokens"].to_pylist()
+
+
+def test_truncate_tokens_stage_edges():
+    import pyarrow as pa
+
+    from fdpg_query_data_validation_ray.stages.text import TruncateTokensStage
+
+    docs = ["a b c d e", "one  two\tthree\n", "", None, "   ", "solo",
+            "x " * 100]
+    out = TruncateTokensStage("text", 3)(pa.table({"text": pa.array(docs)}))
+    assert out["text_trunc"].to_pylist() == [
+        "a b c", "one two three", "", "", "", "solo", "x x x"]
+    assert out["n_tokens"].to_pylist() == [5, 3, 0, 0, 0, 1, 100]
+    assert out["was_truncated"].to_pylist() == [
+        True, False, False, False, False, False, True]
+    # untruncated docs round-trip to the single-space-joined token stream
+    keep = TruncateTokensStage("text", 1000)(
+        pa.table({"text": pa.array(docs)}))
+    assert keep["text_trunc"].to_pylist()[1] == "one two three"
+    assert keep["was_truncated"].to_pylist() == [False] * 7
