@@ -188,6 +188,8 @@ HEADLINE = [
     "corr_lineitem",
     # round 5: max-length token truncation
     "truncate_docs",
+    # round 5: BPE tokenizer (sample-trained merges + memoized encode)
+    "bpe_encode_docs",
 ]
 
 

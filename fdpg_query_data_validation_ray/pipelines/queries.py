@@ -1014,6 +1014,65 @@ def q_bpe_pair_counts(sf_dir: str):
     return bpe_pair_counts(_read(sf_dir, "documents", ["text"]), top_n=50)
 
 
+def q_bpe_encode_docs(sf_dir: str):
+    """BPE tokenization corpus-wide (stages/bpe.py): merges trained on a
+    deterministic bounded sample at the driver (tokenizer training is
+    sample-based by design — the PQ/k-means precedent), then an actor-pool
+    encode stage with per-unique-word memoization emits list<int64> token
+    ids per doc. Rows-only (the greedy merge loop has no SQL form);
+    round-trip/greediness/invariance property tests + a pure-Python
+    reference cross-check live in tests/test_bpe.py. Emitted here:
+    (doc_id, n_bpe_ids, ids_checksum) — the checksum is an order-weighted
+    mod-2^61 fold so any id or position change is visible."""
+    from collections import Counter
+
+    from fdpg_query_data_validation_ray.stages.bpe import (
+        BPEEncodeStage, train_bpe,
+    )
+
+    sample = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .limit(512)
+        .to_pandas()
+    )
+    ctr = Counter()
+    for t in sample["text"].fillna(""):
+        ctr.update(t.split())
+    words, counts = zip(*sorted(ctr.items())) if ctr else ((), ())
+    merges = train_bpe(list(words), list(counts), n_merges=64)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    enc = ds.map_batches(
+        BPEEncodeStage("text", merges),
+        batch_format="pyarrow", batch_size=512, concurrency=4,
+    )
+
+    MOD = (1 << 61) - 1
+
+    def checksum(t: pa.Table) -> pa.Table:
+        ids = t["token_ids"].combine_chunks()
+        flat = ids.flatten().to_numpy(zero_copy_only=False).astype(object)
+        offs = ids.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        pos = np.arange(len(flat), dtype=object) - np.repeat(
+            offs[:-1].astype(object), lens
+        )
+        contrib = (pos + 1) * flat % MOD
+        acc = np.zeros(t.num_rows, dtype=object)
+        np.add.at(acc, np.repeat(np.arange(t.num_rows), lens), contrib)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bpe_ids": t["n_bpe_ids"],
+                "ids_checksum": pa.array(
+                    [int(a) % MOD for a in acc], pa.int64()
+                ),
+            }
+        )
+
+    return enc.map_batches(checksum, batch_format="pyarrow")
+
+
 def q_token_count_docs(sf_dir: str):
     from fdpg_query_data_validation_ray.stages.text import TokenCountStage
 
@@ -3094,6 +3153,7 @@ QUERIES = {
     "diff_docs_halves": q_diff_docs_halves,
     "corr_lineitem": q_corr_lineitem,
     "truncate_docs": q_truncate_docs,
+    "bpe_encode_docs": q_bpe_encode_docs,
     "corpus_validate": q_corpus_validate,
 }
 
