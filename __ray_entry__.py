@@ -1234,6 +1234,64 @@ def oracle_sql() -> dict[str, str]:
                        w.lo), w.hi) AS clipped_e6
             FROM v JOIN wide w USING (event_type)
         """,
+        "user_features": """
+            WITH pv AS (
+                SELECT user_id,
+                       COUNT(*) FILTER (event_type = 'click')    AS n_click,
+                       COUNT(*) FILTER (event_type = 'view')     AS n_view,
+                       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                       COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+                       COUNT(*) FILTER (event_type = 'error')    AS n_error,
+                       COUNT(*) FILTER (event_type IS NULL OR event_type
+                           NOT IN ('click','view','purchase','signup','error'))
+                           AS n_other
+                FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+            starts AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR date_diff('microsecond', lag(ts) OVER w, ts)
+                                 > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+                SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions
+                FROM starts GROUP BY user_id),
+            e AS (
+                SELECT user_id, ts, event_type FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            fun AS (
+                SELECT DISTINCT a.user_id FROM e a
+                WHERE a.event_type = 'view' AND EXISTS (
+                    SELECT 1 FROM e b
+                    WHERE b.user_id = a.user_id AND b.event_type = 'click'
+                      AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+                      AND EXISTS (
+                        SELECT 1 FROM e c
+                        WHERE c.user_id = b.user_id
+                          AND c.event_type = 'purchase'
+                          AND c.ts > b.ts
+                          AND c.ts <= b.ts + INTERVAL 6 HOUR))),
+            val AS (
+                SELECT user_id,
+                       CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0
+                                           + 0.5) AS BIGINT)) AS BIGINT)
+                           AS total_value_cents
+                FROM events
+                WHERE user_id IS NOT NULL AND value IS NOT NULL
+                      AND NOT isnan(value)
+                GROUP BY user_id)
+            SELECT pv.user_id, pv.n_click, pv.n_view, pv.n_purchase,
+                   pv.n_signup, pv.n_error, pv.n_other,
+                   COALESCE(sess.n_sessions, 0) AS n_sessions,
+                   CASE WHEN fun.user_id IS NOT NULL THEN 1 ELSE 0 END
+                       AS converted,
+                   COALESCE(val.total_value_cents, 0) AS total_value_cents
+            FROM pv
+            LEFT JOIN sess USING (user_id)
+            LEFT JOIN fun  USING (user_id)
+            LEFT JOIN val  USING (user_id)
+        """,
         "events_funnel": """
             WITH e AS (
                 SELECT user_id, ts, event_type FROM events

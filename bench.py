@@ -190,6 +190,8 @@ HEADLINE = [
     "truncate_docs",
     # round 5: BPE tokenizer (sample-trained merges + memoized encode)
     "bpe_encode_docs",
+    # round 5: composed user feature-store build (4 families, 1 exchange)
+    "user_features",
 ]
 
 

@@ -1592,6 +1592,98 @@ def q_corr_lineitem(sf_dir: str):
     )
 
 
+_UF_TYPES = ["click", "view", "purchase", "signup", "error"]
+_UF_COLS = [f"n_{v}" for v in _UF_TYPES] + [
+    "n_other", "n_sessions", "converted", "total_value_cents",
+]
+
+
+def q_user_features(sf_dir: str):
+    """Composed feature-store build — ONE wide feature vector per user from
+    four operator families, assembled without a join: per-type event counts
+    (pivot combiner), session count (sessionize kernel), funnel conversion
+    flag (backward-induction kernel), and the exact cents value total. Each
+    source emits the FULL wide schema zero-filled outside its own columns;
+    the lazy union feeds ONE user groupby summing every column — the same
+    single-exchange trick as pivot_counts, generalized across sources.
+    Hash-exact vs a 4-CTE LEFT-JOIN oracle."""
+    from ray.data.aggregate import Sum
+
+    from fdpg_query_data_validation_ray.stages.stats import pivot_counts
+    from fdpg_query_data_validation_ray.stages.temporal import (
+        funnel_first_conversion, sessionize,
+    )
+
+    def widen(ds, keep: dict[str, str]):
+        """Map a (user_id, ...) partial to the full wide schema."""
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            zero = pa.array(np.zeros(n, np.int64))
+            cols = {"user_id": pc.cast(t["user_id"], pa.int64())}
+            for c in _UF_COLS:
+                src = keep.get(c)
+                cols[c] = (pc.cast(t[src], pa.int64())
+                           if src is not None else zero)
+            return pa.table(cols)
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    pivot = pivot_counts(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id", "event_type", values=_UF_TYPES,
+    )
+    sess = sessionize(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"]),
+        "user_id", "ts", "event_id", gap_seconds=1800,
+    )
+    funnel = funnel_first_conversion(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        "user_id", "ts", "event_type",
+        steps=["view", "click", "purchase"],
+        window_us=6 * 3600 * 1_000_000,
+    ).map_batches(
+        lambda t: t.select(["user_id"]).append_column(
+            "one", pa.array(np.ones(t.num_rows, np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def value_partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["value"], pa.float64())
+        m = pc.and_(
+            pc.is_valid(t["user_id"].combine_chunks()),
+            pc.and_(pc.is_valid(x), pc.invert(pc.is_nan(x))),
+        )
+        t2 = pa.table({"user_id": t["user_id"], "x": x}).filter(m)
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t2["x"], 100.0), 0.5)), pa.int64()
+        )
+        g = (
+            pa.table({"user_id": t2["user_id"], "c": cents})
+            .group_by(["user_id"]).aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["user_id", "cents"])
+
+    vals = _read(sf_dir, "events", ["user_id", "value"]).map_batches(
+        value_partial, batch_format="pyarrow", batch_size=16384
+    )
+
+    unioned = (
+        widen(pivot, {c: c for c in _UF_COLS[:6]})
+        .union(widen(sess, {"n_sessions": "n_sessions"}))
+        .union(widen(funnel, {"converted": "one"}))
+        .union(widen(vals, {"total_value_cents": "cents"}))
+    )
+    out = unioned.groupby("user_id").aggregate(
+        *(Sum(c, alias_name=c) for c in _UF_COLS)
+    )
+    schema = pa.schema([("user_id", pa.int64())]
+                       + [(c, pa.int64()) for c in _UF_COLS])
+    return out.map_batches(
+        lambda t: t.select(["user_id"] + _UF_COLS).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 def q_corpus_validate(sf_dir: str):
     """Flagship: derive the (repo,path,commit,lang,content) corpus from the
     documents table, run the checkpointed validation pipeline, return the
@@ -3154,6 +3246,7 @@ QUERIES = {
     "corr_lineitem": q_corr_lineitem,
     "truncate_docs": q_truncate_docs,
     "bpe_encode_docs": q_bpe_encode_docs,
+    "user_features": q_user_features,
     "corpus_validate": q_corpus_validate,
 }
 
