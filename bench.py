@@ -192,6 +192,8 @@ HEADLINE = [
     "bpe_encode_docs",
     # round 5: composed user feature-store build (4 families, 1 exchange)
     "user_features",
+    # round 5: per-key EWMA smoothing (recursive, rows-only)
+    "ewma_events_by_user",
 ]
 
 

@@ -1850,6 +1850,28 @@ def q_events_user_window(sf_dir: str):
     )
 
 
+def q_ewma_events_by_user(sf_dir: str):
+    """Per-user EWMA of event values under the (ts, event_id) order
+    (stages/temporal.py ewma_by_key, alpha=0.3). Rows-only by design: the
+    recurrence has no SQL window form; brute-force parity, invariance and
+    null-semantics tests live in tests/test_temporal.py."""
+    from fdpg_query_data_validation_ray.stages.temporal import ewma_by_key
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = ewma_by_key(ds, "user_id", "ts", "event_id", "value", alpha=0.3)
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ewma_e6", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "ewma_e6"]).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 def q_split_docs(sf_dir: str):
     """Deterministic train/val/test assignment by id hash (stages/split.py):
     stable under re-runs, partitioning, and corpus growth; oracle reproduces
@@ -3247,6 +3269,7 @@ QUERIES = {
     "truncate_docs": q_truncate_docs,
     "bpe_encode_docs": q_bpe_encode_docs,
     "user_features": q_user_features,
+    "ewma_events_by_user": q_ewma_events_by_user,
     "corpus_validate": q_corpus_validate,
 }
 

@@ -983,3 +983,92 @@ def funnel_first_conversion(
 
     pruned = ds.map_batches(route, batch_format="pyarrow", batch_size=16384)
     return pruned.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def ewma_by_key(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_column: str,
+    value_col: str,
+    alpha: float = 0.3,
+    hot_key_limit: int | None = None,
+    hot_key_policy: str = "warn",
+):
+    """Per-key exponentially-weighted moving average under the (ts, id)
+    order — the smoothing/trend window leg next to the RANGE rolling sum
+    (uniform weights) and LAG:
+
+        ewma_i = alpha·x_i + (1 − alpha)·ewma_{i−1}     (ewma_0 = x_0)
+
+    The recurrence is inherently sequential per key, so there is NO SQL
+    window form (recursive CTEs can express it but not per-partition at
+    scale) — queries over this stage are rows-only with brute-force
+    parity tests. Results are deterministic: the float sequence is fixed
+    by the total (key, ts, id) sort order, identical under any
+    partitioning/batching because each key's rows land in one part and
+    one kernel call processes the whole key run.
+
+    Plan: the coarse-partition shape shared by lag_delta — key-hash
+    routing, per part ONE lexsort, then the adjusted-ewm scan evaluated
+    with pandas' cython groupby-ewm over the part's key codes (no Python
+    per-key loop). Null values propagate pandas-ewm style (skipped in the
+    mean, carried forward); null keys/ts are dropped. Emits ewma_e6
+    (FLOOR(ewma·1e6 + 0.5)) plus the raw float for downstream math."""
+    n_parts = _n_parts()
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, ts_col, id_column, value_col])
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t[key_col].combine_chunks()),
+                pc.is_valid(t[ts_col].combine_chunks()),
+            )
+        )
+        return t.append_column("part", _part_of(t[key_col], n_parts))
+
+    empty_out = {
+        key_col: pd.Series(dtype="int64"),
+        id_column: pd.Series(dtype="int64"),
+        "ewma_e6": pd.Series(dtype="Int64"),
+    }
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(empty_out)
+        codes, uniques = pd.factorize(g[key_col], sort=False)
+        ts = _ts_int64(g[ts_col])
+        ids = g[id_column].to_numpy()
+        order = np.lexsort((ids, ts, codes))
+        codes_s = codes[order]
+        _check_hot_keys(codes_s, uniques, "ewma_by_key", hot_key_limit,
+                        hot_key_policy)
+        x = pd.Series(
+            g[value_col].to_numpy(dtype=np.float64, na_value=np.nan)[order]
+        )
+        # recursive (adjust=False) EWM per key run — cython kernel across
+        # ALL keys at once via the groupby-ewm path
+        ew = (
+            x.groupby(codes_s, sort=False)
+            .ewm(alpha=alpha, adjust=False, ignore_na=True)
+            .mean()
+            .reset_index(level=0, drop=True)
+            .sort_index()
+            .to_numpy()
+        )
+        e6 = np.floor(ew * 1e6 + 0.5)
+        out = pd.array(
+            np.where(np.isfinite(e6), e6, 0).astype(np.int64), dtype="Int64"
+        )
+        out[~np.isfinite(e6)] = pd.NA
+        return pd.DataFrame(
+            {
+                key_col: np.asarray(uniques)[codes_s],
+                id_column: ids[order],
+                "ewma_e6": out,
+            }
+        )
+
+    pruned = ds.map_batches(route, batch_format="pyarrow", batch_size=16384)
+    return pruned.groupby("part").map_groups(per_part, batch_format="pandas")

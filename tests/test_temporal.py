@@ -686,3 +686,52 @@ def test_funnel_edge_semantics(ray_session):
     assert set(out.index) == {1, 2}
     assert int(out.loc[1, "first_start_ts"]) == 100
     assert int(out.loc[2, "first_start_ts"]) == 0
+
+
+def test_ewma_by_key_brute_force_and_invariance(ray_session):
+    """Recursive EWMA per key vs a Python loop; nulls skipped/carried
+    (pandas ignore_na); partition-invariant."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import ewma_by_key
+
+    rng = np.random.default_rng(61)
+    n = 2500
+    vals = rng.normal(10, 5, n)
+    vals[rng.random(n) < 0.07] = np.nan
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 31, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 800, n), pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    alpha = 0.3
+
+    def run(parts):
+        return (
+            ewma_by_key(rd.from_arrow(t).repartition(parts), "user_id",
+                        "ts", "event_id", "value", alpha=alpha)
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+
+    a, b = run(2), run(15)
+    pd.testing.assert_frame_equal(a, b)
+
+    df = (t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+          .reset_index(drop=True))
+    got = a.set_index("event_id")
+    for u, g in df.groupby("user_id"):
+        ema = None
+        for _, r in g.iterrows():
+            x = r["value"]
+            if not np.isnan(x):
+                ema = x if ema is None else alpha * x + (1 - alpha) * ema
+            want = (pd.NA if ema is None
+                    else int(np.floor(ema * 1e6 + 0.5)))
+            have = got.loc[r["event_id"], "ewma_e6"]
+            if want is pd.NA:
+                assert pd.isna(have)
+            else:
+                assert int(have) == want, (u, r["event_id"])
