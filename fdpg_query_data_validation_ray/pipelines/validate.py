@@ -2501,3 +2501,46 @@ def read_digests(out_dir: str) -> pa.Table:
         RunManifest(out_dir), "digest", ["row_key", "content_sha256"]
     )
     return pa.concat_tables(tables) if tables else pa.table({"row_key": [], "content_sha256": []})
+
+
+def export_violations_ndjson(out_dir: str, dest: str | None = None) -> str:
+    """Stream a run's per-row violations out as sharded NDJSON — the
+    interchange format downstream issue trackers / spreadsheets ingest
+    (reference analog: the raw json report consumed by the LaTeX renderer,
+    latex_report/report_visualizer.py). The parquet artifacts stay the
+    source of truth; this is a WRITE-SIDE projection: ray.data reads every
+    committed partition's combined artifact with column pruning, filters
+    the violation records, and write_json streams shards — nothing
+    collects at the driver, output is resumable-by-rerun (the export is a
+    pure function of committed artifacts)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    manifest = RunManifest(out_dir)
+    files = []
+    for pid in manifest.completed_partitions():
+        d = os.path.join(manifest.partition_dir(pid), "combined")
+        for f in sorted(_glob.glob(os.path.join(_glob.escape(d), "*.parquet"))):
+            if "record_type" in _pq.read_schema(f).names:
+                files.append(f)
+    dest = dest or os.path.join(out_dir, "violations_ndjson")
+    cols = list(VIOLATION_SCHEMA.names)
+
+    def only_violations(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        m = _pc.equal(t["record_type"], "violation")
+        return t.filter(m).select(cols)
+
+    if not files:
+        os.makedirs(dest, exist_ok=True)
+        open(os.path.join(dest, "part-empty.json"), "w").close()
+        return dest
+    (
+        rd.read_parquet(files, columns=["record_type"] + cols)
+        .map_batches(only_violations, batch_format="pyarrow")
+        .write_json(dest)
+    )
+    return dest

@@ -291,6 +291,13 @@ def main(argv=None) -> int:
         "appended run.",
     )
     p.add_argument(
+        "--export-violations-ndjson",
+        action="store_true",
+        help="after the run, stream all per-row violations to "
+        "{out}/violations_ndjson as sharded NDJSON (the parquet artifacts "
+        "remain the source of truth)",
+    )
+    p.add_argument(
         "--write-snapshot",
         action="store_true",
         help="after the run, write out/snapshot.json from the merged sketches "
@@ -341,6 +348,12 @@ def main(argv=None) -> int:
         from fdpg_query_data_validation_ray.pipelines.validate import snapshot_from_run
 
         snapshot_from_run(args.out)
+    if args.export_violations_ndjson:
+        from fdpg_query_data_validation_ray.pipelines.validate import (
+            export_violations_ndjson,
+        )
+
+        export_violations_ndjson(args.out)
     print(
         json.dumps(
             {

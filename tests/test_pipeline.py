@@ -192,3 +192,32 @@ def test_determinism_across_batch_sizes(ray_session, corpus, tmp_path):
         return sorted(map(str, sorted(t.to_pylist(), key=str)))
 
     assert vset(str(tmp_path / "d1")) == vset(str(tmp_path / "d2"))
+
+
+def test_export_violations_ndjson_matches_parquet(ray_session, corpus, tmp_path):
+    """NDJSON export is a faithful projection of the parquet artifacts:
+    same multiset of violation rows; empty runs produce an empty shard."""
+    import glob
+    import json as _json
+
+    from fdpg_query_data_validation_ray.pipelines.validate import (
+        export_violations_ndjson,
+    )
+
+    t, files, dim = corpus
+    out = str(tmp_path / "run_nd")
+    run(files, dim, out)
+    dest = export_violations_ndjson(out)
+    rows = []
+    for f in sorted(glob.glob(dest + "/*.json")):
+        with open(f) as fh:
+            for line in fh:
+                if line.strip():
+                    rows.append(_json.loads(line))
+    want = read_violations(out).to_pylist()
+
+    def key(r):
+        return tuple(sorted((k, str(v)) for k, v in r.items()))
+
+    assert sorted(map(key, rows)) == sorted(map(key, want))
+    assert len(rows) > 0
