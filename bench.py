@@ -194,6 +194,8 @@ HEADLINE = [
     "user_features",
     # round 5: per-key EWMA smoothing (recursive, rows-only)
     "ewma_events_by_user",
+    # round 5: per-key HLL distinct estimate (scale path of grouped distinct)
+    "distinct_terms_per_lang_hll",
 ]
 
 

@@ -2211,6 +2211,31 @@ def q_top_terms_per_lang(sf_dir: str):
     )
 
 
+def q_distinct_terms_per_lang_hll(sf_dir: str):
+    """Approximate grouped distinct: HLL estimate of distinct terms per
+    language (stages/stats.py hll_count_per_key) — the scale path beside
+    the exact `distinct_terms_per_lang`: the exchange moves (key, sketch)
+    rows, bounded regardless of cardinality. Rows-only (no SQL estimator);
+    tolerance vs the exact plan pinned in tests."""
+    from fdpg_query_data_validation_ray.stages.stats import hll_count_per_key
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.fill_null(pc.cast(t["text"], pa.string()), ""))
+        wl = pc.split_pattern_regex(txt, r"\s+")
+        flat = pc.list_flatten(wl)
+        par = pc.list_parent_indices(wl)
+        lang = pc.take(t["lang"].combine_chunks(), par)
+        keep = pc.not_equal(flat, "")
+        return pa.table(
+            {"lang": pc.filter(lang, keep), "term": pc.filter(flat, keep)}
+        )
+
+    pairs = ds.map_batches(tokens, batch_format="pyarrow", batch_size=2048)
+    return hll_count_per_key(pairs, "lang", "term")
+
+
 def q_c4_filter_docs(sf_dir: str):
     """C4 line-level structural cleaning (stages/text.py C4LineFilterStage):
     plant deterministic 4-word lines with parity punctuation (identically in
@@ -3270,6 +3295,7 @@ QUERIES = {
     "bpe_encode_docs": q_bpe_encode_docs,
     "user_features": q_user_features,
     "ewma_events_by_user": q_ewma_events_by_user,
+    "distinct_terms_per_lang_hll": q_distinct_terms_per_lang_hll,
     "corpus_validate": q_corpus_validate,
 }
 

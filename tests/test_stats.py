@@ -479,3 +479,43 @@ def test_corr_by_key_matches_numpy_and_degenerates(ray_session):
         want = np.corrcoef(g["xe"], g["ye"])[0, 1]
         assert abs(got.loc[k, "corr_e6"] / 1e6 - want) < 1e-4
         assert int(got.loc[k, "n"]) == len(g)
+
+
+def test_hll_count_per_key_tolerance_and_invariance(ray_session):
+    """Per-key HLL estimates land within 5% of exact distinct counts and
+    are identical under any partitioning/batching (register maxima are
+    order-free)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.stats import hll_count_per_key
+
+    rng = np.random.default_rng(67)
+    n = 30000
+    keys = rng.choice(["a", "b", "c"], n).astype(object)
+    keys[:5] = None
+    vals = np.array([f"v{int(i)}" for i in
+                     rng.integers(0, 5000, n)], dtype=object)
+    vals[5:10] = None
+    t = pa.table({"k": pa.array(keys, pa.string()),
+                  "v": pa.array(vals, pa.string())})
+
+    def run(parts, batch):
+        return (
+            hll_count_per_key(rd.from_arrow(t).repartition(parts), "k", "v",
+                              batch_size=batch)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+
+    a, b = run(2, 8192), run(13, 311)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["k"]) == {"a", "b", "c"}
+
+    df = pd.DataFrame({"k": keys, "v": vals})
+    df = df[df["k"].notna() & df["v"].notna()]
+    for k, g in df.groupby("k"):
+        exact = g["v"].nunique()
+        est = int(a.set_index("k").loc[k, "n_distinct_est"])
+        assert abs(est - exact) <= 0.05 * exact, (k, est, exact)
