@@ -1310,6 +1310,59 @@ def oracle_sql() -> dict[str, str]:
                       AND c.ts > b.ts AND c.ts <= b.ts + INTERVAL 6 HOUR))
             GROUP BY a.user_id
         """,
+        "events_funnel_dropoff": """
+            WITH e AS (
+                SELECT user_id, ts, event_type FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            s1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+            s2 AS (
+                SELECT DISTINCT a.user_id FROM e a
+                WHERE a.event_type = 'view' AND EXISTS (
+                    SELECT 1 FROM e b
+                    WHERE b.user_id = a.user_id AND b.event_type = 'click'
+                      AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR)),
+            s3 AS (
+                SELECT DISTINCT a.user_id FROM e a
+                WHERE a.event_type = 'view' AND EXISTS (
+                    SELECT 1 FROM e b
+                    WHERE b.user_id = a.user_id AND b.event_type = 'click'
+                      AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+                      AND EXISTS (
+                        SELECT 1 FROM e c
+                        WHERE c.user_id = b.user_id
+                          AND c.event_type = 'purchase'
+                          AND c.ts > b.ts
+                          AND c.ts <= b.ts + INTERVAL 6 HOUR)))
+            SELECT 1 AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+            UNION ALL
+            SELECT 2, CAST(COUNT(*) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT 3, CAST(COUNT(*) AS BIGINT) FROM s3
+        """,
+        "percent_rank_docs": """
+            WITH r AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL)
+            SELECT doc_id, CAST(rn AS BIGINT) AS rank,
+                   CAST(FLOOR((rn - 1.0) / (n - 1) * 1000000.0 + 0.5)
+                        AS BIGINT) AS pct_e6
+            FROM r
+        """,
+        "tag_docs": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                        '[0-9]+')) AS BIGINT) AS n_numbers,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                        '[A-Za-z_][A-Za-z0-9_]*\\(')) AS BIGINT)
+                       AS n_code_tokens,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                        '\\b[A-Z]{2,}\\b')) AS BIGINT) AS n_upper_words
+            FROM documents
+        """,
         "ntile_docs": """
             SELECT doc_id,
                    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,

@@ -196,6 +196,10 @@ HEADLINE = [
     "ewma_events_by_user",
     # round 5: per-key HLL distinct estimate (scale path of grouped distinct)
     "distinct_terms_per_lang_hll",
+    # round 5: funnel drop-off report, PERCENT_RANK, regex taxonomy tags
+    "events_funnel_dropoff",
+    "percent_rank_docs",
+    "tag_docs",
 ]
 
 

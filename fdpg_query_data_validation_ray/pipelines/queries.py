@@ -1489,6 +1489,133 @@ def q_events_funnel(sf_dir: str):
     )
 
 
+def q_events_funnel_dropoff(sf_dir: str):
+    """Classic funnel drop-off report: how many users complete the first j
+    steps of view → click → purchase (each gap ≤ 6h) for every prefix j —
+    three prefix funnels (stages/temporal.py funnel_first_conversion; the
+    1-step prefix is a distinct-key count) unioned into (step, n_users).
+    Hash-exact vs the nested-EXISTS prefix oracles."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from fdpg_query_data_validation_ray.stages.temporal import (
+        funnel_first_conversion,
+    )
+
+    W = 6 * 3600 * 1_000_000
+
+    def count_partial(step: int, ds):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "step": pa.array([step] * t.num_rows, pa.int64()),
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    # step 1: distinct users with a qualifying 'view' (ts non-null)
+    def viewers(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_valid(t["user_id"].combine_chunks()),
+            pc.and_(pc.is_valid(t["ts"].combine_chunks()),
+                    pc.equal(t["event_type"], "view")),
+        )
+        g = t.filter(m).select(["user_id"]).group_by(["user_id"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.select(["user_id"])
+
+    s1 = (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(viewers, batch_format="pyarrow")
+        .groupby("user_id")
+        .count()
+    )
+    s2 = funnel_first_conversion(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        "user_id", "ts", "event_type", steps=["view", "click"], window_us=W,
+    )
+    s3 = funnel_first_conversion(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        "user_id", "ts", "event_type",
+        steps=["view", "click", "purchase"], window_us=W,
+    )
+    unioned = (
+        count_partial(1, s1).union(count_partial(2, s2))
+        .union(count_partial(3, s3))
+    )
+    out = unioned.groupby("step").aggregate(Sum("one", alias_name="n_users"))
+    schema = pa.schema([("step", pa.int64()), ("n_users", pa.int64())])
+    return out.map_batches(
+        lambda t: t.select(["step", "n_users"]).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
+def q_percent_rank_docs(sf_dir: str):
+    """PERCENT_RANK over a near-unique global order: percentile score per
+    doc under (n_chars, doc_id) — range_rank's exact ROW_NUMBER + the
+    integer-count finish floor((rank−1)/(n−1)·1e6 + 0.5), one fixed IEEE
+    division replayed in SQL. The percentile-score leg next to NTILE
+    (bucketize) and top_fraction (cut)."""
+    from fdpg_query_data_validation_ray.stages.topk import range_rank
+
+    ranked = range_rank(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        "n_chars", "doc_id", descending=False,
+    ).materialize()
+    n = ranked.count()
+
+    def finish(t: pa.Table) -> pa.Table:
+        rk = t["rank"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pr = np.floor((rk - 1.0) / float(n - 1) * 1e6 + 0.5).astype(np.int64) \
+            if n > 1 else np.zeros(len(rk), np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rank": t["rank"],
+                "pct_e6": pa.array(pr, pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+_TAG_PATTERNS: list[tuple[str, str]] = [
+    # RE2-safe ASCII classes only (the PII_RULES contract) so DuckDB
+    # regexp parity holds byte-for-byte
+    ("n_numbers", r"[0-9]+"),
+    ("n_code_tokens", r"[A-Za-z_][A-Za-z0-9_]*\("),
+    ("n_upper_words", r"\b[A-Z]{2,}\b"),
+]
+
+
+def q_tag_docs(sf_dir: str):
+    """Regex taxonomy tagging: per doc, match counts for a fixed pattern
+    list (numbers, code-call tokens, shouting words) — the corpus
+    annotation step classifier pipelines run before routing. Compiled
+    patterns, pandas C-regex count kernels, zero exchange; RE2-parity
+    classes so the len(regexp_extract_all) oracle is hash-exact."""
+    import re as _re
+
+    import pandas as pd
+
+    pats = [(c, _re.compile(p, _re.ASCII)) for c, p in _TAG_PATTERNS]
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("")
+        out = {"doc_id": t["doc_id"]}
+        for col, rx in pats:
+            out[col] = pa.array(
+                s.str.count(rx).to_numpy(np.int64), pa.int64()
+            )
+        return pa.table(out)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(tag, batch_format="pyarrow", batch_size=1024)
+
+
 def q_ntile_docs(sf_dir: str):
     """NTILE(4) curriculum binning: every doc gets its length quartile under
     the global (n_chars, doc_id) order (stages/topk.py ntile on top of
@@ -3296,6 +3423,9 @@ QUERIES = {
     "user_features": q_user_features,
     "ewma_events_by_user": q_ewma_events_by_user,
     "distinct_terms_per_lang_hll": q_distinct_terms_per_lang_hll,
+    "events_funnel_dropoff": q_events_funnel_dropoff,
+    "percent_rank_docs": q_percent_rank_docs,
+    "tag_docs": q_tag_docs,
     "corpus_validate": q_corpus_validate,
 }
 
