@@ -1754,9 +1754,25 @@ def q_user_features(sf_dir: str):
             return pa.table(cols)
         return ds.map_batches(f, batch_format="pyarrow")
 
+    def add_cents(t: pa.Table) -> pa.Table:
+        # cents ride the pivot exchange (sum_columns) — invalid values add 0,
+        # which equals SQL's SUM-skips-NULL + COALESCE(...,0) on the oracle
+        # side
+        x = pc.cast(t["value"], pa.float64())
+        ok = pc.and_(pc.is_valid(x), pc.invert(pc.is_nan(x)))
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(pc.if_else(ok, x, 0.0), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return t.select(["user_id", "event_type"]).append_column(
+            "cents", cents
+        )
+
     pivot = pivot_counts(
-        _read(sf_dir, "events", ["user_id", "event_type"]),
+        _read(sf_dir, "events", ["user_id", "event_type", "value"])
+        .map_batches(add_cents, batch_format="pyarrow", batch_size=16384),
         "user_id", "event_type", values=_UF_TYPES,
+        sum_columns={"total_value_cents": "cents"},
     )
     sess = sessionize(
         _read(sf_dir, "events", ["event_id", "ts", "user_id"]),
@@ -1774,31 +1790,11 @@ def q_user_features(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def value_partial(t: pa.Table) -> pa.Table:
-        x = pc.cast(t["value"], pa.float64())
-        m = pc.and_(
-            pc.is_valid(t["user_id"].combine_chunks()),
-            pc.and_(pc.is_valid(x), pc.invert(pc.is_nan(x))),
-        )
-        t2 = pa.table({"user_id": t["user_id"], "x": x}).filter(m)
-        cents = pc.cast(
-            pc.floor(pc.add(pc.multiply(t2["x"], 100.0), 0.5)), pa.int64()
-        )
-        g = (
-            pa.table({"user_id": t2["user_id"], "c": cents})
-            .group_by(["user_id"]).aggregate([("c", "sum")])
-        )
-        return g.rename_columns(["user_id", "cents"])
-
-    vals = _read(sf_dir, "events", ["user_id", "value"]).map_batches(
-        value_partial, batch_format="pyarrow", batch_size=16384
-    )
-
     unioned = (
-        widen(pivot, {c: c for c in _UF_COLS[:6]})
+        widen(pivot, {c: c for c in _UF_COLS[:6]
+                      } | {"total_value_cents": "total_value_cents"})
         .union(widen(sess, {"n_sessions": "n_sessions"}))
         .union(widen(funnel, {"converted": "one"}))
-        .union(widen(vals, {"total_value_cents": "cents"}))
     )
     out = unioned.groupby("user_id").aggregate(
         *(Sum(c, alias_name=c) for c in _UF_COLS)
