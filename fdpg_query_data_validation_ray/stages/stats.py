@@ -386,7 +386,8 @@ def distinct_count_per_key(ds, key_column: str, value_column: str,
 def quantile_by_key(ds, key_column: str, value_column: str,
                     qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
                     alpha: float = 0.01,
-                    batch_size: int = 8192):
+                    batch_size: int = 8192,
+                    high_cardinality: bool = False):
     """Grouped quantiles at scale: per-key DDSketch — GROUP BY key +
     percentile, the grouped leg next to the global `quantiles_nchars` plan.
 
@@ -404,7 +405,15 @@ def quantile_by_key(ds, key_column: str, value_column: str,
     (ceil(ln(x)/ln(gamma))), so a SQL oracle that replays the bucket math
     per group reproduces the SAME quantile values, hash-exact (see the
     quantiles_nchars oracle). Only positive values rank (DD positive store;
-    mirror with WHERE x > 0); null/≤0-only keys emit nothing."""
+    mirror with WHERE x > 0); null/≤0-only keys emit nothing.
+
+    Cardinality contract (the pivot_counts lesson): the per-batch sketch
+    combiner pays only when keys-per-batch ≪ batch rows — at key
+    cardinality ≈ batch size it emits O(keys × blocks) sketch blobs. Set
+    `high_cardinality=True` to instead route SKINNY (key, value, part)
+    rows once and build each key's single sketch inside its part —
+    exchange O(rows) skinny rows, output O(keys), results IDENTICAL (DD
+    state is a pure function of the value multiset)."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -469,6 +478,49 @@ def quantile_by_key(ds, key_column: str, value_column: str,
             }
         )
 
+    def route_rows(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_column], pa.string()).combine_chunks()
+        x = pc.cast(t[value_column], pa.float64())
+        mask = pc.and_(pc.is_valid(k), pc.greater(x, 0.0))
+        k = pc.filter(k, mask).combine_chunks()
+        x = pc.filter(x, mask).combine_chunks()
+        part = pa.array(
+            (hash64(k) & np.uint64(n_parts - 1)).astype(np.int32)
+        )
+        return pa.table({key_column: k, "x": x, "part": part})
+
+    def sketch_part(g: pd.DataFrame) -> pd.DataFrame:
+        keys_out, q_out, v_out = [], [], []
+        codes, uniques = pd.factorize(g[key_column], sort=False)
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        x_s = g["x"].to_numpy(dtype=np.float64)[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        ) if len(codes_s) else np.array([], np.int64)
+        ends = np.append(starts[1:], len(codes_s))
+        for s_, e_ in zip(starts, ends):
+            sk = DDSketch(alpha)
+            sk.add_values(x_s[s_:e_])
+            if sk.n == 0:
+                continue
+            for q in qs_arr:
+                keys_out.append(uniques[codes_s[s_]])
+                q_out.append(float(q))
+                v_out.append(int(np.floor(sk.quantile(q) * 1e6 + 0.5)))
+        return pd.DataFrame(
+            {
+                key_column: pd.Series(keys_out, dtype="string"),
+                "q": pd.Series(q_out, dtype="float64"),
+                "value_micro": pd.Series(v_out, dtype="int64"),
+            }
+        )
+
+    if high_cardinality:
+        routed = ds.map_batches(route_rows, batch_format="pyarrow",
+                                batch_size=batch_size)
+        return routed.groupby("part").map_groups(sketch_part,
+                                                 batch_format="pandas")
     sketches = ds.map_batches(
         local_sketch, batch_format="pyarrow", batch_size=batch_size
     )

@@ -519,3 +519,32 @@ def test_hll_count_per_key_tolerance_and_invariance(ray_session):
         exact = g["v"].nunique()
         est = int(a.set_index("k").loc[k, "n_distinct_est"])
         assert abs(est - exact) <= 0.05 * exact, (k, est, exact)
+
+
+def test_quantile_by_key_high_cardinality_mode_identical(ray_session):
+    """The routed high-cardinality plan returns IDENTICAL rows to the
+    combiner plan (DD state is a pure function of the value multiset)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.stats import quantile_by_key
+
+    rng = np.random.default_rng(71)
+    n = 8000
+    t = pa.table({
+        "k": pa.array([f"u{int(i)}" for i in rng.integers(0, 900, n)],
+                      pa.string()),
+        "x": pa.array(rng.lognormal(0, 1, n), pa.float64()),
+    })
+
+    def run(hc, parts):
+        return (
+            quantile_by_key(rd.from_arrow(t).repartition(parts), "k", "x",
+                            qs=(0.5, 0.9), high_cardinality=hc)
+            .to_pandas().sort_values(["k", "q"]).reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(False, 3), run(True, 3))
+    pd.testing.assert_frame_equal(run(True, 3), run(True, 11))
