@@ -1310,6 +1310,24 @@ def oracle_sql() -> dict[str, str]:
                       AND c.ts > b.ts AND c.ts <= b.ts + INTERVAL 6 HOUR))
             GROUP BY a.user_id
         """,
+        "exact_quantiles_events": """
+            WITH v AS (
+                SELECT event_id, CAST(value AS DOUBLE) AS value FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value)
+                      AND event_id IS NOT NULL),
+            r AS (
+                SELECT event_id, value,
+                       ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM v),
+            qs(q) AS (VALUES (0.25), (0.5), (0.9), (0.99))
+            SELECT qs.q,
+                   CAST(FLOOR(r.value * 1000000.0 + 0.5) AS BIGINT)
+                       AS value_e6,
+                   CAST(r.rn AS BIGINT) AS rank
+            FROM qs JOIN r
+              ON r.rn = CAST(FLOOR(qs.q * (r.n - 1)) AS BIGINT) + 1
+        """,
         "events_funnel_dropoff": """
             WITH e AS (
                 SELECT user_id, ts, event_type FROM events

@@ -200,6 +200,8 @@ HEADLINE = [
     "events_funnel_dropoff",
     "percent_rank_docs",
     "tag_docs",
+    # round 5: exact global quantiles via range_rank
+    "exact_quantiles_events",
 ]
 
 

@@ -1807,6 +1807,60 @@ def q_user_features(sf_dir: str):
     )
 
 
+def q_exact_quantiles_events(sf_dir: str):
+    """EXACT global quantiles of a near-unique float column — the exact
+    leg next to the DDSketch estimate (`quantiles_nchars`): quantile_disc
+    = the row at rank floor(q·(n−1))+1 under the total (value, id) order.
+    range_rank supplies the exact distributed ROW_NUMBER (O(sketch)
+    driver state, one exchange); the ≤|qs| hit rows come to the driver
+    and ONE pruned is_in scan fetches their values — nothing else ever
+    leaves the cluster. Hash-exact vs the ROW_NUMBER join oracle."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.topk import range_rank
+
+    qs = (0.25, 0.5, 0.9, 0.99)
+    ranked = range_rank(
+        _read(sf_dir, "events", ["event_id", "value"]),
+        "value", "event_id", descending=False,
+    ).materialize()
+    n = ranked.count()
+    # (rank, q) PAIRS — two quantiles may share a rank at tiny n, and a
+    # dict keyed by rank would silently drop one of them
+    targets = [(int(np.floor(q * (n - 1))) + 1, q) for q in qs]
+    tset = pa.array(sorted({r for r, _ in targets}), pa.int64())
+
+    hits = ranked.map_batches(
+        lambda t: t.filter(pc.is_in(t["rank"].combine_chunks(),
+                                    value_set=tset)),
+        batch_format="pyarrow",
+    ).to_pandas()  # ≤ len(qs) rows
+    id_of = dict(zip(hits["rank"], hits["event_id"]))
+    ids = pa.array(sorted(id_of.values()), pa.int64())
+
+    vals = (
+        _read(sf_dir, "events", ["event_id", "value"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["event_id"].combine_chunks(),
+                                        value_set=ids)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    v_of = dict(zip(vals["event_id"], vals["value"]))
+    rows = sorted(
+        (q, int(np.floor(v_of[id_of[r]] * 1e6 + 0.5)), r)
+        for r, q in targets
+    )
+    return pa.table(
+        {
+            "q": pa.array([r[0] for r in rows], pa.float64()),
+            "value_e6": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_corpus_validate(sf_dir: str):
     """Flagship: derive the (repo,path,commit,lang,content) corpus from the
     documents table, run the checkpointed validation pipeline, return the
@@ -3422,6 +3476,7 @@ QUERIES = {
     "events_funnel_dropoff": q_events_funnel_dropoff,
     "percent_rank_docs": q_percent_rank_docs,
     "tag_docs": q_tag_docs,
+    "exact_quantiles_events": q_exact_quantiles_events,
     "corpus_validate": q_corpus_validate,
 }
 
