@@ -1560,6 +1560,20 @@ def oracle_sql() -> dict[str, str]:
             FROM q
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
+        "locf_events_by_user": """
+            WITH q AS (
+                SELECT user_id, event_id, ts,
+                       CAST(FLOOR(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                            AS BIGINT) AS value_e
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            )
+            SELECT user_id, event_id, value_e,
+                   LAST_VALUE(value_e IGNORE NULLS) OVER w AS filled_e
+            FROM q
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
         "events_user_window": """
             WITH q AS (
                 SELECT user_id, event_id, ts,

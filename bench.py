@@ -202,6 +202,8 @@ HEADLINE = [
     "tag_docs",
     # round 5: exact global quantiles via range_rank
     "exact_quantiles_events",
+    # round 5: per-key LOCF forward fill
+    "locf_events_by_user",
 ]
 
 

@@ -2049,6 +2049,34 @@ def q_ewma_events_by_user(sf_dir: str):
     )
 
 
+def q_locf_events_by_user(sf_dir: str):
+    """Per-user LOCF gap filling: each event carries the most recent
+    non-null value of its user — LAST_VALUE(value IGNORE NULLS) OVER
+    (PARTITION BY user ORDER BY ts, id ROWS UNBOUNDED PRECEDING) as a
+    coarse-partition kernel (stages/temporal.py forward_fill_by_key).
+    Values quantized to e6 BEFORE the fill, hash-exact."""
+    from fdpg_query_data_validation_ray.stages.temporal import (
+        forward_fill_by_key,
+    )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = forward_fill_by_key(ds, "user_id", "ts", "event_id", "value")
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("value_e", pa.int64()),
+            ("filled_e", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(
+            ["user_id", "event_id", "value_e", "filled_e"]
+        ).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 def q_split_docs(sf_dir: str):
     """Deterministic train/val/test assignment by id hash (stages/split.py):
     stable under re-runs, partitioning, and corpus growth; oracle reproduces
@@ -3472,6 +3500,7 @@ QUERIES = {
     "bpe_encode_docs": q_bpe_encode_docs,
     "user_features": q_user_features,
     "ewma_events_by_user": q_ewma_events_by_user,
+    "locf_events_by_user": q_locf_events_by_user,
     "distinct_terms_per_lang_hll": q_distinct_terms_per_lang_hll,
     "events_funnel_dropoff": q_events_funnel_dropoff,
     "percent_rank_docs": q_percent_rank_docs,

@@ -1072,3 +1072,99 @@ def ewma_by_key(
 
     pruned = ds.map_batches(route, batch_format="pyarrow", batch_size=16384)
     return pruned.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def forward_fill_by_key(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_column: str,
+    value_col: str,
+    scale: int = 1_000_000,
+    hot_key_limit: int | None = None,
+    hot_key_policy: str = "warn",
+):
+    """Per-key LOCF imputation (last observation carried forward): every
+    row gets the most recent non-null value of its key under the (ts, id)
+    order — LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY key ORDER BY
+    ts, id) — the gap-filling window leg next to LAG/EWMA/rolling-sum.
+    Rows before a key's first observation stay NULL, like SQL.
+
+    Exactness: values quantize to `scale` fixed-point int64 BEFORE the
+    fill, so carried values are bit-identical to the oracle's. Kernel per
+    part: ONE lexsort, then the classic vectorized forward fill — indices
+    of valid rows maximum-accumulated, with each key's FIRST row acting as
+    a barrier so no value leaks across keys. Null keys/ts dropped (mirror
+    in the oracle). NaN behaves as null (skipped and filled over)."""
+    n_parts = _n_parts()
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, ts_col, id_column, value_col])
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t[key_col].combine_chunks()),
+                pc.is_valid(t[ts_col].combine_chunks()),
+            )
+        )
+        x = pc.cast(t[value_col], pa.float64())
+        x = pc.if_else(pc.is_nan(x), pa.scalar(None, pa.float64()), x)
+        e = pc.cast(
+            pc.floor(pc.add(pc.multiply(x, float(scale)), 0.5)), pa.int64()
+        )
+        t = t.drop_columns([value_col]).append_column("value_e", e)
+        return t.append_column("part", _part_of(t[key_col], n_parts))
+
+    empty_out = {
+        key_col: pd.Series(dtype="int64"),
+        id_column: pd.Series(dtype="int64"),
+        "value_e": pd.Series(dtype="Int64"),
+        "filled_e": pd.Series(dtype="Int64"),
+    }
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(empty_out)
+        codes, uniques = pd.factorize(g[key_col], sort=False)
+        ts = _ts_int64(g[ts_col])
+        ids = g[id_column].to_numpy()
+        order = np.lexsort((ids, ts, codes))
+        codes_s = codes[order]
+        _check_hot_keys(codes_s, uniques, "forward_fill_by_key",
+                        hot_key_limit, hot_key_policy)
+        v = pd.array(g["value_e"].to_numpy(dtype=object)[order],
+                     dtype="Int64")
+        valid = ~v.isna()
+        # forward fill: last valid source index per position; a key's
+        # first row resets the carry so values never cross keys
+        idx = np.arange(n)
+        src = np.where(np.asarray(valid), idx, -1)
+        key_first = np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        barrier = np.flatnonzero(key_first)
+        # per-key segments: maximum.accumulate restarted at each barrier —
+        # do it in one pass by seeding each barrier position with itself
+        # when valid else a sentinel that cannot win across the barrier
+        seg_id = np.cumsum(key_first) - 1
+        # offset trick: src + seg_id*n keeps accumulation inside segments
+        shifted = np.where(src >= 0, src + seg_id * n, -1)
+        filled_shift = np.maximum.accumulate(
+            np.where(shifted >= 0, shifted, -1)
+        )
+        # a carried value from an earlier segment has seg < current seg:
+        # mask it out
+        carried_seg = np.where(filled_shift >= 0, filled_shift // n, -1)
+        ok = (filled_shift >= 0) & (carried_seg == seg_id)
+        src_idx = np.where(ok, filled_shift - seg_id * n, 0)
+        filled = pd.array(np.asarray(v)[src_idx], dtype="Int64")
+        filled[~ok] = pd.NA
+        return pd.DataFrame(
+            {
+                key_col: np.asarray(uniques)[codes_s],
+                id_column: ids[order],
+                "value_e": v,
+                "filled_e": filled,
+            }
+        )
+
+    pruned = ds.map_batches(route, batch_format="pyarrow", batch_size=16384)
+    return pruned.groupby("part").map_groups(per_part, batch_format="pandas")

@@ -735,3 +735,49 @@ def test_ewma_by_key_brute_force_and_invariance(ray_session):
                 assert pd.isna(have)
             else:
                 assert int(have) == want, (u, r["event_id"])
+
+
+def test_forward_fill_by_key_brute_force(ray_session):
+    """LOCF vs pandas groupby-ffill: nulls carried forward within a key
+    only; rows before a key's first observation stay NULL; cross-key
+    leakage impossible; partition-invariant."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import (
+        forward_fill_by_key,
+    )
+
+    rng = np.random.default_rng(73)
+    n = 3000
+    vals = np.round(rng.normal(5, 2, n), 3)
+    vals[rng.random(n) < 0.45] = np.nan  # heavy gaps
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 29, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 600, n), pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+
+    def run(parts):
+        return (
+            forward_fill_by_key(rd.from_arrow(t).repartition(parts),
+                                "user_id", "ts", "event_id", "value")
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+
+    a, b = run(2), run(19)
+    pd.testing.assert_frame_equal(a, b)
+
+    df = (t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+          .reset_index(drop=True))
+    df["e"] = np.floor(df["value"] * 1e6 + 0.5)
+    df["want"] = df.groupby("user_id")["e"].ffill()
+    got = a.set_index("event_id")
+    for _, r in df.iterrows():
+        have = got.loc[r["event_id"], "filled_e"]
+        if np.isnan(r["want"]):
+            assert pd.isna(have)
+        else:
+            assert int(have) == int(r["want"])
