@@ -1310,6 +1310,17 @@ def oracle_sql() -> dict[str, str]:
                       AND c.ts > b.ts AND c.ts <= b.ts + INTERVAL 6 HOUR))
             GROUP BY a.user_id
         """,
+        "user_retention": """
+            WITH e AS (
+                SELECT user_id, date_trunc('week', ts) AS wk FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            c AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY 1),
+            a AS (SELECT DISTINCT user_id, wk FROM e)
+            SELECT c.cohort, a.wk AS week, CAST(COUNT(*) AS BIGINT)
+                       AS n_users
+            FROM a JOIN c USING (user_id)
+            GROUP BY 1, 2
+        """,
         "exact_quantiles_events": """
             WITH v AS (
                 SELECT event_id, CAST(value AS DOUBLE) AS value FROM events

@@ -204,6 +204,8 @@ HEADLINE = [
     "exact_quantiles_events",
     # round 5: per-key LOCF forward fill
     "locf_events_by_user",
+    # round 5: cohort retention matrix (one-exchange analytics table)
+    "user_retention",
 ]
 
 

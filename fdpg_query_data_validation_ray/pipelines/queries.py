@@ -1861,6 +1861,76 @@ def q_exact_quantiles_events(sf_dir: str):
     )
 
 
+def q_user_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-active week
+    (cohort), counted per week they were active — the classic product /
+    data-freshness analytics table. ONE exchange: (user, week) rows route
+    by user-hash part, and each part resolves cohort (per-user MIN week —
+    all of a user's rows share the part), per-user distinct weeks, and the
+    (cohort, week) user counts in a single pandas kernel; a tiny final
+    groupby sums the per-part counts. Hash-exact vs the MIN/DISTINCT/JOIN
+    oracle (floor_temporal week == date_trunc('week'), Monday start)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+
+    n_parts = _verify_parts()
+
+    def route(t: pa.Table) -> pa.Table:
+        from fdpg_query_data_validation_ray.functions.hashing import hash64
+
+        m = pc.and_(
+            pc.is_valid(t["user_id"].combine_chunks()),
+            pc.is_valid(t["ts"].combine_chunks()),
+        )
+        t = t.filter(m)
+        wk = pc.floor_temporal(t["ts"].combine_chunks(), unit="week")
+        u = t["user_id"].combine_chunks()
+        part = pa.array(
+            (hash64(u) & np.uint64(n_parts - 1)).astype(np.int32)
+        )
+        return pa.table({"user_id": u, "wk": wk, "part": part})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"cohort": pd.Series(dtype="datetime64[us]"),
+                 "week": pd.Series(dtype="datetime64[us]"),
+                 "n_users": pd.Series(dtype="int64")}
+            )
+        pairs = g[["user_id", "wk"]].drop_duplicates()
+        cohort = g.groupby("user_id", sort=False)["wk"].min()
+        pairs = pairs.assign(cohort=pairs["user_id"].map(cohort))
+        out = (
+            pairs.groupby(["cohort", "wk"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+            .rename(columns={"wk": "week"})
+        )
+        return out[["cohort", "week", "n_users"]]
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    routed = ds.map_batches(route, batch_format="pyarrow", batch_size=16384)
+    parts = routed.groupby("part").map_groups(per_part,
+                                              batch_format="pandas")
+    out = parts.groupby(["cohort", "week"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+    schema = pa.schema(
+        [
+            ("cohort", pa.timestamp("us")),
+            ("week", pa.timestamp("us")),
+            ("n_users", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(["cohort", "week", "n_users"]).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 def q_corpus_validate(sf_dir: str):
     """Flagship: derive the (repo,path,commit,lang,content) corpus from the
     documents table, run the checkpointed validation pipeline, return the
@@ -3506,6 +3576,7 @@ QUERIES = {
     "percent_rank_docs": q_percent_rank_docs,
     "tag_docs": q_tag_docs,
     "exact_quantiles_events": q_exact_quantiles_events,
+    "user_retention": q_user_retention,
     "corpus_validate": q_corpus_validate,
 }
 

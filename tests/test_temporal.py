@@ -781,3 +781,60 @@ def test_forward_fill_by_key_brute_force(ray_session):
             assert pd.isna(have)
         else:
             assert int(have) == int(r["want"])
+
+
+def test_user_retention_matrix(ray_session):
+    """Cohort retention over a planted event log: user 1 joins week0 and
+    returns week2; user 2 joins week0 only; user 3 joins week1, active
+    weeks 1 and 2. Partition-invariant."""
+    import ray.data as rd
+
+    import fdpg_query_data_validation_ray.pipelines.queries as q
+
+    W = 7 * 24 * 3600 * 1_000_000
+    base = 1_700_000_000_000_000  # anchor inside some week
+    # align to a Monday week boundary so planted weeks are unambiguous
+    import datetime as dt
+    anchor = dt.datetime(2024, 1, 1)  # a Monday
+    t0 = int(anchor.timestamp() * 1e6)
+    rows = [
+        (1, t0 + 1), (1, t0 + 2 * W + 5), (2, t0 + 3),
+        (3, t0 + W + 1), (3, t0 + 2 * W + 1),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype="datetime64[us]")
+            ),
+        }
+    )
+
+    def run(parts):
+        orig = q._read
+        q._read = lambda sf, table, columns: (
+            rd.from_arrow(t.select(columns)).repartition(parts)
+        )
+        try:
+            return (
+                q.QUERIES["user_retention"]("ignored").to_pandas()
+                .sort_values(["cohort", "week"]).reset_index(drop=True)
+            )
+        finally:
+            q._read = orig
+
+    a, b = run(1), run(4)
+    pd.testing.assert_frame_equal(a, b)
+    got = {
+        (r["cohort"].to_pydatetime(), r["week"].to_pydatetime()): r["n_users"]
+        for _, r in a.iterrows()
+    }
+    w0 = anchor
+    w1 = anchor + dt.timedelta(weeks=1)
+    w2 = anchor + dt.timedelta(weeks=2)
+    assert got == {
+        (w0, w0): 2,          # users 1, 2 active in their cohort week
+        (w0, w2): 1,          # user 1 returns in week 2
+        (w1, w1): 1,          # user 3 cohort week
+        (w1, w2): 1,          # user 3 active week 2
+    }
