@@ -1042,9 +1042,16 @@ def q_bpe_encode_docs(sf_dir: str):
     merges = train_bpe(list(words), list(counts), n_merges=64)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # actor pool (class + constructor args), NOT an instance: the per-word
+    # memo cache and the rank table must live across the actor's lifetime —
+    # a passed instance would run as tasks that reserialize state and lose
+    # the memo every batch
     enc = ds.map_batches(
-        BPEEncodeStage("text", merges),
-        batch_format="pyarrow", batch_size=512, concurrency=4,
+        BPEEncodeStage,
+        fn_constructor_args=("text", merges),
+        # autoscaling pool (min 1): a fixed pool of 4 would reserve every
+        # CPU of a 4-CPU test cluster and starve the upstream read tasks
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
     )
 
     MOD = (1 << 61) - 1
