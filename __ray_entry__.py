@@ -1310,6 +1310,32 @@ def oracle_sql() -> dict[str, str]:
                       AND c.ts > b.ts AND c.ts <= b.ts + INTERVAL 6 HOUR))
             GROUP BY a.user_id
         """,
+        "rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_qty_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "cube_events": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(hour(ts) AS BIGINT) AS hod,
+                       CAST(ROUND(value * 100) AS BIGINT) AS vc
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                      AND value IS NOT NULL AND NOT isnan(value))
+            SELECT event_type, hod,
+                   CAST(GROUPING(event_type, hod) AS BIGINT) AS lvl,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(vc) AS BIGINT) AS sum_value_cents
+            FROM e
+            GROUP BY CUBE(event_type, hod)
+        """,
         "user_retention": """
             WITH e AS (
                 SELECT user_id, date_trunc('week', ts) AS wk FROM events

@@ -3473,6 +3473,68 @@ def q_incremental_new_lineitem(sf_dir: str):
     )
 
 
+def q_rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) in ONE fact-table
+    exchange: per-batch combiner → finest groupby → coarser levels derived
+    from the (bounded-cardinality, materialized-once) finest aggregate.
+    `lvl` matches SQL GROUPING(flag, status). Hash-exact: fixed-point cents
+    sums re-aggregate without float drift."""
+    from fdpg_query_data_validation_ray.stages.rollup import grouping_sets
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"].combine_chunks(),
+                "l_linestatus": t["l_linestatus"].combine_chunks(),
+                "qty_cents": _cents(t["l_quantity"]),
+                "price_cents": _cents(t["l_extendedprice"]),
+            }
+        )
+
+    return grouping_sets(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=16384),
+        keys=["l_returnflag", "l_linestatus"],
+        value_cols=["qty_cents", "price_cents"],
+    )
+
+
+def q_cube_events(sf_dir: str):
+    """GROUP BY CUBE(event_type, hour-of-day): all four grouping sets from
+    one exchange over events. The (type) and (hod) marginals plus the
+    global total come from the 24×|types| finest aggregate, not from
+    re-scanning the facts."""
+    from fdpg_query_data_validation_ray.stages.rollup import cube_sets, grouping_sets
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["event_type"])),
+            pc.and_(pc.is_valid(t["value"]),
+                    pc.invert(pc.is_nan(t["value"]))),
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "event_type": t["event_type"].combine_chunks(),
+                "hod": pc.cast(pc.hour(t["ts"].combine_chunks()), pa.int64()),
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    return grouping_sets(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=16384),
+        keys=["event_type", "hod"],
+        value_cols=["value_cents"],
+        sets=cube_sets(["event_type", "hod"]),
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -3584,6 +3646,8 @@ QUERIES = {
     "tag_docs": q_tag_docs,
     "exact_quantiles_events": q_exact_quantiles_events,
     "user_retention": q_user_retention,
+    "rollup_lineitem": q_rollup_lineitem,
+    "cube_events": q_cube_events,
     "corpus_validate": q_corpus_validate,
 }
 
