@@ -1310,6 +1310,53 @@ def oracle_sql() -> dict[str, str]:
                       AND c.ts > b.ts AND c.ts <= b.ts + INTERVAL 6 HOUR))
             GROUP BY a.user_id
         """,
+        "k_anonymity_docs": """
+            SELECT lang, source,
+                   CASE WHEN n_chars IS NULL THEN NULL
+                        ELSE n_chars // 50 END AS nchars_bucket,
+                   COUNT(*) AS n_rows
+            FROM documents
+            GROUP BY 1, 2, 3
+            HAVING COUNT(*) < 5
+        """,
+        "vocab_overlap_langs": """
+            WITH toks AS (
+                SELECT DISTINCT lang, t.term
+                FROM (
+                    SELECT lang,
+                           unnest(regexp_extract_all(
+                               lower(coalesce(text, '')), '\\S+')) AS term
+                    FROM documents WHERE lang IS NOT NULL) t
+                WHERE t.term <> ''),
+            sizes AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM toks GROUP BY lang),
+            pairs AS (
+                SELECT a.lang AS lang_a, b.lang AS lang_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_common
+                FROM toks a JOIN toks b
+                  ON a.term = b.term AND a.lang < b.lang
+                GROUP BY 1, 2)
+            SELECT p.lang_a, p.lang_b, p.n_common,
+                   sa.n AS n_a, sb.n AS n_b,
+                   (p.n_common * 1000000) // (sa.n + sb.n - p.n_common)
+                       AS jaccard_e6
+            FROM pairs p
+            JOIN sizes sa ON sa.lang = p.lang_a
+            JOIN sizes sb ON sb.lang = p.lang_b
+        """,
+        "new_users_hourly": """
+            WITH f AS (
+                SELECT user_id, MIN(ts) AS fts FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY user_id),
+            h AS (
+                SELECT date_trunc('hour', fts) AS hour,
+                       CAST(COUNT(*) AS BIGINT) AS n_new
+                FROM f GROUP BY 1)
+            SELECT hour, n_new,
+                   CAST(SUM(n_new) OVER (ORDER BY hour) AS BIGINT) AS cum_users
+            FROM h
+        """,
         "rollup_lineitem": """
             SELECT l_returnflag, l_linestatus,
                    CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,

@@ -3473,6 +3473,195 @@ def q_incremental_new_lineitem(sf_dir: str):
     )
 
 
+def q_compression_ratio_docs(sf_dir: str):
+    """zlib compression-ratio quality signal (entropy proxy) per document —
+    rows-only by design: no SQL deflate exists. Task-based map_batches (the
+    stage holds no state beyond the zlib binding); correctness pinned by
+    tests/test_compression_ratio.py property tests."""
+    from fdpg_query_data_validation_ray.stages.text import CompressionRatioStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        CompressionRatioStage("text"), batch_format="pyarrow", batch_size=2048
+    ).select_columns(
+        ["doc_id", "n_bytes", "n_bytes_zlib", "compression_ratio_e6"]
+    )
+
+
+def q_k_anonymity_docs(sf_dir: str):
+    """k-anonymity audit over quasi-identifiers (lang, source, length
+    bucket): groups with fewer than k=5 members are re-identification
+    risks a privacy review must surface before release. Per-batch combiner
+    partials → one small groupby → HAVING filter; the exchange moves group
+    partials, never documents."""
+    from ray.data.aggregate import Sum
+
+    K = 5
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.if_else(
+            pc.is_valid(t["n_chars"]),
+            pc.divide(pc.fill_null(t["n_chars"], 0), pa.scalar(50, pa.int64())),
+            pa.scalar(None, pa.int64()),
+        )
+        t = pa.table(
+            {
+                "lang": t["lang"].combine_chunks(),
+                "source": t["source"].combine_chunks(),
+                "nchars_bucket": b,
+            }
+        )
+        return t.group_by(["lang", "source", "nchars_bucket"]).aggregate(
+            [([], "count_all")]
+        )
+
+    agg = (
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(["lang", "source", "nchars_bucket"])
+        .aggregate(Sum("count_all", alias_name="n_rows"))
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.less(t["n_rows"], K)), batch_format="pyarrow"
+    )
+
+
+def q_vocab_overlap_langs(sf_dir: str):
+    """Pairwise vocabulary Jaccard between languages — the set-similarity
+    JOIN between groups ('how much does the es vocabulary overlap en?').
+    ONE token-sized exchange: tokenize per batch, within-batch (lang, term)
+    dedup as the combiner, route by hash(term) so every occurrence of a
+    term co-locates; each part emits exact per-term lang-pair partials AND
+    per-lang distinct-size partials in the same kernel; one tiny groupby
+    sums both row kinds, and the |langs|² assembly (jaccard_e6 integer
+    math) runs on the bounded result. No term ever crosses parts twice and
+    no lang×lang shuffle join exists anywhere."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+
+    n_parts = _verify_parts()
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["lang"]))
+        txt = pc.utf8_lower(pc.fill_null(pc.cast(t["text"], pa.string()), ""))
+        wl = pc.split_pattern_regex(txt, r"\s+")
+        flat = pc.list_flatten(wl)
+        par = pc.list_parent_indices(wl)
+        lang = pc.take(t["lang"].combine_chunks(), par)
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table(
+            {"lang": pc.filter(lang, keep), "term": pc.filter(flat, keep)}
+        )
+        # combiner: set semantics → within-batch dedup is free compression
+        pairs = pairs.group_by(["lang", "term"]).aggregate([])
+        part = pa.array(
+            (hash64(pairs["term"]) & np.uint64(n_parts - 1)).astype(np.int32)
+        )
+        return pairs.append_column("part", part)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        out_schema = {"lang_a": pd.Series(dtype="object"),
+                      "lang_b": pd.Series(dtype="object"),
+                      "n": pd.Series(dtype="int64")}
+        if len(g) == 0:
+            return pd.DataFrame(out_schema)
+        g = g[["lang", "term"]].drop_duplicates()
+        sizes = g.groupby("lang", sort=False).size().reset_index(name="n")
+        sizes = sizes.rename(columns={"lang": "lang_a"})
+        sizes["lang_b"] = ""  # sentinel: per-lang distinct-size rows
+        m = g.merge(g, on="term", suffixes=("_a", "_b"))
+        m = m[m["lang_a"] < m["lang_b"]]
+        pairs = (
+            m.groupby(["lang_a", "lang_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out = pd.concat([sizes[["lang_a", "lang_b", "n"]],
+                         pairs[["lang_a", "lang_b", "n"]]], ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(route, batch_format="pyarrow", batch_size=2048)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby(["lang_a", "lang_b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    # bounded |langs|² assembly
+    df = agg.to_pandas()
+    sizes = df[df["lang_b"] == ""].set_index("lang_a")["n"]
+    pairs = df[df["lang_b"] != ""].copy()
+    pairs["n_a"] = pairs["lang_a"].map(sizes).astype("int64")
+    pairs["n_b"] = pairs["lang_b"].map(sizes).astype("int64")
+    pairs = pairs.rename(columns={"n": "n_common"})
+    union = pairs["n_a"] + pairs["n_b"] - pairs["n_common"]
+    pairs["jaccard_e6"] = (pairs["n_common"] * 1_000_000 // union).astype("int64")
+    pairs = pairs.sort_values(["lang_a", "lang_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        pairs[["lang_a", "lang_b", "n_common", "n_a", "n_b", "jaccard_e6"]],
+        preserve_index=False,
+    )
+
+
+def q_new_users_hourly(sf_dir: str):
+    """Running DISTINCT users over time — 'new users per hour + cumulative
+    total', the growth-analytics staple. Exact without any running-distinct
+    state: a user's FIRST event is found per user-hash part (all of a
+    user's rows co-locate, so per-part MIN(ts) is the global min), parts
+    emit (hour, n_new) partials, one tiny groupby sums them, and the
+    cumulative sum runs over the bounded hour axis at the driver (same
+    documented bounded-cardinality precondition as stages/topk.global_rank
+    — hours grow with calendar time, not data volume)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+
+    n_parts = _verify_parts()
+
+    def route(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"]))
+        t = t.filter(m)
+        u = t["user_id"].combine_chunks()
+        part = pa.array((hash64(u) & np.uint64(n_parts - 1)).astype(np.int32))
+        return pa.table({"user_id": u, "ts": t["ts"].combine_chunks(),
+                         "part": part})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"hour": pd.Series(dtype="datetime64[us]"),
+                                 "n_new": pd.Series(dtype="int64")})
+        first = g.groupby("user_id", sort=False)["ts"].min()
+        hours = first.dt.floor("h")
+        out = hours.value_counts().rename_axis("hour").reset_index(name="n_new")
+        return out[["hour", "n_new"]]
+
+    hourly = (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(route, batch_format="pyarrow", batch_size=16384)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby("hour")
+        .aggregate(Sum("n_new", alias_name="n_new"))
+    )
+    # bounded axis: one row per hour of calendar time
+    h = hourly.to_pandas().sort_values("hour").reset_index(drop=True)
+    h["cum_users"] = h["n_new"].cumsum().astype("int64")
+    h["n_new"] = h["n_new"].astype("int64")
+    return pa.Table.from_pandas(
+        h[["hour", "n_new", "cum_users"]], preserve_index=False
+    ).cast(pa.schema([("hour", pa.timestamp("us")), ("n_new", pa.int64()),
+                      ("cum_users", pa.int64())]))
+
+
 def q_rollup_lineitem(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus) in ONE fact-table
     exchange: per-batch combiner → finest groupby → coarser levels derived
@@ -3646,6 +3835,10 @@ QUERIES = {
     "tag_docs": q_tag_docs,
     "exact_quantiles_events": q_exact_quantiles_events,
     "user_retention": q_user_retention,
+    "new_users_hourly": q_new_users_hourly,
+    "vocab_overlap_langs": q_vocab_overlap_langs,
+    "k_anonymity_docs": q_k_anonymity_docs,
+    "compression_ratio_docs": q_compression_ratio_docs,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_events": q_cube_events,
     "corpus_validate": q_corpus_validate,
