@@ -1310,6 +1310,46 @@ def oracle_sql() -> dict[str, str]:
                       AND c.ts > b.ts AND c.ts <= b.ts + INTERVAL 6 HOUR))
             GROUP BY a.user_id
         """,
+        "pagerank_lineitem": """
+            WITH edges AS (
+                SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+                UNION ALL
+                SELECT l_suppkey * 2 + 1, l_orderkey * 2
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
+            deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM edges GROUP BY 1),
+            nodes AS (SELECT DISTINCT node FROM (
+                          SELECT src AS node FROM edges
+                          UNION SELECT dst FROM edges)),
+            r0 AS (SELECT n.node, CAST(1000000000 AS BIGINT) AS r,
+                          COALESCE(g.d, 0) AS d
+                   FROM nodes n LEFT JOIN deg g USING (node)),
+            s1 AS (SELECT e.dst AS node, SUM(r.r // r.d) AS s
+                   FROM edges e JOIN r0 r ON e.src = r.node
+                   WHERE r.d > 0 GROUP BY 1),
+            r1 AS (SELECT n.node,
+                          CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100
+                               AS BIGINT) AS r, n.d
+                   FROM r0 n LEFT JOIN s1 s USING (node)),
+            s2 AS (SELECT e.dst AS node, SUM(r.r // r.d) AS s
+                   FROM edges e JOIN r1 r ON e.src = r.node
+                   WHERE r.d > 0 GROUP BY 1),
+            r2 AS (SELECT n.node,
+                          CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100
+                               AS BIGINT) AS r, n.d
+                   FROM r1 n LEFT JOIN s2 s USING (node)),
+            s3 AS (SELECT e.dst AS node, SUM(r.r // r.d) AS s
+                   FROM edges e JOIN r2 r ON e.src = r.node
+                   WHERE r.d > 0 GROUP BY 1),
+            r3 AS (SELECT n.node,
+                          CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100
+                               AS BIGINT) AS r, n.d
+                   FROM r2 n LEFT JOIN s3 s USING (node))
+            SELECT node, r AS rank FROM r3
+        """,
         "k_anonymity_docs": """
             SELECT lang, source,
                    CASE WHEN n_chars IS NULL THEN NULL

@@ -3473,6 +3473,39 @@ def q_incremental_new_lineitem(sf_dir: str):
     )
 
 
+def q_pagerank_lineitem(sf_dir: str):
+    """Fixed-point PageRank (3 iterations, damping 0.85, rank scaled e9)
+    over the symmetric order↔supplier bipartite graph from lineitem —
+    node id = 2·orderkey for orders, 2·suppkey+1 for suppliers; parallel
+    edges (one per lineitem) honored. Iterative BSP join+aggregate on
+    Ray Data (stages/graph.py): two co-partitioned exchanges per
+    iteration, all-int64 arithmetic → hash-exact against the DuckDB
+    oracle that unrolls the same three iterations as CTEs."""
+    from fdpg_query_data_validation_ray.stages.graph import pagerank_int
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t["l_orderkey"]), pc.is_valid(t["l_suppkey"]))
+        t = t.filter(m)
+        o = pc.multiply(t["l_orderkey"], pa.scalar(2, pa.int64()))
+        s = pc.add(
+            pc.multiply(t["l_suppkey"], pa.scalar(2, pa.int64())),
+            pa.scalar(1, pa.int64()),
+        )
+        on = o.combine_chunks().to_numpy(zero_copy_only=False)
+        sn = s.combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": np.concatenate([on, sn]),
+                "dst": np.concatenate([sn, on]),
+            }
+        )
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow", batch_size=65536)
+    return pagerank_int(edges, iters=3)
+
+
 def q_compression_ratio_docs(sf_dir: str):
     """zlib compression-ratio quality signal (entropy proxy) per document —
     rows-only by design: no SQL deflate exists. Task-based map_batches (the
@@ -3839,6 +3872,7 @@ QUERIES = {
     "vocab_overlap_langs": q_vocab_overlap_langs,
     "k_anonymity_docs": q_k_anonymity_docs,
     "compression_ratio_docs": q_compression_ratio_docs,
+    "pagerank_lineitem": q_pagerank_lineitem,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_events": q_cube_events,
     "corpus_validate": q_corpus_validate,
