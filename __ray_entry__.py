@@ -1310,6 +1310,80 @@ def oracle_sql() -> dict[str, str]:
                       AND c.ts > b.ts AND c.ts <= b.ts + INTERVAL 6 HOUR))
             GROUP BY a.user_id
         """,
+        "inverted_index_terms": """
+            WITH td AS (
+                SELECT DISTINCT t.term, t.doc_id
+                FROM (
+                    SELECT doc_id,
+                           unnest(regexp_extract_all(
+                               lower(coalesce(text, '')), '\\S+')) AS term
+                    FROM documents WHERE doc_id IS NOT NULL) t
+                WHERE t.term <> ''),
+            g AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM td GROUP BY 1
+                HAVING COUNT(*) BETWEEN 2 AND 100000),
+            r AS (
+                SELECT term, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY term
+                                          ORDER BY doc_id) AS rn
+                FROM td)
+            SELECT g.term, g.df,
+                   string_agg(CAST(r.doc_id AS VARCHAR), ','
+                              ORDER BY r.doc_id) AS postings
+            FROM g JOIN r USING (term)
+            WHERE r.rn <= 5
+            GROUP BY 1, 2
+        """,
+        "customer_order_counts": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        """,
+        "active_users_24h": """
+            WITH p AS (
+                SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            hours AS (
+                SELECT DISTINCT date_trunc('hour', ts) AS hour
+                FROM events WHERE ts IS NOT NULL)
+            SELECT hh.hour,
+                   CAST(COUNT(DISTINCT p.user_id) AS BIGINT)
+                       AS n_active_users
+            FROM hours hh JOIN p
+              ON p.h BETWEEN hh.hour - INTERVAL 23 HOUR AND hh.hour
+            GROUP BY 1
+        """,
+        "user_event_paths": """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND event_type IS NOT NULL)
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path,
+                   CAST(COUNT(*) AS BIGINT) AS n_path_events
+            FROM r WHERE rn <= 8 GROUP BY user_id
+        """,
+        "copurchase_suppliers": """
+            WITH s AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
+            p AS (
+                SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+                       COUNT(*) AS n_orders
+                FROM s a JOIN s b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+                GROUP BY 1, 2)
+            SELECT supp_a, supp_b, n_orders
+            FROM p ORDER BY n_orders DESC, supp_a, supp_b LIMIT 50
+        """,
         "pagerank_lineitem": """
             WITH edges AS (
                 SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst

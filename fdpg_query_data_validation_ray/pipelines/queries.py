@@ -3473,6 +3473,383 @@ def q_incremental_new_lineitem(sf_dir: str):
     )
 
 
+def q_inverted_index_terms(sf_dir: str):
+    """Inverted-index build (the search-engine core): term → document
+    frequency + capped posting list (first 5 doc_ids ascending,
+    comma-joined), for mid-band terms (3 ≤ df ≤ 100 — stopwords and
+    hapaxes excluded). Tokenize with within-batch (term, doc) dedup as
+    the combiner, ONE term-hash exchange co-locates each term's postings,
+    per-part kernels sort once and emit df + the capped list. Postings
+    are strings so the DuckDB string_agg oracle is byte-exact."""
+    import pandas as pd
+
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+
+    n_parts = _verify_parts()
+    DF_MIN, DF_MAX, CAP = 2, 100_000, 5
+
+    def route(t: pa.Table) -> pa.Table:
+        m = pc.is_valid(t["doc_id"])
+        t = t.filter(m)
+        txt = pc.utf8_lower(pc.fill_null(pc.cast(t["text"], pa.string()), ""))
+        wl = pc.split_pattern_regex(txt, r"\s+")
+        flat = pc.list_flatten(wl)
+        par = pc.list_parent_indices(wl)
+        doc = pc.take(t["doc_id"].combine_chunks(), par)
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table(
+            {"term": pc.filter(flat, keep), "doc_id": pc.filter(doc, keep)}
+        ).group_by(["term", "doc_id"]).aggregate([])
+        part = pa.array(
+            (hash64(pairs["term"]) & np.uint64(n_parts - 1)).astype(np.int32)
+        )
+        return pairs.append_column("part", part)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"term": pd.Series(dtype="object"),
+                 "df": pd.Series(dtype="int64"),
+                 "postings": pd.Series(dtype="object")}
+            )
+        g = g[["term", "doc_id"]].drop_duplicates()
+        g = g.sort_values(["term", "doc_id"], kind="mergesort")
+        sizes = g.groupby("term", sort=False).size()
+        ok_terms = sizes[(sizes >= DF_MIN) & (sizes <= DF_MAX)]
+        g = g[g["term"].isin(ok_terms.index)]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"term": pd.Series(dtype="object"),
+                 "df": pd.Series(dtype="int64"),
+                 "postings": pd.Series(dtype="object")}
+            )
+        capped = g[g.groupby("term", sort=False).cumcount() < CAP]
+        posts = capped.groupby("term", sort=False)["doc_id"].agg(
+            lambda s: ",".join(str(v) for v in s)
+        )
+        out = pd.DataFrame(
+            {
+                "term": posts.index,
+                "df": ok_terms.reindex(posts.index).astype("int64").to_numpy(),
+                "postings": posts.to_numpy(),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(route, batch_format="pyarrow", batch_size=2048)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER aggregate join: order count per customer INCLUDING
+    zero-order customers — the outer-join leg next to the inner native
+    join (segment_order_totals) and the anti-join (fk family). One
+    exchange: per-batch order-count partials (≈10× combiner compression
+    — orders per customer ≫ 1) and customer rows union into the same
+    custkey-hash parts; each part left-merges and zero-fills. No
+    broadcast (the dim is data-sized), no native shuffle join."""
+    import pandas as pd
+
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+
+    n_parts = _verify_parts()
+
+    def order_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["o_custkey"]))
+        agg = t.select(["o_custkey"]).group_by("o_custkey").aggregate(
+            [([], "count_all")]
+        )
+        k = agg["o_custkey"].combine_chunks()
+        n = len(k)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (hash64(k) & np.uint64(n_parts - 1)).astype(np.int32)
+                ),
+                "kind": pa.array(np.zeros(n, np.int8)),
+                "custkey": k,
+                "seg": pa.array([""] * n, pa.string()),
+                "n": pc.cast(agg["count_all"], pa.int64()).combine_chunks(),
+            }
+        )
+
+    def customer_rows(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].combine_chunks()
+        n = len(k)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (hash64(k) & np.uint64(n_parts - 1)).astype(np.int32)
+                ),
+                "kind": pa.array(np.ones(n, np.int8)),
+                "custkey": k,
+                "seg": t["c_mktsegment"].combine_chunks(),
+                "n": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g[g["kind"] == 1]
+        if len(cust) == 0:
+            return pd.DataFrame(
+                {"c_custkey": pd.Series(dtype="int64"),
+                 "c_mktsegment": pd.Series(dtype="object"),
+                 "n_orders": pd.Series(dtype="int64")}
+            )
+        counts = g[g["kind"] == 0].groupby("custkey", sort=False)["n"].sum()
+        out = pd.DataFrame(
+            {
+                "c_custkey": cust["custkey"].to_numpy(),
+                "c_mktsegment": cust["seg"].to_numpy(),
+                "n_orders": cust["custkey"].map(counts).fillna(0).astype("int64").to_numpy(),
+            }
+        )
+        return out
+
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        order_partials, batch_format="pyarrow", batch_size=65536
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        customer_rows, batch_format="pyarrow", batch_size=65536
+    )
+    return (
+        orders.union(cust)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
+def q_active_users_24h(sf_dir: str):
+    """Rolling 24-hour distinct users per hour (the DAU-style freshness
+    metric) — exact windowed COUNT DISTINCT without per-window state:
+    distinct (user, hour) pairs resolve inside user-hash parts, each pair
+    fans out to the ≤24 window-hours it serves, the fan-out dedups per
+    (user, window-hour) INSIDE the same part (a user's pairs co-locate),
+    and parts emit (hour, partial count) rows. ONE data-sized exchange;
+    window hours outside the data's hour set are dropped against a
+    broadcast of the (bounded) hour axis."""
+    import pandas as pd
+
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+
+    n_parts = _verify_parts()
+    W = 24
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    # bounded hour axis (one value per calendar hour with data) — tiny;
+    # computed with a per-batch unique combiner and broadcast via closure
+    hours_present = np.unique(
+        np.concatenate(
+            [
+                b["h"].to_numpy(zero_copy_only=False)
+                for b in ds.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "h": pc.unique(
+                                pc.floor_temporal(
+                                    pc.drop_null(t["ts"].combine_chunks()),
+                                    unit="hour",
+                                )
+                            )
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ).iter_batches(batch_format="pyarrow")
+            ]
+        )
+    )
+
+    def route(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"]))
+        t = t.filter(m)
+        u = t["user_id"].combine_chunks()
+        h = pc.floor_temporal(t["ts"].combine_chunks(), unit="hour")
+        pairs = pa.table({"user_id": u, "h": h}).group_by(
+            ["user_id", "h"]
+        ).aggregate([])  # within-batch distinct: free compression
+        part = pa.array(
+            (hash64(pairs["user_id"]) & np.uint64(n_parts - 1)).astype(np.int32)
+        )
+        return pairs.append_column("part", part)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"hour": pd.Series(dtype="datetime64[us]"),
+                                 "n": pd.Series(dtype="int64")})
+        g = g[["user_id", "h"]].drop_duplicates()
+        u = np.repeat(g["user_id"].to_numpy(), W)
+        wh = (
+            np.repeat(g["h"].to_numpy(), W)
+            + np.tile(np.arange(W) * np.timedelta64(1, "h"), len(g))
+        )
+        keep = np.isin(wh, hours_present)
+        d = pd.DataFrame({"user_id": u[keep], "hour": wh[keep]})
+        d = d.drop_duplicates()
+        out = d.groupby("hour", sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+    # final combine over the BOUNDED hour axis (≤ parts × hours rows) at
+    # the driver — Ray's native sort-based groupby on a timestamp key
+    # measured 17 s on 46k partial rows for this query, vs milliseconds
+    # here; same bounded-axis precondition as new_users_hourly
+    h = partials.to_pandas().groupby("hour", sort=True)["n"].sum().reset_index(
+        name="n_active_users"
+    )
+    h["n_active_users"] = h["n_active_users"].astype("int64")
+    return pa.Table.from_pandas(h, preserve_index=False).cast(
+        pa.schema([("hour", pa.timestamp("us")), ("n_active_users", pa.int64())])
+    )
+
+
+def q_user_event_paths(sf_dir: str):
+    """Ordered group-concat: each user's first-8 event types by (ts,
+    event_id), '>'-joined — the 'behavior path' string feature behavioral
+    models train on (and SQL's string_agg(... ORDER BY) with a window
+    cap). One user-hash exchange; per part: one sort, cumcount cap, one
+    C-level join aggregation. event_id tiebreak makes the path total-
+    ordered, so the string is byte-exact vs the ROW_NUMBER oracle."""
+    import pandas as pd
+
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+
+    n_parts = _verify_parts()
+    CAP = 8
+
+    def route(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"])),
+            pc.is_valid(t["event_type"]),
+        )
+        t = t.filter(m)
+        u = t["user_id"].combine_chunks()
+        part = pa.array((hash64(u) & np.uint64(n_parts - 1)).astype(np.int32))
+        return pa.table(
+            {
+                "user_id": u,
+                "ts": t["ts"].combine_chunks(),
+                "event_id": t["event_id"].combine_chunks(),
+                "event_type": t["event_type"].combine_chunks(),
+                "part": part,
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "path": pd.Series(dtype="object"),
+                 "n_path_events": pd.Series(dtype="int64")}
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g[g.groupby("user_id", sort=False).cumcount() < CAP]
+        agg = g.groupby("user_id", sort=False)["event_type"].agg(
+            path=">".join, n_path_events="size"
+        )
+        out = agg.reset_index()
+        out["n_path_events"] = out["n_path_events"].astype("int64")
+        return out[["user_id", "path", "n_path_events"]]
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+        .map_batches(route, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
+def q_copurchase_suppliers(sf_dir: str):
+    """Market-basket co-occurrence: supplier pairs appearing in the same
+    order, top-50 by shared-order count — the 'bought together' bipartite
+    projection. Pair explosion happens INSIDE order-hash parts (all lines
+    of an order co-locate; blow-up bounded by order size², never by data
+    volume), per-part pair counts are the combiner, one small groupby
+    sums, distributed top-k caps the result."""
+    import pandas as pd
+
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+    from fdpg_query_data_validation_ray.stages.topk import top_k
+
+    n_parts = _verify_parts()
+
+    def route(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t["l_orderkey"]), pc.is_valid(t["l_suppkey"]))
+        t = t.filter(m)
+        o = t["l_orderkey"].combine_chunks()
+        part = pa.array((hash64(o) & np.uint64(n_parts - 1)).astype(np.int32))
+        return pa.table(
+            {"order": o, "supp": t["l_suppkey"].combine_chunks(), "part": part}
+        )
+
+    _PAIR_EMPTY = {"supp_a": pd.Series(dtype="int64"),
+                   "supp_b": pd.Series(dtype="int64"),
+                   "n": pd.Series(dtype="int64")}
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(dict(_PAIR_EMPTY, part2=pd.Series(dtype="int32")))
+        s = g[["order", "supp"]].drop_duplicates()
+        m = s.merge(s, on="order", suffixes=("_a", "_b"))
+        m = m[m["supp_a"] < m["supp_b"]]
+        out = (
+            m.groupby(["supp_a", "supp_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        # route the partial counts by pair hash for the second exchange —
+        # Ray's native multi-key groupby is the measured slow path (45 s on
+        # 95k partial rows vs 0.5 s for the coarse-part kernel; NOTES.md
+        # combiner-compression lesson), so the sum rides a part2 exchange
+        pk = hash64(out["supp_a"].to_numpy() * np.int64(1_000_003)
+                    + out["supp_b"].to_numpy())
+        out["part2"] = (pk & np.uint64(n_parts - 1)).astype(np.int32)
+        return out
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"supp_a": pd.Series(dtype="int64"),
+                 "supp_b": pd.Series(dtype="int64"),
+                 "n_orders": pd.Series(dtype="int64")}
+            )
+        out = (
+            g.groupby(["supp_a", "supp_b"], sort=False)["n"]
+            .sum()
+            .reset_index(name="n_orders")
+        )
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    counts = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+        .map_batches(route, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby("part2")
+        .map_groups(sum_pairs, batch_format="pandas")
+    )
+    return top_k(
+        counts, 50, ["n_orders", "supp_a", "supp_b"],
+        descending=[True, False, False],
+    )
+
+
 def q_pagerank_lineitem(sf_dir: str):
     """Fixed-point PageRank (3 iterations, damping 0.85, rank scaled e9)
     over the symmetric order↔supplier bipartite graph from lineitem —
@@ -3873,6 +4250,11 @@ QUERIES = {
     "k_anonymity_docs": q_k_anonymity_docs,
     "compression_ratio_docs": q_compression_ratio_docs,
     "pagerank_lineitem": q_pagerank_lineitem,
+    "copurchase_suppliers": q_copurchase_suppliers,
+    "user_event_paths": q_user_event_paths,
+    "active_users_24h": q_active_users_24h,
+    "customer_order_counts": q_customer_order_counts,
+    "inverted_index_terms": q_inverted_index_terms,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_events": q_cube_events,
     "corpus_validate": q_corpus_validate,
