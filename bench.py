@@ -206,6 +206,22 @@ HEADLINE = [
     "locf_events_by_user",
     # round 5: cohort retention matrix (one-exchange analytics table)
     "user_retention",
+    # round 5 session E: grouping sets, growth/privacy analytics, set
+    # overlap, compression signal, PageRank, market basket, ordered
+    # group-concat, rolling distinct, outer aggregate join, inverted index
+    "rollup_lineitem",
+    "cube_events",
+    "new_users_hourly",
+    "vocab_overlap_langs",
+    "k_anonymity_docs",
+    "compression_ratio_docs",
+    "pagerank_lineitem",
+    "copurchase_suppliers",
+    "user_event_paths",
+    "active_users_24h",
+    "customer_order_counts",
+    "inverted_index_terms",
+    "multimodal_phash_dups",
 ]
 
 

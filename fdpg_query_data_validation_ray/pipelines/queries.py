@@ -3545,6 +3545,46 @@ def q_inverted_index_terms(sf_dir: str):
     )
 
 
+def q_multimodal_phash_dups(sf_dir: str):
+    """Image dedup by perceptual hash: deterministic BMP payloads (every
+    4th doc reuses one of 40 shared images — the clone population), 64-bit
+    aHash per image (stages/multimodal.PerceptualHashStage), then the
+    exact-dup group machinery on the hash alone — the payload never enters
+    the exchange. Rows-only by design (no SQL BMP codec); pinned by a
+    brute-force cross-check test (tests/test_phash.py)."""
+    from fdpg_query_data_validation_ray.stages.multimodal import (
+        PerceptualHashStage,
+        encode_bmp_gray,
+    )
+    from fdpg_query_data_validation_ray.stages.unique import duplicate_keys
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def attach_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            i = int(i)
+            seed = i % 40 if i % 4 == 0 else i
+            rng = np.random.default_rng(seed)
+            w, h = 8 + seed % 24, 8 + seed % 16
+            payloads.append(
+                encode_bmp_gray(rng.integers(0, 256, (h, w), dtype=np.uint8))
+            )
+        return t.append_column("payload", pa.array(payloads, pa.binary()))
+
+    hashed = (
+        ds.map_batches(attach_payload, batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            PerceptualHashStage("payload"),
+            batch_format="pyarrow",
+            batch_size=256,
+        )
+        .select_columns(["doc_id", "phash"])  # payload-free from here on
+    )
+    return duplicate_keys(hashed, ["phash"])
+
+
 def q_customer_order_counts(sf_dir: str):
     """LEFT OUTER aggregate join: order count per customer INCLUDING
     zero-order customers — the outer-join leg next to the inner native
@@ -4255,6 +4295,7 @@ QUERIES = {
     "active_users_24h": q_active_users_24h,
     "customer_order_counts": q_customer_order_counts,
     "inverted_index_terms": q_inverted_index_terms,
+    "multimodal_phash_dups": q_multimodal_phash_dups,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_events": q_cube_events,
     "corpus_validate": q_corpus_validate,

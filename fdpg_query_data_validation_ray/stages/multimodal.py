@@ -207,6 +207,42 @@ class ResizeStage:
         )
 
 
+class PerceptualHashStage:
+    """binary image → 64-bit average-hash (aHash): decode, sample the
+    grayscale plane onto a grid×grid lattice (nearest-neighbor — exact and
+    resolution-independent), threshold each cell at the lattice mean, pack
+    the bits row-major into an int64. Near-identical images collapse to
+    equal (or Hamming-close) hashes, so exact-dup grouping on the hash is
+    the standard cheap image-dedup pass (pHash family; the DCT variant
+    drops in behind the same signature). Undecodable payloads hash to
+    null. No SQL form exists (no BMP codec in DuckDB) — correctness is
+    pinned by a brute-force cross-check test."""
+
+    def __init__(self, binary_column: str = "payload", grid: int = 8):
+        self.binary_column = binary_column
+        self.grid = int(grid)
+
+    def _hash_one(self, buf) -> int | None:
+        out = decode_bmp(buf) if buf is not None else None
+        if out is None:
+            return None
+        w, h, px = out
+        if w < 1 or h < 1:
+            return None
+        g = self.grid
+        ys = (np.arange(g) * h) // g
+        xs = (np.arange(g) * w) // g
+        lat = px[np.ix_(ys, xs)]
+        bits = (lat > lat.mean()).astype(np.uint8).ravel()
+        u = int.from_bytes(np.packbits(bits).tobytes(), "big")
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [self._hash_one(b)
+                  for b in batch.column(self.binary_column).to_pylist()]
+        return batch.append_column("phash", pa.array(hashes, pa.int64()))
+
+
 def frame_sample_plan(n_frames: int, every: int) -> list[int]:
     """Deterministic frame-sampling indices for a video payload (plumbing for
     a future ffmpeg-backed stage)."""
