@@ -1310,6 +1310,29 @@ def oracle_sql() -> dict[str, str]:
                       AND c.ts > b.ts AND c.ts <= b.ts + INTERVAL 6 HOUR))
             GROUP BY a.user_id
         """,
+        "order_reconciliation": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                           AS items_cents
+                FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+            o AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           AS header_cents
+                FROM orders)
+            SELECT o.o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CASE WHEN COALESCE(li.items_cents, 0)
+                                      <> o.header_cents
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_mismatched,
+                   CAST(SUM(ABS(o.header_cents
+                                - COALESCE(li.items_cents, 0))) AS BIGINT)
+                       AS sum_abs_diff_cents
+            FROM o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
         "inverted_index_terms": """
             WITH td AS (
                 SELECT DISTINCT t.term, t.doc_id

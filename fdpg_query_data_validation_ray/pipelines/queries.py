@@ -3545,6 +3545,106 @@ def q_inverted_index_terms(sf_dir: str):
     )
 
 
+def q_order_reconciliation(sf_dir: str):
+    """Cross-table reconciliation check — the ledger-vs-detail audit every
+    warehouse runs: order header totals vs the SUM of their lineitems,
+    rolled up per order status (n_orders, n_mismatched, total absolute
+    drift in cents). One orderkey-hash exchange: lineitem sum partials
+    (combiner) and header rows co-partition; per-part kernels diff and
+    pre-aggregate per status, so the final groupby sees parts × statuses
+    rows. Headers with NO lineitems count as fully mismatched (the
+    LEFT-join semantics); orphan lineitems are the FK family's job."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+
+    n_parts = _verify_parts()
+
+    def li_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["l_orderkey"]))
+        cents = _cents(t["l_extendedprice"])
+        g = pa.table(
+            {"okey": t["l_orderkey"].combine_chunks(), "cents": cents}
+        ).group_by("okey").aggregate([("cents", "sum")])
+        k = g["okey"].combine_chunks()
+        n = len(k)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (hash64(k) & np.uint64(n_parts - 1)).astype(np.int32)
+                ),
+                "kind": pa.array(np.zeros(n, np.int8)),
+                "okey": k,
+                "status": pa.array([""] * n, pa.string()),
+                "cents": g["cents_sum"].combine_chunks(),
+            }
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].combine_chunks()
+        n = len(k)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (hash64(k) & np.uint64(n_parts - 1)).astype(np.int32)
+                ),
+                "kind": pa.array(np.ones(n, np.int8)),
+                "okey": k,
+                "status": t["o_orderstatus"].combine_chunks(),
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        hdr = g[g["kind"] == 1]
+        if len(hdr) == 0:
+            return pd.DataFrame(
+                {"o_orderstatus": pd.Series(dtype="object"),
+                 "n_orders": pd.Series(dtype="int64"),
+                 "n_mismatched": pd.Series(dtype="int64"),
+                 "sum_abs_diff_cents": pd.Series(dtype="int64")}
+            )
+        items = g[g["kind"] == 0].groupby("okey", sort=False)["cents"].sum()
+        got = hdr["okey"].map(items).fillna(0).astype("int64").to_numpy()
+        diff = hdr["cents"].to_numpy() - got
+        d = pd.DataFrame(
+            {
+                "o_orderstatus": hdr["status"].to_numpy(),
+                "mism": (diff != 0).astype("int64"),
+                "absd": np.abs(diff),
+            }
+        )
+        out = d.groupby("o_orderstatus", sort=False).agg(
+            n_orders=("mism", "size"),
+            n_mismatched=("mism", "sum"),
+            sum_abs_diff_cents=("absd", "sum"),
+        ).reset_index()
+        for c in ("n_orders", "n_mismatched", "sum_abs_diff_cents"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]).map_batches(
+        li_partials, batch_format="pyarrow", batch_size=65536
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    ).map_batches(order_rows, batch_format="pyarrow", batch_size=65536)
+    return (
+        li.union(orders)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby("o_orderstatus")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("n_mismatched", alias_name="n_mismatched"),
+            Sum("sum_abs_diff_cents", alias_name="sum_abs_diff_cents"),
+        )
+    )
+
+
 def q_multimodal_phash_dups(sf_dir: str):
     """Image dedup by perceptual hash: deterministic BMP payloads (every
     4th doc reuses one of 40 shared images — the clone population), 64-bit
@@ -4296,6 +4396,7 @@ QUERIES = {
     "customer_order_counts": q_customer_order_counts,
     "inverted_index_terms": q_inverted_index_terms,
     "multimodal_phash_dups": q_multimodal_phash_dups,
+    "order_reconciliation": q_order_reconciliation,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_events": q_cube_events,
     "corpus_validate": q_corpus_validate,

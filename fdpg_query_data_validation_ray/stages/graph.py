@@ -90,16 +90,37 @@ def pagerank_int(
     damp_num: int = 85,
     damp_den: int = 100,
     num_partitions: int | None = None,
+    mode: str = "auto",
+    broadcast_node_budget: int = 4_000_000,
 ):
     """PageRank on an edge-list Dataset; returns a Dataset (node, rank).
 
     rank₀ = scale for every node; per iteration
     rank' = (den-num)*scale//den + num * Σ_in (rank_src // deg_src) // den.
+
+    Two physical plans with identical (hash-exact) results:
+
+    - mode="broadcast": the O(V) rank vector is ray.put-broadcast each
+      iteration; edge blocks compute per-block dst partials with zero
+      sorting and ONE part exchange reduces them. Driver state = three
+      int64 arrays of length V — budget-guarded by
+      `broadcast_node_budget` (QDV_PR_BROADCAST_NODES overrides).
+    - mode="exchange": fully distributed two-exchange BSP (no driver
+      state beyond scheduling) — the 100-TB path where V itself exceeds
+      any single node's memory.
+    - mode="auto" (default): broadcast iff node count ≤ the budget.
     """
+    import os
+
     n_parts = (
         _next_pow2(int(num_partitions)) if num_partitions is not None else _ccf_parts()
     )
     base = (damp_den - damp_num) * scale // damp_den
+    if mode not in ("auto", "broadcast", "exchange"):
+        raise ValueError(mode)
+    env_budget = os.environ.get("QDV_PR_BROADCAST_NODES")
+    if env_budget:
+        broadcast_node_budget = int(env_budget)
 
     # ---- initial node rows: out-degree per src, plus sink-only nodes -----
     def edge_rows(t: pa.Table) -> pa.Table:
@@ -151,24 +172,41 @@ def pagerank_int(
             }
         )
 
-    def deg_to_node_rows(g: pd.DataFrame) -> pa.Table:
+    def deg_sum(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
-            return _empty_rows()
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "d": pd.Series(dtype="int64")})
         s = g.groupby("node", sort=False)["d"].sum()
-        nodes = s.index.to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"node": s.index.to_numpy().astype(np.int64),
+             "d": s.to_numpy().astype(np.int64)}
+        )
+
+    deg = (
+        e.map_batches(deg_partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(deg_sum, batch_format="pandas")
+        .materialize()  # consumed by count() probe + the chosen plan
+    )
+
+    if mode == "auto":
+        mode = "broadcast" if deg.count() <= broadcast_node_budget else "exchange"
+    if mode == "broadcast":
+        return _pagerank_broadcast(
+            e, deg, iters, scale, base, damp_num, damp_den, n_parts
+        )
+
+    def deg_to_node_rows(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
         return _rows_table(
             (hash64(nodes) & np.uint64(n_parts - 1)).astype(np.int32),
             _KIND_NODE,
             nodes,
             np.full(len(nodes), scale, np.int64),
-            s.to_numpy().astype(np.int64),
+            t["d"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
 
-    ranks = (
-        e.map_batches(deg_partials, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(deg_to_node_rows, batch_format="pandas")
-    )
+    ranks = deg.map_batches(deg_to_node_rows, batch_format="pyarrow")
 
     # ---- iterations: exchange A (by src) then exchange B (by dst) --------
     def spread(g: pd.DataFrame) -> pa.Table:
@@ -234,3 +272,67 @@ def pagerank_int(
         )
 
     return ranks.map_batches(finalize, batch_format="pyarrow")
+
+
+def _pagerank_broadcast(e, deg, iters, scale, base, damp_num, damp_den, n_parts):
+    """Broadcast-rank plan: per iteration, ray.put the (nodes, contribution)
+    arrays once, map edge blocks with a searchsorted lookup + per-block dst
+    combiner (NO sort of the edge set), reduce partials in one part
+    exchange, and apply the damped update at the driver over the O(V)
+    arrays. Integer arithmetic identical to the exchange plan — results are
+    byte-equal. Caller guarantees V fits the driver budget."""
+    import ray
+    import ray.data as rd
+
+    dd = deg.to_pandas()  # O(V); budget-guarded by pagerank_int's mode gate
+    nodes = dd["node"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes)
+    nodes = nodes[order]
+    d = dd["d"].to_numpy().astype(np.int64)[order]
+    r = np.full(len(nodes), scale, np.int64)
+
+    def part_sum(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="int64")})
+        s = g.groupby("dst", sort=False)["s"].sum()
+        return pd.DataFrame(
+            {"dst": s.index.to_numpy().astype(np.int64),
+             "s": s.to_numpy().astype(np.int64)}
+        )
+
+    for _ in range(iters):
+        contrib = np.where(d > 0, r // np.maximum(d, 1), 0).astype(np.int64)
+        ref = ray.put((nodes, contrib))
+
+        def spread_b(t: pa.Table, _ref=ref) -> pa.Table:
+            nds, ctr = ray.get(_ref)
+            s = t["k"].to_numpy(zero_copy_only=False)
+            dstv = t["v1"].to_numpy(zero_copy_only=False)
+            cv = ctr[np.searchsorted(nds, s)]  # every src is in nodes
+            ud, inv = np.unique(dstv, return_inverse=True)
+            sums = np.zeros(len(ud), np.int64)
+            np.add.at(sums, inv, cv)  # exact int64 block combiner
+            return pa.table(
+                {
+                    "part": (hash64(ud) & np.uint64(n_parts - 1)).astype(
+                        np.int32
+                    ),
+                    "dst": ud,
+                    "s": sums,
+                }
+            )
+
+        sums_df = (
+            e.map_batches(spread_b, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(part_sum, batch_format="pandas")
+            .to_pandas()  # O(V) reduced sums back to the driver
+        )
+        r = np.full(len(nodes), base, np.int64)
+        pos = np.searchsorted(nodes, sums_df["dst"].to_numpy().astype(np.int64))
+        r[pos] += (
+            damp_num * sums_df["s"].to_numpy().astype(np.int64)
+        ) // damp_den
+
+    return rd.from_arrow(pa.table({"node": nodes, "rank": r}))

@@ -52,6 +52,15 @@ def test_parity_with_reference_including_dangling_and_parallel_edges():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_broadcast_and_exchange_plans_byte_equal():
+    rng = np.random.default_rng(41)
+    edges = [tuple(x) for x in rng.integers(0, 60, size=(500, 2)).tolist()]
+    a = _run(edges, iters=3, num_partitions=8, mode="broadcast")
+    b = _run(edges, iters=3, num_partitions=8, mode="exchange")
+    assert a == b == _reference(edges, iters=3)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_partition_count_invariance_and_mass_bound():
     rng = np.random.default_rng(23)
     edges = [tuple(x) for x in rng.integers(0, 40, size=(300, 2)).tolist()]
