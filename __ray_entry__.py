@@ -1310,6 +1310,18 @@ def oracle_sql() -> dict[str, str]:
                       AND c.ts > b.ts AND c.ts <= b.ts + INTERVAL 6 HOUR))
             GROUP BY a.user_id
         """,
+        "token_budget_docs": f"""
+            SELECT lang, doc_id, n_chars, cum_n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       CAST(SUM(n_chars) OVER (
+                           PARTITION BY lang
+                           ORDER BY {_h60.format(salt="budget")}, doc_id
+                       ) AS BIGINT) AS cum_n_chars
+                FROM documents
+                WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+                      AND n_chars IS NOT NULL)
+            WHERE cum_n_chars <= 20000
+        """,
         "order_reconciliation": """
             WITH li AS (
                 SELECT l_orderkey,

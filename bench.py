@@ -222,6 +222,8 @@ HEADLINE = [
     "customer_order_counts",
     "inverted_index_terms",
     "multimodal_phash_dups",
+    "order_reconciliation",
+    "token_budget_docs",
 ]
 
 

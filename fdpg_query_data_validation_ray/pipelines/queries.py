@@ -3545,6 +3545,48 @@ def q_inverted_index_terms(sf_dir: str):
     )
 
 
+def q_token_budget_docs(sf_dir: str):
+    """Token-budget corpus mixing: per language, keep the deterministic
+    (salted-hash-ordered) prefix of documents whose running character
+    total stays ≤ 20,000 — 'give me N tokens of each language', the
+    budgeted sampling step real mixture builders run. Distributed per-key
+    prefix sum with budget pruning (stages/sampling.budget_take_per_key):
+    rows beyond the budget horizon never enter the exchange, so a 1%
+    budget moves ~1% of the corpus. Hash-exact vs the windowed-SUM
+    oracle (same salted md5 ordering, doc_id tiebreak)."""
+    from fdpg_query_data_validation_ray.stages.sampling import budget_take_per_key
+    from fdpg_query_data_validation_ray.stages.split import _row_hashes
+
+    BUDGET = 20_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t["lang"]), pc.is_valid(t["doc_id"])),
+            pc.is_valid(t["n_chars"]),
+        )
+        t = t.filter(m)
+        h = _row_hashes(t, "doc_id", "budget").astype(np.int64)
+        return t.append_column("h", pa.array(h, pa.int64()))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        prep, batch_format="pyarrow", batch_size=8192
+    )
+    out = budget_take_per_key(
+        ds, key_column="lang", cost_column="n_chars", order_column="h",
+        budget=BUDGET, tiebreak_column="doc_id",
+    )
+    schema = pa.schema(
+        [("lang", pa.string()), ("doc_id", pa.int64()),
+         ("n_chars", pa.int64()), ("cum_n_chars", pa.int64())]
+    )
+    return out.map_batches(
+        lambda t: t.select(["lang", "doc_id", "n_chars", "cum_n_chars"]).cast(
+            schema
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_order_reconciliation(sf_dir: str):
     """Cross-table reconciliation check — the ledger-vs-detail audit every
     warehouse runs: order header totals vs the SUM of their lineitems,
@@ -4397,6 +4439,7 @@ QUERIES = {
     "inverted_index_terms": q_inverted_index_terms,
     "multimodal_phash_dups": q_multimodal_phash_dups,
     "order_reconciliation": q_order_reconciliation,
+    "token_budget_docs": q_token_budget_docs,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_events": q_cube_events,
     "corpus_validate": q_corpus_validate,
