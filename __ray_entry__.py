@@ -1310,6 +1310,51 @@ def oracle_sql() -> dict[str, str]:
                       AND c.ts > b.ts AND c.ts <= b.ts + INTERVAL 6 HOUR))
             GROUP BY a.user_id
         """,
+        "events_hourly_anomaly": """
+            WITH h AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2)
+            SELECT event_type, hour, n_events,
+                   CAST(LAG(n_events) OVER (PARTITION BY event_type
+                                            ORDER BY hour) AS BIGINT)
+                       AS prev_n,
+                   COALESCE(n_events > 2 * LAG(n_events) OVER (
+                       PARTITION BY event_type ORDER BY hour), FALSE)
+                       AS is_spike
+            FROM h
+        """,
+        "chunk_pairs_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\\S+') AS t
+              FROM documents),
+            ch AS (
+              SELECT doc_id,
+                     CAST((x - 1) // 32 AS BIGINT) AS chunk_id,
+                     array_to_string(t[x:least(x + 31, len(t))], ' ')
+                         AS chunk_text
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, len(t), 32))
+                            AS x))
+            SELECT a.doc_id, a.chunk_id AS pair_id,
+                   a.chunk_text AS text_a, b.chunk_text AS text_b
+            FROM ch a JOIN ch b
+              ON b.doc_id = a.doc_id AND b.chunk_id = a.chunk_id + 1
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM customer c
+            JOIN orders o   ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n   ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1
+        """,
         "token_budget_docs": f"""
             SELECT lang, doc_id, n_chars, cum_n_chars FROM (
                 SELECT lang, doc_id, n_chars,

@@ -224,6 +224,9 @@ HEADLINE = [
     "multimodal_phash_dups",
     "order_reconciliation",
     "token_budget_docs",
+    "revenue_by_nation",
+    "chunk_pairs_docs",
+    "events_hourly_anomaly",
 ]
 
 

@@ -3545,6 +3545,257 @@ def q_inverted_index_terms(sf_dir: str):
     )
 
 
+def q_events_hourly_anomaly(sf_dir: str):
+    """Hour-over-hour spike detection — the freshness/rate alert every
+    ingestion pipeline runs: per (event_type, hour) counts, compare each
+    hour to the type's PREVIOUS observed hour (LAG), flag > 2× jumps.
+    Per-batch count combiner → one small groupby → the LAG/flag pass runs
+    on the bounded (types × hours) axis at the driver (the
+    new_users_hourly precondition). First observed hour of a type has no
+    baseline: prev_n NULL, is_spike false."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["event_type"]))
+        t = t.filter(m)
+        g = pa.table(
+            {
+                "event_type": t["event_type"].combine_chunks(),
+                "hour": pc.floor_temporal(t["ts"].combine_chunks(), unit="hour"),
+            }
+        ).group_by(["event_type", "hour"]).aggregate([([], "count_all")])
+        return g
+
+    hourly = (
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("count_all", alias_name="n_events"))
+    )
+    h = hourly.to_pandas().sort_values(["event_type", "hour"]).reset_index(
+        drop=True
+    )
+    prev = h.groupby("event_type", sort=False)["n_events"].shift(1)
+    h["prev_n"] = prev.astype("Int64")
+    h["is_spike"] = (h["n_events"] > 2 * prev).fillna(False).astype(bool)
+    h["n_events"] = h["n_events"].astype("int64")
+    return pa.Table.from_pandas(
+        h[["event_type", "hour", "n_events", "prev_n", "is_spike"]],
+        preserve_index=False,
+    ).cast(
+        pa.schema(
+            [("event_type", pa.string()), ("hour", pa.timestamp("us")),
+             ("n_events", pa.int64()), ("prev_n", pa.int64()),
+             ("is_spike", pa.bool_())]
+        )
+    )
+
+
+def q_chunk_pairs_docs(sf_dir: str):
+    """Adjacent-chunk training-pair construction (NSP / contrastive
+    next-segment pairs): disjoint 32-token chunks per doc (ChunkStage with
+    stride == window) paired (i, i+1) within the doc — text_a precedes
+    text_b, the positive-pair generator self-supervised objectives feed
+    on. The pairing is a vectorized shift INSIDE the same map_batches
+    call that chunked the doc (a doc's chunks never span batches), so
+    the whole query is one stateless, exchange-free pass."""
+    import pandas as pd
+
+    from fdpg_query_data_validation_ray.stages.text import ChunkStage
+
+    st = ChunkStage(window=32, stride=32)
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        c = st(t).to_pandas()
+        c = c.sort_values(["doc_id", "chunk_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        if len(c) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "pair_id": pd.Series(dtype="int64"),
+                 "text_a": pd.Series(dtype="object"),
+                 "text_b": pd.Series(dtype="object")}
+            )
+        # ChunkStage emits chunks in (doc_id, chunk_id) order: shift by one
+        nxt_doc = c["doc_id"].shift(-1)
+        nxt_text = c["chunk_text"].shift(-1)
+        keep = (nxt_doc == c["doc_id"]).to_numpy()
+        out = pd.DataFrame(
+            {
+                "doc_id": c["doc_id"].to_numpy()[keep],
+                "pair_id": c["chunk_id"].to_numpy()[keep],
+                "text_a": c["chunk_text"].to_numpy()[keep],
+                "text_b": nxt_text.to_numpy()[keep],
+            }
+        )
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["pair_id"] = out["pair_id"].astype("int64")
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        pairs, batch_format="pyarrow", batch_size=2048
+    )
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Star join across three fact/dim hops (TPC-H Q5 shape): revenue per
+    customer nation = customer ⋈ orders ⋈ lineitem ⋈ nation. Two
+    co-partitioned exchanges on DIFFERENT keys — custkey first (orders
+    pick up the customer's nation), orderkey second (lineitem revenue
+    partials meet the order's nation) — each kernel pre-aggregates per
+    nation before emitting, so exchange 2's output is parts × nations
+    rows; the 25-row nation dim is a closure broadcast. Revenue is the
+    exact e4 fixed-point (cents × (100 − disc_cents))."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+
+    n_parts = _verify_parts()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    name_of = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+
+    # ---- exchange 1 (by custkey): orders meet customer nationkey --------
+    def cust_rows(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].combine_chunks()
+        return pa.table(
+            {
+                "part": pa.array(
+                    (hash64(k) & np.uint64(n_parts - 1)).astype(np.int32)
+                ),
+                "kind": pa.array(np.ones(len(k), np.int8)),
+                "a": k,
+                "b": pc.cast(t["c_nationkey"], pa.int64()).combine_chunks(),
+            }
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["o_custkey"]))
+        k = t["o_custkey"].combine_chunks()
+        return pa.table(
+            {
+                "part": pa.array(
+                    (hash64(k) & np.uint64(n_parts - 1)).astype(np.int32)
+                ),
+                "kind": pa.array(np.zeros(len(k), np.int8)),
+                "a": k,
+                "b": t["o_orderkey"].combine_chunks(),
+            }
+        )
+
+    def join1(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g[g["kind"] == 1]
+        orders = g[g["kind"] == 0]
+        if len(cust) == 0 or len(orders) == 0:
+            return pd.DataFrame({"okey": pd.Series(dtype="int64"),
+                                 "nkey": pd.Series(dtype="int64")})
+        nk = pd.Series(cust["b"].to_numpy(), index=cust["a"].to_numpy())
+        got = orders["a"].map(nk)
+        keep = got.notna().to_numpy()
+        return pd.DataFrame(
+            {"okey": orders["b"].to_numpy()[keep],
+             "nkey": got.to_numpy()[keep].astype("int64")}
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_rows, batch_format="pyarrow", batch_size=65536
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        order_rows, batch_format="pyarrow", batch_size=65536
+    )
+    order_nation = (
+        cust.union(orders).groupby("part").map_groups(join1, batch_format="pandas")
+    )
+
+    # ---- exchange 2 (by orderkey): lineitem revenue meets order nation ---
+    def on_rows(t: pa.Table) -> pa.Table:
+        k = t["okey"].combine_chunks()
+        return pa.table(
+            {
+                "part": pa.array(
+                    (hash64(k) & np.uint64(n_parts - 1)).astype(np.int32)
+                ),
+                "kind": pa.array(np.ones(len(k), np.int8)),
+                "a": k,
+                "b": t["nkey"].combine_chunks(),
+            }
+        )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["l_orderkey"]))
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        g = pa.table(
+            {"okey": t["l_orderkey"].combine_chunks(), "rev": rev}
+        ).group_by("okey").aggregate([("rev", "sum")])
+        k = g["okey"].combine_chunks()
+        return pa.table(
+            {
+                "part": pa.array(
+                    (hash64(k) & np.uint64(n_parts - 1)).astype(np.int32)
+                ),
+                "kind": pa.array(np.zeros(len(k), np.int8)),
+                "a": k,
+                "b": g["rev_sum"].combine_chunks(),
+            }
+        )
+
+    def join2(g: pd.DataFrame) -> pd.DataFrame:
+        on = g[g["kind"] == 1]
+        li = g[g["kind"] == 0]
+        if len(on) == 0 or len(li) == 0:
+            return pd.DataFrame({"nkey": pd.Series(dtype="int64"),
+                                 "revenue_e4": pd.Series(dtype="int64")})
+        nk = pd.Series(on["b"].to_numpy(), index=on["a"].to_numpy())
+        got = li["a"].map(nk)
+        keep = got.notna().to_numpy()
+        d = pd.DataFrame(
+            {"nkey": got.to_numpy()[keep].astype("int64"),
+             "rev": li["b"].to_numpy()[keep]}
+        )
+        out = d.groupby("nkey", sort=False)["rev"].sum().reset_index(
+            name="revenue_e4"
+        )
+        out["revenue_e4"] = out["revenue_e4"].astype("int64")
+        return out
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_rows, batch_format="pyarrow", batch_size=65536)
+    on = order_nation.map_batches(on_rows, batch_format="pyarrow")
+    per_nation = (
+        on.union(li)
+        .groupby("part")
+        .map_groups(join2, batch_format="pandas")
+        .groupby("nkey")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        names = pa.array(
+            [name_of.get(k) for k in t["nkey"].to_pylist()], pa.string()
+        )
+        return pa.table(
+            {"n_name": names,
+             "revenue_e4": pc.cast(t["revenue_e4"], pa.int64()).combine_chunks()}
+        )
+
+    return per_nation.map_batches(finish, batch_format="pyarrow")
+
+
 def q_token_budget_docs(sf_dir: str):
     """Token-budget corpus mixing: per language, keep the deterministic
     (salted-hash-ordered) prefix of documents whose running character
@@ -4440,6 +4691,9 @@ QUERIES = {
     "multimodal_phash_dups": q_multimodal_phash_dups,
     "order_reconciliation": q_order_reconciliation,
     "token_budget_docs": q_token_budget_docs,
+    "revenue_by_nation": q_revenue_by_nation,
+    "chunk_pairs_docs": q_chunk_pairs_docs,
+    "events_hourly_anomaly": q_events_hourly_anomaly,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_events": q_cube_events,
     "corpus_validate": q_corpus_validate,
