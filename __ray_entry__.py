@@ -1737,6 +1737,36 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'es' END AS lang_pred
             FROM base b LEFT JOIN scores s USING (doc_id)
         """,
+        "lang_confusion_docs": f"""
+            WITH base AS (
+              SELECT doc_id, lang, coalesce(text,'') AS t,
+                     len(coalesce(text,'')) AS nc,
+                     len(regexp_extract_all(coalesce(text,''), '[一-鿿]')) AS cjk,
+                     regexp_extract_all(lower(coalesce(text,'')), '[a-zà-ÿ]+') AS ws
+              FROM documents),
+            words AS (SELECT doc_id, unnest(ws) AS w FROM base),
+            scores AS (
+              SELECT doc_id,
+                CAST(SUM(CASE WHEN w IN ({en_sw}) THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS s_en,
+                CAST(SUM(CASE WHEN w IN ({de_sw}) THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS s_de,
+                CAST(SUM(CASE WHEN w IN ({fr_sw}) THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS s_fr,
+                CAST(SUM(CASE WHEN w IN ({es_sw}) THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS s_es
+              FROM words GROUP BY doc_id),
+            pred AS (
+              SELECT b.lang,
+                CASE
+                  WHEN b.nc = 0 THEN 'und'
+                  WHEN b.cjk > 0.05 * greatest(1, b.nc) THEN 'zh'
+                  WHEN len(b.ws) = 0 THEN 'und'
+                  WHEN greatest(s.s_en, s.s_de, s.s_fr, s.s_es) <= 0.01 THEN 'und'
+                  WHEN s.s_en >= s.s_de AND s.s_en >= s.s_fr AND s.s_en >= s.s_es THEN 'en'
+                  WHEN s.s_de >= s.s_fr AND s.s_de >= s.s_es THEN 'de'
+                  WHEN s.s_fr >= s.s_es THEN 'fr'
+                  ELSE 'es' END AS lang_pred
+              FROM base b LEFT JOIN scores s USING (doc_id))
+            SELECT lang, lang_pred, COUNT(*) AS n_docs
+            FROM pred GROUP BY 1, 2
+        """,
         "quality_docs": f"""
             WITH base AS (
               SELECT doc_id, len(coalesce(text,'')) AS nc,

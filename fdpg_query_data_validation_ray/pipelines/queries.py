@@ -3545,6 +3545,31 @@ def q_inverted_index_terms(sf_dir: str):
     )
 
 
+def q_lang_confusion_docs(sf_dir: str):
+    """Language-ID confusion matrix: declared lang × predicted lang with
+    counts — the calibration table that decides whether the classifier is
+    trustworthy enough to route filtering. Reuses LangIdStage verbatim,
+    adds a per-batch count combiner and one tiny groupby; hash-exact
+    against the lang-ID oracle wrapped in a GROUP BY."""
+    from ray.data.aggregate import Sum
+
+    from fdpg_query_data_validation_ray.stages.text import LangIdStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.select(["lang", "lang_pred"]).group_by(
+            ["lang", "lang_pred"]
+        ).aggregate([([], "count_all")])
+
+    return (
+        ds.map_batches(LangIdStage(), batch_format="pyarrow", batch_size=1024)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("count_all", alias_name="n_docs"))
+    )
+
+
 def q_events_hourly_anomaly(sf_dir: str):
     """Hour-over-hour spike detection — the freshness/rate alert every
     ingestion pipeline runs: per (event_type, hour) counts, compare each
@@ -4694,6 +4719,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "chunk_pairs_docs": q_chunk_pairs_docs,
     "events_hourly_anomaly": q_events_hourly_anomaly,
+    "lang_confusion_docs": q_lang_confusion_docs,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_events": q_cube_events,
     "corpus_validate": q_corpus_validate,
