@@ -227,6 +227,7 @@ HEADLINE = [
     "revenue_by_nation",
     "chunk_pairs_docs",
     "events_hourly_anomaly",
+    "lang_confusion_docs",
 ]
 
 
