@@ -1464,6 +1464,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT supp_a, supp_b, n_orders
             FROM p ORDER BY n_orders DESC, supp_a, supp_b LIMIT 50
         """,
+        # triangle counting is orientation-invariant: the engine's
+        # degree-ordered node-iterator finds the same triangle SET as this
+        # triple self-join, so per-node counts hash-match exactly. The md5
+        # edge thinning keeps the graph sparse at every sf and is replayed
+        # verbatim (same 'tri|u|v' salt, low-60-bit md5, % 10).
+        "triangle_suppliers": """
+            WITH pairs0 AS (
+                SELECT a.l_suppkey AS u, b.l_suppkey AS v
+                FROM lineitem a JOIN lineitem b
+                     ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_suppkey < b.l_suppkey
+                GROUP BY 1, 2
+                HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+            e AS (
+                SELECT u, v FROM pairs0
+                WHERE (md5_number_lower(
+                           'tri|' || CAST(u AS VARCHAR) || '|'
+                                  || CAST(v AS VARCHAR))
+                       & ((1::UBIGINT << 60) - 1)) % 4 = 0),
+            tri AS (
+                SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+            n AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri)
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM n GROUP BY node
+        """,
         "pagerank_lineitem": """
             WITH edges AS (
                 SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst

@@ -216,6 +216,7 @@ HEADLINE = [
     "k_anonymity_docs",
     "compression_ratio_docs",
     "pagerank_lineitem",
+    "triangle_suppliers",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

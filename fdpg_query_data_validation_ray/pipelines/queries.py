@@ -4592,6 +4592,97 @@ def q_cube_events(sf_dir: str):
     )
 
 
+def q_triangle_suppliers(sf_dir: str):
+    """Per-node triangle counts over the supplier co-purchase graph
+    (stages/graph.py triangle_counts — degree-ordered node-iterator, wedge
+    volume O(m^1.5)). Edges: supplier pairs sharing ≥ 2 distinct orders,
+    thinned deterministically to ~1/4 by md5_number_lower('tri|u|v') % 4
+    == 0 (sparse AND non-empty at every sf — replayed verbatim in the
+    oracle). Pair explosion happens inside order-hash parts (bounded by
+    order size²); md5 thinning applies BEFORE the pair-count exchange so
+    the exchange only moves surviving pairs."""
+    import pandas as pd
+
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+    from fdpg_query_data_validation_ray.stages.graph import triangle_counts
+    from fdpg_query_data_validation_ray.stages.text import md5_low60
+
+    n_parts = _verify_parts()
+
+    def route(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t["l_orderkey"]), pc.is_valid(t["l_suppkey"]))
+        t = t.filter(m)
+        o = t["l_orderkey"].combine_chunks()
+        return pa.table(
+            {
+                "order": o,
+                "supp": t["l_suppkey"].combine_chunks(),
+                "part": pa.array(
+                    (hash64(o) & np.uint64(n_parts - 1)).astype(np.int32)
+                ),
+            }
+        )
+
+    _E = {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(dict(_E, c=pd.Series(dtype="int64"),
+                                     part2=pd.Series(dtype="int32")))
+        s = g[["order", "supp"]].drop_duplicates()
+        m = s.merge(s, on="order", suffixes=("_a", "_b"))
+        m = m[m["supp_a"] < m["supp_b"]]
+        cnt = (
+            m.groupby(["supp_a", "supp_b"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        u = cnt["supp_a"].to_numpy(np.int64)
+        v = cnt["supp_b"].to_numpy(np.int64)
+        # thin BEFORE the pair exchange: survival depends only on the pair
+        h = md5_low60([f"tri|{x}|{y}" for x, y in zip(u, v)])
+        keep = (h % np.uint64(4)) == 0
+        u, v, c = u[keep], v[keep], cnt["c"].to_numpy(np.int64)[keep]
+        pk = hash64(u * np.int64(1_000_003) + v)
+        return pd.DataFrame(
+            {"a": u, "b": v, "c": c,
+             "part2": (pk & np.uint64(n_parts - 1)).astype(np.int32)}
+        )
+
+    def sum_filter(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_E)
+        s = g.groupby(["a", "b"], sort=False)["c"].sum().reset_index()
+        s = s[s["c"] >= 2]
+        return pd.DataFrame(
+            {"a": s["a"].to_numpy(np.int64), "b": s["b"].to_numpy(np.int64)}
+        )
+
+    edges = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+        .map_batches(route, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby("part2")
+        .map_groups(sum_filter, batch_format="pandas")
+    )
+    out = triangle_counts(edges, a="a", b="b")
+    schema = pa.schema([("node", pa.int64()), ("n_triangles", pa.int64())])
+    # schema anchor: a triangle-free graph yields ZERO groups, so map_groups
+    # emits schema-less empty pandas blocks — normalize every block to the
+    # typed schema and union an empty typed block so consumers always see
+    # (node, n_triangles)
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        return t.select(["node", "n_triangles"]).cast(schema)
+
+    return _rd().from_arrow(schema.empty_table()).union(
+        out.map_batches(norm, batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -4708,6 +4799,7 @@ QUERIES = {
     "k_anonymity_docs": q_k_anonymity_docs,
     "compression_ratio_docs": q_compression_ratio_docs,
     "pagerank_lineitem": q_pagerank_lineitem,
+    "triangle_suppliers": q_triangle_suppliers,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,

@@ -336,3 +336,506 @@ def _pagerank_broadcast(e, deg, iters, scale, base, damp_num, damp_den, n_parts)
         ) // damp_den
 
     return rd.from_arrow(pa.table({"node": nodes, "rank": r}))
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (node-iterator with degree ordering)
+# --------------------------------------------------------------------------
+
+_EDGE_SCHEMA = pa.schema(
+    [("part", pa.int32()), ("u", pa.int64()), ("v", pa.int64())]
+)
+
+_WEDGE_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("kind", pa.int8()),  # 0 = canonical edge, 1 = wedge
+        ("lo", pa.int64()),
+        ("hi", pa.int64()),
+        ("src", pa.int64()),  # wedge apex; unused (0) for edge rows
+    ]
+)
+
+
+def _pair_part(u: np.ndarray, v: np.ndarray, n_parts: int) -> np.ndarray:
+    """Deterministic routing hash for an (u, v) pair — same recipe as the
+    copurchase pair exchange (queries.py): int64 wrap-around mix, then
+    hash64. Collisions only affect partition balance, never correctness
+    (each part dedups/merges on the exact (u, v) values)."""
+    return (
+        hash64(u * np.int64(1_000_003) + v) & np.uint64(n_parts - 1)
+    ).astype(np.int32)
+
+
+def _canon_edges(edges, a: str, b: str, n_parts: int):
+    """Undirected edge canonicalization: drop nulls and self-loops, key every
+    edge (min, max) by node id, route by pair hash, per-part exact dedup.
+    Output: one (part, u, v) row per distinct undirected edge."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[a], pa.int64()).combine_chunks()
+        y = pc.cast(t[b], pa.int64()).combine_chunks()
+        m = pc.and_(
+            pc.and_(pc.is_valid(x), pc.is_valid(y)), pc.not_equal(x, y)
+        )
+        m = pc.fill_null(m, False)
+        xv = pc.filter(x, m).to_numpy(zero_copy_only=False)
+        yv = pc.filter(y, m).to_numpy(zero_copy_only=False)
+        u = np.minimum(xv, yv)
+        v = np.maximum(xv, yv)
+        # per-batch dedup combiner: sorted first-occurrence mask
+        if len(u):
+            order = np.lexsort((v, u))
+            u, v = u[order], v[order]
+            first = np.empty(len(u), dtype=bool)
+            first[0] = True
+            first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+            u, v = u[first], v[first]
+        return pa.table(
+            {"part": _pair_part(u, v, n_parts), "u": u, "v": v},
+            schema=_EDGE_SCHEMA,
+        )
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "v"])
+        return pd.DataFrame(
+            {"u": g["u"].to_numpy(np.int64), "v": g["v"].to_numpy(np.int64)}
+        )
+
+    return (
+        edges.map_batches(canon, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pandas")
+    )
+
+
+def _degree_table(edges_c, n_parts: int) -> pd.DataFrame:
+    """Exact degree per node from the canonical edge set: per-batch count
+    combiner over both endpoints, one part exchange, per-part sum. Returns
+    the reduced (node, d) frame — O(V) rows."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t["u"].to_numpy(zero_copy_only=False),
+                t["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        un, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "part": (hash64(un) & np.uint64(n_parts - 1)).astype(np.int32),
+                "node": un,
+                "c": cnt.astype(np.int64),
+            }
+        )
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="int64"), "d": pd.Series(dtype="int64")}
+            )
+        s = g.groupby("node", sort=False)["c"].sum()
+        return pd.DataFrame(
+            {"node": s.index.to_numpy(np.int64), "d": s.to_numpy(np.int64)}
+        )
+
+    return (
+        edges_c.map_batches(partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pandas")
+        .to_pandas()  # O(V) — budget-guarded by the caller's mode gate
+    )
+
+
+def triangle_counts(
+    edges,
+    a: str = "a",
+    b: str = "b",
+    num_partitions: int | None = None,
+    mode: str = "auto",
+    broadcast_node_budget: int = 4_000_000,
+):
+    """Per-node triangle counts over an undirected edge-list Dataset.
+
+    Node-iterator algorithm with DEGREE ORDERING (Schank & Wagner 2005 /
+    Suri & Vassilvitskii WWW'11 MapReduce form): orient every edge from the
+    endpoint with smaller (degree, node) to the larger, enumerate wedges
+    from each node's out-neighborhood, and close wedges against the edge
+    set. Orientation bounds every out-degree by O(sqrt(m)), so total wedge
+    volume is O(m^1.5) — the hub-node quadratic blow-up of naive neighbor
+    pairing never happens.
+
+    Returns a Dataset (node, n_triangles) covering nodes in ≥ 1 triangle.
+    Exact for multigraph inputs (parallel edges collapse in the canonical
+    dedup) and orientation-invariant: the triangle SET is a property of the
+    undirected graph, so results hash-match any SQL triple-join oracle.
+
+    Two physical plans with identical results:
+    - broadcast (V ≤ `broadcast_node_budget`, ids < 2^31): the O(V) degree
+      arrays orient edges via searchsorted lookup, and the packed-uint64
+      canonical edge keys close wedges inside the wedge pass — ONE part
+      exchange after orientation (QDV_TRI_BROADCAST_NODES overrides the
+      budget).
+    - exchange: degrees attach by two node-hash exchanges, wedges and edge
+      rows co-partition by pair hash and close per part — no O(V) driver
+      state; the 100-TB path.
+
+    Reference analog: the reference has no graph operators; this extends the
+    engine's dedup-cluster family (stages/cluster.py) with the standard
+    triangle/clustering-coefficient feature used in corpus graph analysis.
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+
+    if mode not in ("auto", "broadcast", "exchange"):
+        raise ValueError(mode)
+    n_parts = (
+        _next_pow2(int(num_partitions))
+        if num_partitions is not None
+        else _ccf_parts()
+    )
+    env_budget = os.environ.get("QDV_TRI_BROADCAST_NODES")
+    if env_budget:
+        broadcast_node_budget = int(env_budget)
+
+    edges_c = _canon_edges(edges, a, b, n_parts)
+
+    def count_rows(frames):
+        """Final exchange: per-part (node, c) partials → per-node sum. A
+        triangle-free graph produces ZERO groups (map_groups never runs and
+        the dataset loses its schema), so every block is normalized to the
+        typed schema and an empty typed anchor block is unioned in."""
+        out_schema = pa.schema(
+            [("node", pa.int64()), ("n_triangles", pa.int64())]
+        )
+
+        def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0:
+                return pd.DataFrame(
+                    {
+                        "node": pd.Series(dtype="int64"),
+                        "n_triangles": pd.Series(dtype="int64"),
+                    }
+                )
+            s = g.groupby("node", sort=False)["c"].sum()
+            return pd.DataFrame(
+                {
+                    "node": s.index.to_numpy(np.int64),
+                    "n_triangles": s.to_numpy(np.int64),
+                }
+            )
+
+        def norm(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return out_schema.empty_table()
+            return t.select(["node", "n_triangles"]).cast(out_schema)
+
+        import ray.data as rd
+
+        reduced = (
+            frames.groupby("part")
+            .map_groups(reduce_part, batch_format="pandas")
+            .map_batches(norm, batch_format="pyarrow")
+        )
+        return rd.from_arrow(out_schema.empty_table()).union(reduced)
+
+    def node_partials(src_v, lo_v, hi_v) -> pa.Table:
+        nodes = np.concatenate([src_v, lo_v, hi_v])
+        un, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "part": (hash64(un) & np.uint64(n_parts - 1)).astype(np.int32),
+                "node": un,
+                "c": cnt.astype(np.int64),
+            }
+        )
+
+    if mode != "exchange":
+        deg = _degree_table(edges_c, n_parts)
+        if mode == "broadcast" or (
+            len(deg) <= broadcast_node_budget
+            and (len(deg) == 0 or int(deg["node"].max()) < (1 << 31))
+            and (len(deg) == 0 or int(deg["node"].min()) >= 0)
+        ):
+            return _triangles_broadcast(
+                edges_c, deg, n_parts, count_rows, node_partials
+            )
+        # fall through to the exchange plan (budget exceeded / wide ids)
+
+    return _triangles_exchange(edges_c, n_parts, count_rows, node_partials)
+
+
+def _triangles_broadcast(edges_c, deg, n_parts, count_rows, node_partials):
+    import ray
+    import ray.data as rd
+
+    nodes = deg["node"].to_numpy(np.int64)
+    order = np.argsort(nodes)
+    nodes = nodes[order]
+    d = deg["d"].to_numpy(np.int64)[order]
+
+    # canonical edge keys packed (lo << 32 | hi): exact membership via ONE
+    # searchsorted — valid because the caller's gate pinned ids to [0, 2^31)
+    def edge_keys(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({"key": (u << np.uint64(32)) | v})
+
+    ekeys = np.sort(
+        edges_c.map_batches(edge_keys, batch_format="pyarrow")
+        .to_pandas()["key"]
+        .to_numpy(np.uint64)
+    )
+    deg_ref = ray.put((nodes, d))
+    keys_ref = ray.put(ekeys)
+
+    def orient(t: pa.Table, _ref=deg_ref) -> pa.Table:
+        nds, dv = ray.get(_ref)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        du = dv[np.searchsorted(nds, u)]
+        dvv = dv[np.searchsorted(nds, v)]
+        # (degree, id) total order: u first iff (du, u) < (dv, v)
+        u_first = (du < dvv) | ((du == dvv) & (u < v))
+        s = np.where(u_first, u, v)
+        t_ = np.where(u_first, v, u)
+        return pa.table(
+            {
+                "part": (hash64(s) & np.uint64(n_parts - 1)).astype(np.int32),
+                "src": s,
+                "dst": t_,
+            }
+        )
+
+    def wedges_close(g: pd.DataFrame, _kref=keys_ref) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "part": pd.Series(dtype="int32"),
+                    "node": pd.Series(dtype="int64"),
+                    "c": pd.Series(dtype="int64"),
+                }
+            )
+        ek = ray.get(_kref)
+        sl = g[["src", "dst"]]
+        m = sl.merge(sl, on="src")
+        m = m[m["dst_x"] < m["dst_y"]]
+        lo = m["dst_x"].to_numpy(np.int64)
+        hi = m["dst_y"].to_numpy(np.int64)
+        key = (lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64)
+        pos = np.searchsorted(ek, key)
+        pos_c = np.minimum(pos, len(ek) - 1) if len(ek) else pos
+        closed = (len(ek) > 0) & (ek[pos_c] == key) if len(ek) else np.zeros(
+            len(key), bool
+        )
+        src_v = m["src"].to_numpy(np.int64)[closed]
+        return node_partials(src_v, lo[closed], hi[closed]).to_pandas()
+
+    oriented = edges_c.map_batches(orient, batch_format="pyarrow")
+    partials = oriented.groupby("part").map_groups(
+        wedges_close, batch_format="pandas"
+    )
+
+    def rekey(t: pa.Table) -> pa.Table:
+        return t  # partials already carry the node part
+
+    return count_rows(partials.map_batches(rekey, batch_format="pyarrow"))
+
+
+def _triangles_exchange(edges_c, n_parts, count_rows, node_partials):
+    """Fully distributed plan: degrees attach via two node-hash exchanges,
+    wedges + canonical edges co-partition by pair hash and close per part.
+    No driver state beyond scheduling."""
+
+    # ---- degree rows (node, d) from a part exchange ----------------------
+    def deg_partials(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t["u"].to_numpy(zero_copy_only=False),
+                t["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        un, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "part": (hash64(un) & np.uint64(n_parts - 1)).astype(np.int32),
+                "kind": np.full(len(un), 1, np.int8),
+                "lo": un,
+                "hi": cnt.astype(np.int64),
+                "src": np.zeros(len(un), np.int64),
+            },
+            schema=_WEDGE_SCHEMA,
+        )
+
+    def edge_rows_by(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            key = u if col == "u" else v
+            return pa.table(
+                {
+                    "part": (hash64(key) & np.uint64(n_parts - 1)).astype(
+                        np.int32
+                    ),
+                    "kind": np.zeros(len(u), np.int8),
+                    "lo": u,
+                    "hi": v,
+                    "src": np.zeros(len(u), np.int64),
+                },
+                schema=_WEDGE_SCHEMA,
+            )
+
+        return f
+
+    def attach(which: str):
+        """Per part: degree rows (kind 1: lo=node, hi=count partial → summed
+        here) + edge rows (kind 0). Attach the keyed endpoint's degree into
+        `src` (stage 1) or orient (stage 2)."""
+
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            dg = g[g["kind"] == 1]
+            ed = g[g["kind"] == 0]
+            if len(ed) == 0:
+                return pd.DataFrame(
+                    {
+                        "part": pd.Series(dtype="int32"),
+                        "kind": pd.Series(dtype="int8"),
+                        "lo": pd.Series(dtype="int64"),
+                        "hi": pd.Series(dtype="int64"),
+                        "src": pd.Series(dtype="int64"),
+                    }
+                )
+            ds_ = dg.groupby("lo", sort=True)["hi"].sum()
+            dnodes = ds_.index.to_numpy(np.int64)
+            dcnt = ds_.to_numpy(np.int64)
+            u = ed["lo"].to_numpy(np.int64)
+            v = ed["hi"].to_numpy(np.int64)
+            if which == "u":
+                du = dcnt[np.searchsorted(dnodes, u)]
+                # re-route by hash(v) for the second attach; carry du in src
+                return pd.DataFrame(
+                    {
+                        "part": (hash64(v) & np.uint64(n_parts - 1)).astype(
+                            np.int32
+                        ),
+                        "kind": np.zeros(len(u), np.int8),
+                        "lo": u,
+                        "hi": v,
+                        "src": du,
+                    }
+                )
+            dvv = dcnt[np.searchsorted(dnodes, v)]
+            du = ed["src"].to_numpy(np.int64)
+            u_first = (du < dvv) | ((du == dvv) & (u < v))
+            s = np.where(u_first, u, v)
+            t_ = np.where(u_first, v, u)
+            return pd.DataFrame(
+                {
+                    "part": (hash64(s) & np.uint64(n_parts - 1)).astype(
+                        np.int32
+                    ),
+                    "kind": np.zeros(len(s), np.int8),
+                    "lo": s,
+                    "hi": t_,
+                    "src": np.zeros(len(s), np.int64),
+                }
+            )
+
+        return f
+
+    deg_rows = edges_c.map_batches(deg_partials, batch_format="pyarrow")
+    e_by_u = edges_c.map_batches(edge_rows_by("u"), batch_format="pyarrow")
+    stage1 = (
+        e_by_u.union(deg_rows)
+        .groupby("part")
+        .map_groups(attach("u"), batch_format="pandas")
+    )
+    deg_rows2 = edges_c.map_batches(deg_partials, batch_format="pyarrow")
+    oriented = (
+        stage1.map_batches(
+            lambda t: t.cast(_WEDGE_SCHEMA), batch_format="pyarrow"
+        )
+        .union(deg_rows2)
+        .groupby("part")
+        .map_groups(attach("v"), batch_format="pandas")
+    )
+
+    # ---- wedge generation per src part, routed by pair hash --------------
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["kind"] == 0]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "part": pd.Series(dtype="int32"),
+                    "kind": pd.Series(dtype="int8"),
+                    "lo": pd.Series(dtype="int64"),
+                    "hi": pd.Series(dtype="int64"),
+                    "src": pd.Series(dtype="int64"),
+                }
+            )
+        sl = g[["lo", "hi"]].rename(columns={"lo": "s", "hi": "t"})
+        m = sl.merge(sl, on="s")
+        m = m[m["t_x"] < m["t_y"]]
+        lo = m["t_x"].to_numpy(np.int64)
+        hi = m["t_y"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "part": _pair_part(lo, hi, n_parts),
+                "kind": np.ones(len(lo), np.int8),
+                "lo": lo,
+                "hi": hi,
+                "src": m["s"].to_numpy(np.int64),
+            }
+        )
+
+    def edge_pair_rows(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": _pair_part(u, v, n_parts),
+                "kind": np.zeros(len(u), np.int8),
+                "lo": u,
+                "hi": v,
+                "src": np.zeros(len(u), np.int64),
+            },
+            schema=_WEDGE_SCHEMA,
+        )
+
+    wedge_rows = (
+        oriented.map_batches(
+            lambda t: t.cast(_WEDGE_SCHEMA), batch_format="pyarrow"
+        )
+        .groupby("part")
+        .map_groups(wedges, batch_format="pandas")
+        .map_batches(lambda t: t.cast(_WEDGE_SCHEMA), batch_format="pyarrow")
+    )
+    edge_rows = edges_c.map_batches(edge_pair_rows, batch_format="pyarrow")
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["kind"] == 1]
+        e = g[g["kind"] == 0]
+        if len(w) == 0 or len(e) == 0:
+            return pd.DataFrame(
+                {
+                    "part": pd.Series(dtype="int32"),
+                    "node": pd.Series(dtype="int64"),
+                    "c": pd.Series(dtype="int64"),
+                }
+            )
+        m = w.merge(e[["lo", "hi"]], on=["lo", "hi"], how="inner")
+        return node_partials(
+            m["src"].to_numpy(np.int64),
+            m["lo"].to_numpy(np.int64),
+            m["hi"].to_numpy(np.int64),
+        ).to_pandas()
+
+    partials = (
+        wedge_rows.union(edge_rows)
+        .groupby("part")
+        .map_groups(close, batch_format="pandas")
+    )
+    return count_rows(partials)
