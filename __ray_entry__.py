@@ -1495,6 +1495,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
             FROM n GROUP BY node
         """,
+        # PMI in lnq fixed-point (floor(ln·1e6 + 0.5)) — the same integer
+        # log the entropy oracle replays, so hashes can't drift on float
+        # evaluation order
+        "collocations_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '\\S+') AS t
+                FROM documents),
+            big AS (
+                SELECT t[x] AS w1, t[x + 1] AS w2
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
+                              AS x)),
+            uni AS (SELECT unnest(t) AS w FROM toks),
+            nb AS (SELECT COUNT(*) AS n FROM big),
+            nu AS (SELECT COUNT(*) AS n FROM uni),
+            bc AS (SELECT w1, w2, COUNT(*) AS c FROM big
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+            uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1)
+            SELECT bc.w1, bc.w2, CAST(bc.c AS BIGINT) AS c_xy,
+                   CAST(
+                     CAST(FLOOR(ln(CAST(bc.c AS DOUBLE)) * 1000000.0 + 0.5)
+                          AS BIGINT)
+                   - CAST(FLOOR(ln(CAST(nb.n AS DOUBLE)) * 1000000.0 + 0.5)
+                          AS BIGINT)
+                   - CAST(FLOOR(ln(CAST(u1.c AS DOUBLE)) * 1000000.0 + 0.5)
+                          AS BIGINT)
+                   - CAST(FLOOR(ln(CAST(u2.c AS DOUBLE)) * 1000000.0 + 0.5)
+                          AS BIGINT)
+                   + 2 * CAST(FLOOR(ln(CAST(nu.n AS DOUBLE)) * 1000000.0
+                                    + 0.5) AS BIGINT)
+                   AS BIGINT) AS pmi_e6
+            FROM bc
+            CROSS JOIN nb CROSS JOIN nu
+            JOIN uc u1 ON u1.w = bc.w1
+            JOIN uc u2 ON u2.w = bc.w2
+            ORDER BY pmi_e6 DESC, bc.w1, bc.w2
+            LIMIT 30
+        """,
         "pagerank_lineitem": """
             WITH edges AS (
                 SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst

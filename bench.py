@@ -217,6 +217,7 @@ HEADLINE = [
     "compression_ratio_docs",
     "pagerank_lineitem",
     "triangle_suppliers",
+    "collocations_docs",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

@@ -4683,6 +4683,22 @@ def q_triangle_suppliers(sf_dir: str):
     )
 
 
+def q_collocations_docs(sf_dir: str):
+    """Top-30 adjacent-bigram collocations by PMI (stages/text.py
+    collocations_pmi — Church & Hanks 1990), min bigram count 5, over
+    lowercased \\S+ tokens. One tagged exchange reduces bigram/unigram/total
+    partials; two attach exchanges bring the unigram counts to each
+    surviving bigram; PMI in lnq fixed-point so the hash matches the SQL
+    replay exactly."""
+    from fdpg_query_data_validation_ray.stages.text import collocations_pmi
+
+    return collocations_pmi(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        min_count=5,
+        k=30,
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -4800,6 +4816,7 @@ QUERIES = {
     "compression_ratio_docs": q_compression_ratio_docs,
     "pagerank_lineitem": q_pagerank_lineitem,
     "triangle_suppliers": q_triangle_suppliers,
+    "collocations_docs": q_collocations_docs,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,

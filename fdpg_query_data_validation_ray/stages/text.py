@@ -2062,3 +2062,354 @@ class C4LineFilterStage:
              "text_clean": pa.array(joined.to_numpy()[ok], pa.string()),
              "n_lines": pa.array(n.to_numpy()[ok].astype(np.int64), pa.int64())}
         )
+
+
+# --------------------------------------------------------------------------
+# Bigram collocations by pointwise mutual information
+# --------------------------------------------------------------------------
+
+_PMI_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("kind", pa.int8()),  # 0 = bigram partial/row, 1 = unigram, 2 = totals
+        ("w1", pa.string()),
+        ("w2", pa.string()),
+        ("c", pa.int64()),
+        ("cx", pa.int64()),
+    ]
+)
+
+
+def _lnq_int(x: np.ndarray) -> np.ndarray:
+    """floor(ln(x)·1e6 + 0.5) as int64 — the repo's fixed-point log (same
+    kernel as the entropy stage, replayed verbatim in SQL oracles)."""
+    return np.floor(np.log(x.astype(np.float64)) * 1e6 + 0.5).astype(np.int64)
+
+
+def collocations_pmi(
+    ds,
+    text_column: str = "text",
+    min_count: int = 5,
+    k: int = 30,
+    num_partitions: int | None = None,
+):
+    """Top-k adjacent-bigram collocations by PMI (Church & Hanks 1990):
+
+        pmi_e6 = lnq(c_xy) − lnq(N_b) − lnq(c_x) − lnq(c_y) + 2·lnq(N_u)
+
+    over lowercased \\S+ tokens, where c_xy counts within-doc ADJACENT pairs,
+    N_b is the total bigram count, c_x/c_y unigram counts, N_u total tokens —
+    all integer-exact (lnq = floor(ln·1e6 + 0.5)), so results hash-match a
+    SQL replay.
+
+    Plan (fully distributed, no O(vocab) driver state):
+      pass 1   per-batch combiner: bigram counts (pair-hash part), unigram
+               counts (word-hash part), per-batch totals (kind 2) in ONE
+               tagged table → ONE exchange reduces all three; the reduced
+               state is vocabulary-bounded and materialized once.
+      totals   kind-2 rows → two int64 scalars at the driver (O(parts)).
+      pass 2/3 two attach exchanges co-partition surviving bigrams with the
+               unigram rows by hash(w1) then hash(w2) (the triangle-counting
+               attach pattern) — only bigrams with c ≥ min_count move.
+      final    pmi map + distributed top_k on (pmi_e6 desc, w1, w2).
+
+    min_count applies AFTER the global bigram sum, so partial counts from
+    different parts can't drop a pair that globally qualifies."""
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.cluster import (
+        _ccf_parts,
+        _next_pow2,
+    )
+    from fdpg_query_data_validation_ray.stages.topk import top_k
+
+    n_parts = (
+        _next_pow2(int(num_partitions))
+        if num_partitions is not None
+        else _ccf_parts()
+    )
+    token_re = re.compile(r"\S+")
+
+    def _pair_part(w1: np.ndarray, w2: np.ndarray) -> np.ndarray:
+        joined = np.array(
+            [a + "\x1f" + b for a, b in zip(w1, w2)], dtype=object
+        )
+        return (hash64(joined) & np.uint64(n_parts - 1)).astype(np.int32)
+
+    def _word_part(w: np.ndarray) -> np.ndarray:
+        return (hash64(w) & np.uint64(n_parts - 1)).astype(np.int32)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        s = _col_series(batch, text_column).fillna("").str.lower()
+        flat, counts, starts = _tokenize_batch(s, token_re)
+        nu = int(counts.sum())
+        if nu == 0:
+            return _PMI_SCHEMA.empty_table()
+        # unigram combiner
+        uw, uc = np.unique(flat.astype("U"), return_counts=True)
+        uw = uw.astype(object)
+        # adjacent pairs: all (i, i+1) except across doc boundaries
+        keep = np.ones(max(nu - 1, 0), dtype=bool)
+        boundary = starts[1:] - 1  # last token index of docs 0..n-2
+        keep[boundary[boundary < len(keep)]] = False
+        w1 = flat[:-1][keep]
+        w2 = flat[1:][keep]
+        nb = int(len(w1))
+        frames = []
+        if nb:
+            dfb = (
+                pd.DataFrame({"w1": w1, "w2": w2})
+                .groupby(["w1", "w2"], sort=False)
+                .size()
+                .reset_index(name="c")
+            )
+            frames.append(
+                pa.table(
+                    {
+                        "part": _pair_part(
+                            dfb["w1"].to_numpy(object), dfb["w2"].to_numpy(object)
+                        ),
+                        "kind": np.zeros(len(dfb), np.int8),
+                        "w1": pa.array(dfb["w1"], pa.string()),
+                        "w2": pa.array(dfb["w2"], pa.string()),
+                        "c": dfb["c"].to_numpy(np.int64),
+                        "cx": np.zeros(len(dfb), np.int64),
+                    },
+                    schema=_PMI_SCHEMA,
+                )
+            )
+        frames.append(
+            pa.table(
+                {
+                    "part": _word_part(uw),
+                    "kind": np.ones(len(uw), np.int8),
+                    "w1": pa.array(uw, pa.string()),
+                    "w2": pa.array([""] * len(uw), pa.string()),
+                    "c": uc.astype(np.int64),
+                    "cx": np.zeros(len(uw), np.int64),
+                },
+                schema=_PMI_SCHEMA,
+            )
+        )
+        frames.append(
+            pa.table(
+                {
+                    "part": np.zeros(1, np.int32),
+                    "kind": np.full(1, 2, np.int8),
+                    "w1": pa.array([""], pa.string()),
+                    "w2": pa.array([""], pa.string()),
+                    "c": np.array([nb], np.int64),
+                    "cx": np.array([nu], np.int64),
+                },
+                schema=_PMI_SCHEMA,
+            )
+        )
+        return pa.concat_tables(frames)
+
+    def _empty_mixed() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "part": pd.Series(dtype="int32"),
+                "kind": pd.Series(dtype="int8"),
+                "w1": pd.Series(dtype="object"),
+                "w2": pd.Series(dtype="object"),
+                "c": pd.Series(dtype="int64"),
+                "cx": pd.Series(dtype="int64"),
+            }
+        )
+
+    def reduce1(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return _empty_mixed()
+        out = []
+        bg = g[g["kind"] == 0]
+        if len(bg):
+            s = bg.groupby(["w1", "w2"], sort=False)["c"].sum().reset_index()
+            # totals see ALL bigram mass (pre-filter); only qualifying
+            # pairs continue into the attach exchanges
+            nb_part = int(s["c"].sum())
+            out.append(
+                pd.DataFrame(
+                    {
+                        "part": np.zeros(1, np.int32),
+                        "kind": np.full(1, 2, np.int8),
+                        "w1": [""],
+                        "w2": [""],
+                        "c": np.array([nb_part], np.int64),
+                        "cx": np.zeros(1, np.int64),
+                    }
+                )
+            )
+            s = s[s["c"] >= min_count]
+            if len(s):
+                w1v = s["w1"].to_numpy(object)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "part": _word_part(w1v),
+                            "kind": np.zeros(len(s), np.int8),
+                            "w1": w1v,
+                            "w2": s["w2"].to_numpy(object),
+                            "c": s["c"].to_numpy(np.int64),
+                            "cx": np.zeros(len(s), np.int64),
+                        }
+                    )
+                )
+        ug = g[g["kind"] == 1]
+        if len(ug):
+            s = ug.groupby("w1", sort=False)["c"].sum()
+            wv = s.index.to_numpy(object)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "part": _word_part(wv),
+                        "kind": np.ones(len(s), np.int8),
+                        "w1": wv,
+                        "w2": [""] * len(s),
+                        "c": s.to_numpy(np.int64),
+                        "cx": np.zeros(len(s), np.int64),
+                    }
+                )
+            )
+        tg = g[g["kind"] == 2]
+        if len(tg):
+            out.append(
+                pd.DataFrame(
+                    {
+                        "part": np.zeros(1, np.int32),
+                        "kind": np.full(1, 2, np.int8),
+                        "w1": [""],
+                        "w2": [""],
+                        "c": np.array([0], np.int64),
+                        "cx": np.array([int(tg["cx"].sum())], np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else _empty_mixed()
+
+    reduced = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=4096)
+        .groupby("part")
+        .map_groups(reduce1, batch_format="pandas")
+        .map_batches(
+            lambda t: t.cast(_PMI_SCHEMA) if t.num_columns else _PMI_SCHEMA.empty_table(),
+            batch_format="pyarrow",
+        )
+        .materialize()  # vocabulary-bounded reduced state, consumed 2×
+    )
+
+    tot = (
+        reduced.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], 2)), batch_format="pyarrow"
+        )
+        .to_pandas()  # O(parts) rows
+    )
+    # 0-row Dataset.to_pandas loses columns — treat as an empty corpus
+    n_b = int(tot["c"].sum()) if "c" in tot.columns else 0
+    n_u = int(tot["cx"].sum()) if "cx" in tot.columns else 0
+    if n_b == 0:
+        out_schema = pa.schema(
+            [
+                ("w1", pa.string()),
+                ("w2", pa.string()),
+                ("c_xy", pa.int64()),
+                ("pmi_e6", pa.int64()),
+            ]
+        )
+        return rd.from_arrow(out_schema.empty_table())
+
+    def attach(which: str):
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            bg = g[g["kind"] == 0]
+            ug = g[g["kind"] == 1]
+            out = []
+            if len(ug):
+                # re-emit unigram rows for the next attach (no-op for 'w2')
+                out.append(ug)
+            if len(bg):
+                m = bg.merge(
+                    ug[["w1", "c"]].rename(columns={"w1": "_w", "c": "_cu"}),
+                    left_on=("w1" if which == "w1" else "w2"),
+                    right_on="_w",
+                    how="left",
+                )
+                cu = m["_cu"].to_numpy(np.int64)
+                if which == "w1":
+                    w2v = m["w2"].to_numpy(object)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "part": _word_part(w2v),
+                                "kind": np.zeros(len(m), np.int8),
+                                "w1": m["w1"].to_numpy(object),
+                                "w2": w2v,
+                                "c": m["c"].to_numpy(np.int64),
+                                "cx": cu,
+                            }
+                        )
+                    )
+                else:
+                    # final: compute pmi; cx carries c_x, cu is c_y
+                    c_xy = m["c"].to_numpy(np.int64)
+                    pmi = (
+                        _lnq_int(c_xy)
+                        - np.int64(_lnq_int(np.array([n_b]))[0])
+                        - _lnq_int(m["cx"].to_numpy(np.int64))
+                        - _lnq_int(cu)
+                        + 2 * np.int64(_lnq_int(np.array([n_u]))[0])
+                    )
+                    return pd.DataFrame(
+                        {
+                            "part": np.zeros(len(m), np.int32),
+                            "kind": np.zeros(len(m), np.int8),
+                            "w1": m["w1"].to_numpy(object),
+                            "w2": m["w2"].to_numpy(object),
+                            "c": c_xy,
+                            "cx": pmi,
+                        }
+                    )
+            if not out:
+                return _empty_mixed()
+            return pd.concat(out, ignore_index=True)
+
+        return f
+
+    stage2 = (
+        reduced.map_batches(
+            lambda t: t.filter(pc.not_equal(t["kind"], 2)),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(attach("w1"), batch_format="pandas")
+        .map_batches(
+            lambda t: t.cast(_PMI_SCHEMA) if t.num_columns else _PMI_SCHEMA.empty_table(),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(attach("w2"), batch_format="pandas")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("w1", pa.string()),
+                    ("w2", pa.string()),
+                    ("c_xy", pa.int64()),
+                    ("pmi_e6", pa.int64()),
+                ]
+            ).empty_table()
+        t = t.filter(pc.equal(t["kind"], 0))
+        return pa.table(
+            {
+                "w1": pc.cast(t["w1"], pa.string()),
+                "w2": pc.cast(t["w2"], pa.string()),
+                "c_xy": pc.cast(t["c"], pa.int64()),
+                "pmi_e6": pc.cast(t["cx"], pa.int64()),
+            }
+        )
+
+    scored = stage2.map_batches(finalize, batch_format="pyarrow")
+    return top_k(
+        scored, k, ["pmi_e6", "w1", "w2"], descending=[True, False, False]
+    )
