@@ -1535,6 +1535,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pmi_e6 DESC, bc.w1, bc.w2
             LIMIT 30
         """,
+        # the engine's deletion-neighborhood join verifies every candidate
+        # with an exact ED <= 1 kernel, so it equals the brute-force
+        # levenshtein cross join
+        "fuzzy_supplier_names": """
+            WITH v AS (
+                SELECT DISTINCT s_name AS t FROM supplier
+                WHERE s_name IS NOT NULL AND len(s_name) <= 32)
+            SELECT a.t AS w1, b.t AS w2
+            FROM v a JOIN v b
+              ON a.t < b.t AND levenshtein(a.t, b.t) <= 1
+        """,
         "pagerank_lineitem": """
             WITH edges AS (
                 SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst

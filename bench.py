@@ -218,6 +218,7 @@ HEADLINE = [
     "pagerank_lineitem",
     "triangle_suppliers",
     "collocations_docs",
+    "fuzzy_supplier_names",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

@@ -4699,6 +4699,19 @@ def q_collocations_docs(sf_dir: str):
     )
 
 
+def q_fuzzy_supplier_names(sf_dir: str):
+    """Fuzzy entity-name self-join: all supplier-name pairs within
+    Levenshtein distance 1 (stages/fuzzy.py fuzzy_pairs_ed1 — SymSpell
+    deletion neighborhoods with exact vectorized verification; the bucket
+    join only prunes, so results hash-match DuckDB's levenshtein() cross
+    join). Names longer than 32 chars excluded on both sides."""
+    from fdpg_query_data_validation_ray.stages.fuzzy import fuzzy_pairs_ed1
+
+    return fuzzy_pairs_ed1(
+        _read(sf_dir, "supplier", ["s_name"]), column="s_name", max_len=32
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -4817,6 +4830,7 @@ QUERIES = {
     "pagerank_lineitem": q_pagerank_lineitem,
     "triangle_suppliers": q_triangle_suppliers,
     "collocations_docs": q_collocations_docs,
+    "fuzzy_supplier_names": q_fuzzy_supplier_names,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,
