@@ -1535,6 +1535,67 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pmi_e6 DESC, bc.w1, bc.w2
             LIMIT 30
         """,
+        "intersect_docs_halves": """
+            WITH a AS (SELECT lang, CAST(n_chars // 10 AS BIGINT) AS nb
+                       FROM documents WHERE doc_id % 2 = 0),
+            b AS (SELECT lang, CAST(n_chars // 10 AS BIGINT) AS nb
+                  FROM documents WHERE doc_id % 2 = 1),
+            i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+            SELECT lang, nb, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM i GROUP BY 1, 2
+        """,
+        "unpivot_lineitem": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   m.measure,
+                   CAST(ROUND(CASE m.measure
+                        WHEN 'l_quantity' THEN l_quantity
+                        WHEN 'l_extendedprice' THEN l_extendedprice
+                        WHEN 'l_discount' THEN l_discount
+                        ELSE l_tax END * 100) AS BIGINT) AS value_cents
+            FROM lineitem
+            CROSS JOIN (SELECT unnest(['l_quantity', 'l_extendedprice',
+                                       'l_discount', 'l_tax']) AS measure) m
+            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        """,
+        # intra-doc line dedup: the same 2-word planting CTE on both sides,
+        # first occurrence kept by ROW_NUMBER over (doc, line) ordered by
+        # line index — byte-exact text_clean
+        "dedup_lines_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), '\\S+') AS t
+                FROM documents),
+            lines AS (
+                SELECT doc_id,
+                       CAST((x - 1) // 2 AS BIGINT) AS li,
+                       array_to_string(t[x:least(x + 1, len(t))], ' ') ||
+                         CASE WHEN (doc_id + (x - 1) // 2) % 2 = 0
+                              THEN '.' ELSE '' END AS line
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(1, len(t), 2))
+                              AS x)),
+            kept AS (
+                SELECT doc_id, li, line FROM (
+                    SELECT doc_id, li, line,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id, line
+                                              ORDER BY li) AS rn
+                    FROM lines)
+                WHERE rn = 1),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY li) AS text_clean,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines
+                    GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.text_clean, '') AS text_clean,
+                   CAST(coalesce(t.n_lines - a.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN tot t USING (doc_id)
+        """,
         # the engine's deletion-neighborhood join verifies every candidate
         # with an exact ED <= 1 kernel, so it equals the brute-force
         # levenshtein cross join

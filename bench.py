@@ -219,6 +219,9 @@ HEADLINE = [
     "triangle_suppliers",
     "collocations_docs",
     "fuzzy_supplier_names",
+    "dedup_lines_docs",
+    "intersect_docs_halves",
+    "unpivot_lineitem",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

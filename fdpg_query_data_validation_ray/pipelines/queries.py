@@ -2381,14 +2381,14 @@ def q_sample_k_docs(sf_dir: str):
     return sample_k(ds, 100, "doc_id")
 
 
-def _plant_lines(t: pa.Table) -> pa.Table:
+def _plant_lines(t: pa.Table, group_w: int = 4) -> pa.Table:
     """Deterministically impose line structure on the synthetic corpus (which
-    has no newlines or punctuation): words regroup into 4-word lines; a line
-    gets a terminal '.' iff (doc_id + line_index) is even. Replayed verbatim
-    in the oracle via list slicing (t[x:x+3] + the same parity CASE), so the
-    lined text is byte-identical on both sides — the q_redact_pii_docs
-    planting pattern. Vectorized: one flatten + per-word suffix select + one
-    groupby join per doc."""
+    has no newlines or punctuation): words regroup into `group_w`-word lines;
+    a line gets a terminal '.' iff (doc_id + line_index) is even. Replayed
+    verbatim in the oracle via list slicing (t[x:x+w-1] + the same parity
+    CASE), so the lined text is byte-identical on both sides — the
+    q_redact_pii_docs planting pattern. Vectorized: one flatten + per-word
+    suffix select + one groupby join per doc."""
     import numpy as np
     import pandas as pd
 
@@ -2404,10 +2404,10 @@ def _plant_lines(t: pa.Table) -> pa.Table:
     if len(flat):
         starts = np.searchsorted(par, np.arange(n))
         ordn = np.arange(len(par)) - starts[par]
-        li = ordn // 4
+        li = ordn // group_w
         last_of_doc = np.ones(len(par), dtype=bool)
         last_of_doc[:-1] = par[:-1] != par[1:]
-        last_of_line = (ordn % 4 == 3) | last_of_doc
+        last_of_line = (ordn % group_w == group_w - 1) | last_of_doc
         punct = ((doc_id[par] + li) % 2) == 0
         dot = last_of_line & punct
         sep = np.where(last_of_doc, "", np.where(last_of_line, "\n", " "))
@@ -4712,6 +4712,95 @@ def q_fuzzy_supplier_names(sf_dir: str):
     )
 
 
+def q_dedup_lines_docs(sf_dir: str):
+    """Intra-document duplicate-line removal (stages/text.py
+    DedupLinesStage): deterministic 2-word lines planted (same parity
+    punctuation as the C4 planting, narrower so real intra-doc repeats
+    exist), repeated lines keep their first occurrence. Pure map — no
+    exchange; byte-exact text_clean vs the SQL ROW_NUMBER replay."""
+    from fdpg_query_data_validation_ray.stages.text import DedupLinesStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: _plant_lines(t, group_w=2), batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        DedupLinesStage(), batch_format="pyarrow", batch_size=2048
+    )
+
+
+def q_intersect_docs_halves(sf_dir: str):
+    """Distributed INTERSECT ALL with counts (stages/stats.py
+    multiset_intersect): the (lang, n_chars // 10) tuples present in BOTH
+    the even-doc_id and odd-doc_id halves, with n_common = min
+    multiplicity — the complement of diff_docs_halves. (The synthetic
+    `source` column correlates with doc_id parity, so the intersect keys
+    use the length bucket instead.) Same combiner/one-groupby shape."""
+    from fdpg_query_data_validation_ray.stages.stats import multiset_intersect
+
+    def half(par: int):
+        ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+        def prep(t: pa.Table, p=par) -> pa.Table:
+            t = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), p))
+            nb = pc.if_else(
+                pc.is_valid(t["n_chars"]),
+                pc.cast(
+                    pc.floor(pc.divide(pc.cast(t["n_chars"], pa.float64()),
+                                       10.0)),
+                    pa.int64(),
+                ),
+                pa.scalar(None, pa.int64()),
+            )
+            return pa.table({"lang": t["lang"], "nb": nb})
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    out = multiset_intersect(half(0), half(1), ["lang", "nb"])
+    schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("nb", pa.int64()),
+            ("n_common", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(["lang", "nb", "n_common"]).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
+def q_unpivot_lineitem(sf_dir: str):
+    """UNPIVOT/melt: the four lineitem measures unpivoted into skinny
+    (l_orderkey, l_linenumber, measure, value_cents) rows — the inverse of
+    events_type_pivot and the standard reshape before per-measure stats.
+    Pure map, no exchange; cents fixed-point so hashes can't drift."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def melt(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_valid(t["l_orderkey"]), pc.is_valid(t["l_linenumber"])
+        )
+        t = t.filter(m)
+        ok = pc.cast(t["l_orderkey"], pa.int64())
+        ln = pc.cast(t["l_linenumber"], pa.int64())
+        frames = [
+            pa.table(
+                {
+                    "l_orderkey": ok,
+                    "l_linenumber": ln,
+                    "measure": pa.array([c] * t.num_rows, pa.string()),
+                    "value_cents": _cents(t[c]),
+                }
+            )
+            for c in cols
+        ]
+        return pa.concat_tables(frames)
+
+    return _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber"] + cols
+    ).map_batches(melt, batch_format="pyarrow", batch_size=16384)
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -4831,6 +4920,9 @@ QUERIES = {
     "triangle_suppliers": q_triangle_suppliers,
     "collocations_docs": q_collocations_docs,
     "fuzzy_supplier_names": q_fuzzy_supplier_names,
+    "dedup_lines_docs": q_dedup_lines_docs,
+    "intersect_docs_halves": q_intersect_docs_halves,
+    "unpivot_lineitem": q_unpivot_lineitem,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,

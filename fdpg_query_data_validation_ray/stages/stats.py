@@ -787,6 +787,54 @@ def clip_by_key_quantiles(ds_build, ds_rows, key_column: str,
                                batch_size=16384)
 
 
+def _null_fill_scalar(dtype: pa.DataType):
+    if pa.types.is_string(dtype) or pa.types.is_large_string(dtype):
+        return pa.scalar("", dtype)
+    if pa.types.is_binary(dtype) or pa.types.is_large_binary(dtype):
+        return pa.scalar(b"", dtype)
+    return pa.scalar(0, dtype)
+
+
+def _null_safe_keys(columns: list[str]):
+    """Ray's native groupby exchange partitions blocks with
+    np.searchsorted over raw key values; a sampled NULL boundary against a
+    string column raises `'<' not supported between NoneType and str`
+    (layout-dependent — it depends which values the sort sampler picks).
+    Encode each key column as (filled value, is-null flag) before the
+    groupby and restore nulls after: exact for every type, no sentinel
+    collisions. Returns (encode_fn, decode_fn, grouped_column_names)."""
+    import pyarrow.compute as pc
+
+    flags = [f"__nn_{c}" for c in columns]
+
+    def enc(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in t.column_names:
+            cols[c] = t[c]
+        for c in columns:
+            col = t[c]
+            typ = col.type if not isinstance(col, pa.ChunkedArray) else col.type
+            cols[f"__nn_{c}"] = pc.is_valid(col)
+            cols[c] = pc.fill_null(col, _null_fill_scalar(typ))
+        return pa.table(cols)
+
+    def dec(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in t.column_names:
+            if c in flags:
+                continue
+            if c in columns:
+                col = t[c]
+                cols[c] = pc.if_else(
+                    t[f"__nn_{c}"], col, pa.scalar(None, col.type)
+                )
+            else:
+                cols[c] = t[c]
+        return pa.table(cols)
+
+    return enc, dec, columns + flags
+
+
 def multiset_diff(ds_a, ds_b, columns: list[str],
                   batch_size: int = 16384):
     """Distributed multiset comparison — EXCEPT ALL in both directions at
@@ -820,13 +868,16 @@ def multiset_diff(ds_a, ds_b, columns: list[str],
             )
         return f
 
+    enc, dec, group_cols = _null_safe_keys(columns)
     pa_ = ds_a.map_batches(partial(0), batch_format="pyarrow",
-                           batch_size=batch_size)
+                           batch_size=batch_size).map_batches(
+        enc, batch_format="pyarrow")
     pb_ = ds_b.map_batches(partial(1), batch_format="pyarrow",
-                           batch_size=batch_size)
+                           batch_size=batch_size).map_batches(
+        enc, batch_format="pyarrow")
     summed = (
         pa_.union(pb_)
-        .groupby(columns)
+        .groupby(group_cols)
         .aggregate(Sum("n_a", alias_name="n_a"),
                    Sum("n_b", alias_name="n_b"))
     )
@@ -834,9 +885,63 @@ def multiset_diff(ds_a, ds_b, columns: list[str],
     def keep_diff(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        t = dec(t)
         return t.filter(pc.invert(pc.equal(t["n_a"], t["n_b"])))
 
     return summed.map_batches(keep_diff, batch_format="pyarrow")
+
+
+def multiset_intersect(ds_a, ds_b, columns: list[str],
+                       batch_size: int = 16384):
+    """Distributed INTERSECT ALL with counts — the complement of
+    multiset_diff: one row per `columns` tuple present in BOTH multisets,
+    with n_common = min(multiplicity_a, multiplicity_b) (exactly the
+    number of rows SQL INTERSECT ALL would emit for that tuple). Same
+    combiner/exchange shape as multiset_diff: per-batch count partials,
+    one union, one groupby — output O(distinct shared tuples)."""
+    from ray.data.aggregate import Sum
+
+    def partial(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            g = t.select(columns).group_by(columns).aggregate(
+                [([], "count_all")]
+            )
+            n = g.column("count_all")
+            zero = pa.array(np.zeros(len(n), np.int64))
+            return pa.table(
+                {
+                    **{c: g[c] for c in columns},
+                    "n_a": n if side == 0 else zero,
+                    "n_b": zero if side == 0 else n,
+                }
+            )
+
+        return f
+
+    enc, dec, group_cols = _null_safe_keys(columns)
+    pa_ = ds_a.map_batches(partial(0), batch_format="pyarrow",
+                           batch_size=batch_size).map_batches(
+        enc, batch_format="pyarrow")
+    pb_ = ds_b.map_batches(partial(1), batch_format="pyarrow",
+                           batch_size=batch_size).map_batches(
+        enc, batch_format="pyarrow")
+    summed = (
+        pa_.union(pb_)
+        .groupby(group_cols)
+        .aggregate(Sum("n_a", alias_name="n_a"),
+                   Sum("n_b", alias_name="n_b"))
+    )
+
+    def keep_common(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = dec(t)
+        common = pc.min_element_wise(t["n_a"], t["n_b"])
+        t = t.append_column("n_common", pc.cast(common, pa.int64()))
+        t = t.filter(pc.greater(t["n_common"], 0))
+        return t.drop_columns(["n_a", "n_b"])
+
+    return summed.map_batches(keep_common, batch_format="pyarrow")
 
 
 def corr_by_key(ds, key_column: str, x_column: str, y_column: str,

@@ -2413,3 +2413,45 @@ def collocations_pmi(
     return top_k(
         scored, k, ["pmi_e6", "w1", "w2"], descending=[True, False, False]
     )
+
+
+class DedupLinesStage:
+    """Intra-document duplicate-line removal (the line-level member of the
+    C4/CCNet structural-cleaning family, beside C4LineFilterStage and the
+    cross-document span_dedup): repeated lines WITHIN a document keep their
+    first occurrence; later repeats are dropped. Output: (id, text_clean,
+    n_removed) for EVERY input document.
+
+    Pure map stage — no exchange: duplicates are defined per document, so
+    each batch resolves independently. Vectorized: one Arrow split per
+    batch, a single C-level pandas duplicated() over (doc, line), one
+    groupby join per surviving doc."""
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id"):
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_column]
+        col = pc.fill_null(pc.cast(t[self.text_column], pa.string()), "")
+        ll = pc.split_pattern(col, "\n")
+        flat = pc.list_flatten(ll).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(ll).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        out_text = np.full(n, "", dtype=object)
+        out_rm = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            df = pd.DataFrame({"p": par, "line": flat})
+            dup = df.duplicated(["p", "line"]).to_numpy()
+            rm_per_doc = df[dup].groupby("p", sort=False).size()
+            out_rm[rm_per_doc.index.to_numpy()] = rm_per_doc.to_numpy()
+            kept = df[~dup]
+            joined = kept.groupby("p", sort=True)["line"].agg("\n".join)
+            out_text[joined.index.to_numpy()] = joined.to_numpy()
+        return pa.table(
+            {
+                self.id_column: ids,
+                "text_clean": pa.array(out_text, pa.string()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+            }
+        )
