@@ -1535,6 +1535,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pmi_e6 DESC, bc.w1, bc.w2
             LIMIT 30
         """,
+        # lower median = the value at ROW_NUMBER (n+1)//2 under
+        # (value, event_id) order — tie order can't change the value at
+        # the median rank, so the composite-key rank plan is exact
+        "median_value_by_type": """
+            WITH v AS (
+                SELECT event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS vc,
+                       event_id
+                FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value)
+                      AND event_type IS NOT NULL AND event_id IS NOT NULL),
+            r AS (
+                SELECT event_type, vc,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY vc, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM v)
+            SELECT event_type, CAST(vc AS BIGINT) AS median_cents
+            FROM r WHERE rn = (n + 1) // 2
+        """,
         "intersect_docs_halves": """
             WITH a AS (SELECT lang, CAST(n_chars // 10 AS BIGINT) AS nb
                        FROM documents WHERE doc_id % 2 = 0),

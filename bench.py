@@ -222,6 +222,7 @@ HEADLINE = [
     "dedup_lines_docs",
     "intersect_docs_halves",
     "unpivot_lineitem",
+    "median_value_by_type",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

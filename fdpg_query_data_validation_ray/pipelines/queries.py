@@ -4801,6 +4801,113 @@ def q_unpivot_lineitem(sf_dir: str):
     ).map_batches(melt, batch_format="pyarrow", batch_size=16384)
 
 
+def q_median_value_by_type(sf_dir: str):
+    """EXACT grouped median (lower median, ROW_NUMBER semantics) of the
+    high-cardinality value column per event_type — the grouped companion to
+    exact_quantiles_events, via the ccnet_buckets composite-key plan:
+    per-type counts give contiguous rank bases, ONE range_rank exchange
+    over key = type_idx << 40 | value_cents ranks all groups at once, the
+    5 median ranks filter down to 5 rows, and their values come back from
+    one broadcast-id scan (no join exchange). Works for any per-group
+    cardinality — nothing per-group ever materializes."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.topk import range_rank
+
+    def valid(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t["event_type"]), pc.is_valid(t["event_id"])),
+            pc.and_kleene(
+                pc.is_valid(t["value"]), pc.invert(pc.is_nan(t["value"]))
+            ),
+        )
+        return t.filter(pc.fill_null(m, False))
+
+    counts = (
+        _read(sf_dir, "events", ["event_type", "event_id", "value"])
+        .map_batches(
+            lambda t: valid(t).select(["event_type"]), batch_format="pyarrow"
+        )
+        .groupby("event_type")
+        .count()
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    types = counts["event_type"].to_numpy(object)
+    n_per = counts["count()"].to_numpy(np.int64)
+    bases = np.concatenate([[0], np.cumsum(n_per)[:-1]]).astype(np.int64)
+    cum = np.cumsum(n_per)
+    targets = bases + (n_per + 1) // 2  # 1-based lower-median global ranks
+    types_sorted = types  # already sorted
+
+    def composite(t: pa.Table) -> pa.Table:
+        t = valid(t)
+        vc = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        if len(vc) and (vc.min() < 0 or vc.max() >= (1 << 40)):
+            raise ValueError("median_value_by_type: cents outside composite range")
+        tidx = np.searchsorted(
+            types_sorted, t["event_type"].to_numpy(zero_copy_only=False)
+        )
+        ckey = (tidx.astype(np.int64) << 40) | vc
+        return pa.table(
+            {"event_id": t["event_id"], "ckey": pa.array(ckey, pa.int64())}
+        )
+
+    scored = _read(
+        sf_dir, "events", ["event_id", "event_type", "value"]
+    ).map_batches(composite, batch_format="pyarrow")
+    ranked = range_rank(scored, "ckey", "event_id")
+
+    tgt = np.sort(targets)
+
+    def hit(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(tgt, r)
+        pos_c = np.minimum(pos, len(tgt) - 1)
+        m = tgt[pos_c] == r
+        return pa.table(
+            {
+                "event_id": pc.filter(t["event_id"], pa.array(m)),
+                "rank": pa.array(r[m], pa.int64()),
+            }
+        )
+
+    hits = ranked.map_batches(hit, batch_format="pyarrow").to_pandas()
+    # one broadcast-id scan recovers the median values (O(groups) ids)
+    ids = np.sort(hits["event_id"].to_numpy(np.int64))
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = valid(t)
+        ev = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ids, ev)
+        pos_c = np.minimum(pos, len(ids) - 1)
+        m = ids[pos_c] == ev if len(ids) else np.zeros(len(ev), bool)
+        t = t.filter(pa.array(m))
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "median_cents": _cents(t["value"]),
+            }
+        )
+
+    vals = (
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    merged = hits.merge(vals, on="event_id")
+    lidx = np.searchsorted(cum, merged["rank"].to_numpy(np.int64), side="left")
+    out = pa.table(
+        {
+            "event_type": pa.array(types[lidx], pa.string()),
+            "median_cents": pa.array(
+                merged["median_cents"].to_numpy(np.int64), pa.int64()
+            ),
+        }
+    )
+    return out
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -4923,6 +5030,7 @@ QUERIES = {
     "dedup_lines_docs": q_dedup_lines_docs,
     "intersect_docs_halves": q_intersect_docs_halves,
     "unpivot_lineitem": q_unpivot_lineitem,
+    "median_value_by_type": q_median_value_by_type,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,

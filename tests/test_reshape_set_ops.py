@@ -83,3 +83,43 @@ def test_multiset_intersect_min_multiplicity(ray_session):
     }
     # (z,3) only in a → absent; nulls group as equal (1 in a, 2 in b → 1)
     assert rows == {("x", 1): 2, ("y", 2): 1, (None, 4): 1}
+
+
+def test_grouped_median_matches_numpy_lower_median(ray_session, tmp_path):
+    """q_median_value_by_type vs a numpy lower-median reference on a synthetic
+    events table with ties, including an even-count group."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fdpg_query_data_validation_ray.pipelines.queries import (
+        q_median_value_by_type,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    types = rng.choice(["a", "b", "c"], n)
+    value = np.round(rng.uniform(0, 50, n), 2)
+    value[types == "c"] = np.round(value[types == "c"] * 0 + 7.77, 2)  # all ties
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array([0] * n, pa.int64()),
+            "user_id": pa.array(np.zeros(n), pa.float64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(value, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_median_value_by_type(str(tmp_path))
+    got = dict(
+        zip(
+            out["event_type"].to_pylist(), out["median_cents"].to_pylist()
+        )
+    )
+    want = {}
+    for ty in ["a", "b", "c"]:
+        vc = np.sort(np.round(value[types == ty] * 100).astype(np.int64))
+        want[ty] = int(vc[(len(vc) + 1) // 2 - 1])
+    assert got == want
