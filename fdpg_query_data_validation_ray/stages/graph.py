@@ -409,45 +409,6 @@ def _canon_edges(edges, a: str, b: str, n_parts: int):
     )
 
 
-def _degree_table(edges_c, n_parts: int) -> pd.DataFrame:
-    """Exact degree per node from the canonical edge set: per-batch count
-    combiner over both endpoints, one part exchange, per-part sum. Returns
-    the reduced (node, d) frame — O(V) rows."""
-
-    def partials(t: pa.Table) -> pa.Table:
-        nodes = np.concatenate(
-            [
-                t["u"].to_numpy(zero_copy_only=False),
-                t["v"].to_numpy(zero_copy_only=False),
-            ]
-        )
-        un, cnt = np.unique(nodes, return_counts=True)
-        return pa.table(
-            {
-                "part": (hash64(un) & np.uint64(n_parts - 1)).astype(np.int32),
-                "node": un,
-                "c": cnt.astype(np.int64),
-            }
-        )
-
-    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame(
-                {"node": pd.Series(dtype="int64"), "d": pd.Series(dtype="int64")}
-            )
-        s = g.groupby("node", sort=False)["c"].sum()
-        return pd.DataFrame(
-            {"node": s.index.to_numpy(np.int64), "d": s.to_numpy(np.int64)}
-        )
-
-    return (
-        edges_c.map_batches(partials, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(reduce_part, batch_format="pandas")
-        .to_pandas()  # O(V) — budget-guarded by the caller's mode gate
-    )
-
-
 def triangle_counts(
     edges,
     a: str = "a",
@@ -455,6 +416,7 @@ def triangle_counts(
     num_partitions: int | None = None,
     mode: str = "auto",
     broadcast_node_budget: int = 4_000_000,
+    broadcast_edge_budget: int = 20_000_000,
 ):
     """Per-node triangle counts over an undirected edge-list Dataset.
 
@@ -472,13 +434,16 @@ def triangle_counts(
     undirected graph, so results hash-match any SQL triple-join oracle.
 
     Two physical plans with identical results:
-    - broadcast (V ≤ `broadcast_node_budget`, ids < 2^31): the O(V) degree
-      arrays orient edges via searchsorted lookup, and the packed-uint64
-      canonical edge keys close wedges inside the wedge pass — ONE part
-      exchange after orientation (QDV_TRI_BROADCAST_NODES overrides the
-      budget).
+    - broadcast (distinct edges ≤ `broadcast_edge_budget`, nodes ≤
+      `broadcast_node_budget`, ids in [0, 2^31)): the canonical edge set is
+      streamed to the driver ONCE with a hard budget (overflow falls back
+      mid-stream, the _dangling_sieve pattern); degrees, (degree, id)
+      orientation and the packed-uint64 closure keys all compute driver-
+      side from that one pull, so the only distributed work left is ONE
+      wedge exchange + ONE count exchange. QDV_TRI_BROADCAST_EDGES /
+      QDV_TRI_BROADCAST_NODES override the budgets.
     - exchange: degrees attach by two node-hash exchanges, wedges and edge
-      rows co-partition by pair hash and close per part — no O(V) driver
+      rows co-partition by pair hash and close per part — no O(E) driver
       state; the 100-TB path.
 
     Reference analog: the reference has no graph operators; this extends the
@@ -500,6 +465,9 @@ def triangle_counts(
     env_budget = os.environ.get("QDV_TRI_BROADCAST_NODES")
     if env_budget:
         broadcast_node_budget = int(env_budget)
+    env_ebudget = os.environ.get("QDV_TRI_BROADCAST_EDGES")
+    if env_ebudget:
+        broadcast_edge_budget = int(env_ebudget)
 
     edges_c = _canon_edges(edges, a, b, n_parts)
 
@@ -554,61 +522,104 @@ def triangle_counts(
         )
 
     if mode != "exchange":
-        deg = _degree_table(edges_c, n_parts)
-        if mode == "broadcast" or (
-            len(deg) <= broadcast_node_budget
-            and (len(deg) == 0 or int(deg["node"].max()) < (1 << 31))
-            and (len(deg) == 0 or int(deg["node"].min()) >= 0)
-        ):
+        pulled = _try_pull_edges(edges_c, broadcast_edge_budget)
+        ok = pulled is not None
+        if ok:
+            u, v = pulled
+            nodes = np.unique(np.concatenate([u, v])) if len(u) else u
+            ok = (
+                len(nodes) <= broadcast_node_budget
+                and (len(nodes) == 0
+                     or (int(nodes[0]) >= 0 and int(nodes[-1]) < (1 << 31)))
+            )
+        if ok:
             return _triangles_broadcast(
-                edges_c, deg, n_parts, count_rows, node_partials
+                u, v, nodes, n_parts, count_rows, node_partials
+            )
+        if mode == "broadcast":
+            raise ValueError(
+                "triangle_counts: broadcast plan requires edges/nodes within "
+                "budget and ids in [0, 2^31); use mode='auto' or 'exchange'"
             )
         # fall through to the exchange plan (budget exceeded / wide ids)
 
     return _triangles_exchange(edges_c, n_parts, count_rows, node_partials)
 
 
-def _triangles_broadcast(edges_c, deg, n_parts, count_rows, node_partials):
+def _try_pull_edges(edges_c, budget: int):
+    """Stream the canonical edge set to the driver with a hard row budget
+    (whole blocks via batch_size=None); return (u, v) int64 arrays or None
+    the moment the budget overflows (caller falls back to the exchange
+    plan — the _dangling_sieve pattern)."""
+    us, vs, total = [], [], 0
+    for b in edges_c.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows == 0 or b.num_columns == 0:
+            continue
+        total += b.num_rows
+        if total > budget:
+            return None
+        us.append(b["u"].to_numpy(zero_copy_only=False))
+        vs.append(b["v"].to_numpy(zero_copy_only=False))
+    if not us:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return (
+        np.concatenate(us).astype(np.int64),
+        np.concatenate(vs).astype(np.int64),
+    )
+
+
+def _triangles_broadcast(u, v, nodes, n_parts, count_rows, node_partials):
+    """Broadcast plan from the one driver pull: degrees, orientation and
+    the packed closure keys all compute here (vectorized O(E)); the
+    oriented edges upload as ready-routed blocks, so the edge pipeline
+    never re-executes. Distributed work: one wedge exchange (closure keys
+    read from the object store per part) + one count exchange."""
     import ray
     import ray.data as rd
 
-    nodes = deg["node"].to_numpy(np.int64)
-    order = np.argsort(nodes)
-    nodes = nodes[order]
-    d = deg["d"].to_numpy(np.int64)[order]
+    # exact degrees from the pulled arrays (bincount, not np.add.at — the
+    # unbuffered ufunc costs ~7 s at 10M edges vs ~0.3 s here); the two
+    # endpoint index arrays are reused as gathers below instead of fresh
+    # searchsorteds
+    idx_u = np.searchsorted(nodes, u)
+    idx_v = np.searchsorted(nodes, v)
+    d_per_node = np.bincount(
+        np.concatenate([idx_u, idx_v]), minlength=len(nodes)
+    ).astype(np.int64)
 
     # canonical edge keys packed (lo << 32 | hi): exact membership via ONE
     # searchsorted — valid because the caller's gate pinned ids to [0, 2^31)
-    def edge_keys(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return pa.table({"key": (u << np.uint64(32)) | v})
-
-    ekeys = np.sort(
-        edges_c.map_batches(edge_keys, batch_format="pyarrow")
-        .to_pandas()["key"]
-        .to_numpy(np.uint64)
-    )
-    deg_ref = ray.put((nodes, d))
+    ekeys = np.sort((u.astype(np.uint64) << np.uint64(32))
+                    | v.astype(np.uint64))
     keys_ref = ray.put(ekeys)
 
-    def orient(t: pa.Table, _ref=deg_ref) -> pa.Table:
-        nds, dv = ray.get(_ref)
-        u = t["u"].to_numpy(zero_copy_only=False)
-        v = t["v"].to_numpy(zero_copy_only=False)
-        du = dv[np.searchsorted(nds, u)]
-        dvv = dv[np.searchsorted(nds, v)]
-        # (degree, id) total order: u first iff (du, u) < (dv, v)
-        u_first = (du < dvv) | ((du == dvv) & (u < v))
-        s = np.where(u_first, u, v)
-        t_ = np.where(u_first, v, u)
-        return pa.table(
-            {
-                "part": (hash64(s) & np.uint64(n_parts - 1)).astype(np.int32),
-                "src": s,
-                "dst": t_,
-            }
+    # (degree, id) total order: u first iff (du, u) < (dv, v)
+    du = d_per_node[idx_u]
+    dv = d_per_node[idx_v]
+    u_first = (du < dv) | ((du == dv) & (u < v))
+    s = np.where(u_first, u, v)
+    t_ = np.where(u_first, v, u)
+
+    # wedge generation needs all of a src's out-edges in one block — and we
+    # hold the oriented arrays right here, so partition BY SRC driver-side
+    # and upload ready-grouped blocks: the Ray sort exchange disappears
+    # entirely from this plan. Block count = min(n_parts, 64) keeps upload
+    # granularity coarse; each block still holds complete src groups.
+    n_blocks = max(1, min(n_parts, 64))
+    bpart = (hash64(s) & np.uint64(n_blocks - 1)).astype(np.int32)
+    order = np.argsort(bpart)  # within-block order is irrelevant
+    s, t_, bpart = s[order], t_[order], bpart[order]
+    bounds = np.searchsorted(bpart, np.arange(n_blocks + 1))
+    blocks = [
+        pa.table({"src": s[lo:hi], "dst": t_[lo:hi]})
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+        if hi > lo
+    ] or [
+        pa.table(
+            {"src": np.zeros(0, np.int64), "dst": np.zeros(0, np.int64)}
         )
+    ]
+    oriented = rd.from_arrow(blocks)
 
     def wedges_close(g: pd.DataFrame, _kref=keys_ref) -> pd.DataFrame:
         if len(g) == 0:
@@ -634,15 +645,11 @@ def _triangles_broadcast(edges_c, deg, n_parts, count_rows, node_partials):
         src_v = m["src"].to_numpy(np.int64)[closed]
         return node_partials(src_v, lo[closed], hi[closed]).to_pandas()
 
-    oriented = edges_c.map_batches(orient, batch_format="pyarrow")
-    partials = oriented.groupby("part").map_groups(
-        wedges_close, batch_format="pandas"
+    # blocks already hold complete src groups — a plain map, no exchange
+    partials = oriented.map_batches(
+        wedges_close, batch_format="pandas", batch_size=None
     )
-
-    def rekey(t: pa.Table) -> pa.Table:
-        return t  # partials already carry the node part
-
-    return count_rows(partials.map_batches(rekey, batch_format="pyarrow"))
+    return count_rows(partials)
 
 
 def _triangles_exchange(edges_c, n_parts, count_rows, node_partials):
