@@ -1535,6 +1535,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pmi_e6 DESC, bc.w1, bc.w2
             LIMIT 30
         """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY ts DESC,
+                                                      event_id DESC) AS rn
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND event_id IS NOT NULL)
+            WHERE rn = 1
+        """,
         # lower median = the value at ROW_NUMBER (n+1)//2 under
         # (value, event_id) order — tie order can't change the value at
         # the median rank, so the composite-key rank plan is exact

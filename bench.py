@@ -223,6 +223,7 @@ HEADLINE = [
     "intersect_docs_halves",
     "unpivot_lineitem",
     "median_value_by_type",
+    "latest_event_per_user",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

@@ -4908,6 +4908,53 @@ def q_median_value_by_type(sf_dir: str):
     return out
 
 
+def q_latest_event_per_user(sf_dir: str):
+    """Upsert compaction / latest-snapshot: each user's most recent event
+    (ORDER BY ts DESC, event_id DESC, row 1) — the keep-latest-record
+    primitive of CDC/feature-store builds, by composition over
+    first_n_per_key (per-batch local cap → one key-hash exchange)."""
+    from fdpg_query_data_validation_ray.stages.sampling import first_n_per_key
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"])),
+            pc.is_valid(t["event_id"]),
+        )
+        t = t.filter(pc.fill_null(m, False))
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "ts_us": pc.cast(
+                    pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+                ),
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "events", ["user_id", "event_id", "ts", "value"]
+    ).map_batches(prep, batch_format="pyarrow", batch_size=16384)
+    out = first_n_per_key(
+        ds, 1, "user_id", ["ts_us", "event_id"],
+        ascending=[False, False], rank_column=None,
+    )
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("value_cents", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(
+            ["user_id", "event_id", "ts_us", "value_cents"]
+        ).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -5031,6 +5078,7 @@ QUERIES = {
     "intersect_docs_halves": q_intersect_docs_halves,
     "unpivot_lineitem": q_unpivot_lineitem,
     "median_value_by_type": q_median_value_by_type,
+    "latest_event_per_user": q_latest_event_per_user,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,
