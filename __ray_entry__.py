@@ -48,6 +48,18 @@ def _stopword_sql_lists() -> tuple[str, str, str, str, str]:
     )
 
 
+def _bm25_values() -> str:
+    """VALUES list for the BM25 oracle, generated from the engine's query
+    set so the two can never drift."""
+    from fdpg_query_data_validation_ray.pipelines.queries import BM25_QUERIES
+
+    return ", ".join(
+        f"({qid}, '{term}')"
+        for qid in sorted(BM25_QUERIES)
+        for term in BM25_QUERIES[qid]
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered per table name). Keys missing
     here (dedup_minhash/simhash, cosine_near_dup, knn_cosine_ivf, drift_docs,
@@ -1534,6 +1546,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc u2 ON u2.w = bc.w2
             ORDER BY pmi_e6 DESC, bc.w1, bc.w2
             LIMIT 30
+        """,
+        # BM25 with k1=1.2, b=0.75 as exact integer arithmetic:
+        # idf_e6 = lnq(2N+2) - lnq(2df+1)   (= ln((N-df+.5)/(df+.5)+1) with
+        #          integer log arguments), tf saturation as one rational
+        # (num/den scaled by 20*sumlen), per-term floor products — replayed
+        # verbatim, so the engine hash-matches including tie sets
+        "bm25_topk_docs": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '\\S+') AS t
+                FROM documents WHERE doc_id IS NOT NULL),
+            s AS (SELECT COUNT(*) AS n, SUM(len(t)) AS sl FROM toks),
+            q(query_id, term) AS (VALUES {_bm25_values()}),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+                   WHERE term IN (SELECT term FROM q)
+                   GROUP BY 1, 2),
+            dl AS (SELECT doc_id, len(t) AS l FROM toks),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf
+                   GROUP BY 1),
+            contrib AS (
+                SELECT q.query_id, tf.doc_id,
+                       ((CAST(FLOOR(ln(CAST(2 * s.n + 2 AS DOUBLE))
+                                    * 1000000.0 + 0.5) AS BIGINT)
+                         - CAST(FLOOR(ln(CAST(2 * df.df + 1 AS DOUBLE))
+                                      * 1000000.0 + 0.5) AS BIGINT))
+                        * ((44 * tf.tf * s.sl * 1000000)
+                           // (20 * tf.tf * s.sl + 6 * s.sl
+                               + 18 * dl.l * s.n))) // 1000000 AS c
+                FROM q
+                JOIN tf ON tf.term = q.term
+                JOIN df ON df.term = q.term
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN s),
+            score AS (SELECT query_id, doc_id,
+                             CAST(SUM(c) AS BIGINT) AS score_e6
+                      FROM contrib GROUP BY 1, 2)
+            SELECT query_id, doc_id, score_e6 FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY score_e6 DESC,
+                                                      doc_id) AS rn
+                FROM score)
+            WHERE rn <= 10
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id,

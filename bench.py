@@ -224,6 +224,7 @@ HEADLINE = [
     "unpivot_lineitem",
     "median_value_by_type",
     "latest_event_per_user",
+    "bm25_topk_docs",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

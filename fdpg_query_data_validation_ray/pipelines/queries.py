@@ -4955,6 +4955,28 @@ def q_latest_event_per_user(sf_dir: str):
     )
 
 
+BM25_QUERIES = {
+    1: ["hash", "table"],
+    2: ["fast", "scan", "merge"],
+    3: ["window", "sort"],
+}
+
+
+def q_bm25_topk_docs(sf_dir: str):
+    """BM25 sparse retrieval (stages/text.py bm25_topk): top-10 documents
+    per query for a fixed 3-query set over the corpus vocabulary —
+    integer-exact k1=1.2/b=0.75 scoring (rational tf saturation + lnq idf),
+    hash-exact vs the SQL replay. One stats pass (driver scalars), one
+    vectorized scoring pass, per-query distributed top-k."""
+    from fdpg_query_data_validation_ray.stages.text import bm25_topk
+
+    return bm25_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        BM25_QUERIES,
+        k=10,
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -5079,6 +5101,7 @@ QUERIES = {
     "unpivot_lineitem": q_unpivot_lineitem,
     "median_value_by_type": q_median_value_by_type,
     "latest_event_per_user": q_latest_event_per_user,
+    "bm25_topk_docs": q_bm25_topk_docs,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,

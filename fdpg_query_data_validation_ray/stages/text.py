@@ -2455,3 +2455,145 @@ class DedupLinesStage:
                 "n_removed": pa.array(out_rm, pa.int64()),
             }
         )
+
+
+def bm25_topk(
+    ds,
+    queries: dict[int, list[str]],
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 10,
+):
+    """BM25 retrieval (Robertson & Spärck Jones; k1 = 1.2, b = 0.75) for a
+    fixed query set, top-k docs per query — the sparse-retrieval companion
+    to the dense knn_cosine family.
+
+    INTEGER-EXACT scoring so results hash-match a SQL replay:
+      idf_e6(t)  = lnq(2N + 2) − lnq(2·df_t + 1)
+                   (exactly ln((N − df + ½)/(df + ½) + 1) = ln((2N+2)/(2df+1)),
+                    split so both logs take INTEGER arguments)
+      tfq_e6     = (44·tf·S · 1e6) // (20·tf·S + 6·S + 18·len_d·N)
+                   (the k1/b tf-saturation term as one exact rational:
+                    multiply num/den by 20·S, S = Σ len_d)
+      score_e6   = Σ_t (idf_e6 · tfq_e6) // 1e6
+    Int64 headroom: 44·tf·S·1e6 < 2^63 ⇒ tf·S < 2.1e11 — beyond that,
+    switch the quantization to float at the documented cost of oracle
+    bit-parity.
+
+    Plan: ONE stats pass emits a single row per batch (doc count, Σ len,
+    one df partial per query term — the query vocabulary is tiny and fixed)
+    summed to driver scalars; ONE scoring pass computes every (query, doc)
+    contribution vectorized (bincount tf matrix × query-membership matmul);
+    per-query top-k via first_n_per_key. Docs containing at least one query
+    term emit a row even at score 0 (matching the SQL contribution rows),
+    so tie sets agree on both sides."""
+    from fdpg_query_data_validation_ray.stages.sampling import first_n_per_key
+
+    qids = sorted(queries)
+    terms = sorted({t for q in qids for t in queries[q]})
+    tpos = {t: i for i, t in enumerate(terms)}
+    T, Q = len(terms), len(qids)
+    member = np.zeros((T, Q), np.int64)
+    for j, q in enumerate(qids):
+        for t in queries[q]:
+            member[tpos[t], j] = 1
+    qid_arr = np.asarray(qids, np.int64)
+    terms_arr = np.array(terms, dtype=object)
+    token_re = re.compile(r"\S+")
+
+    # ---- pass 1: corpus stats (one wide partial row per batch) -----------
+    def stats_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[id_column]))
+        s = _col_series(t, text_column).fillna("").str.lower()
+        flat, counts, _ = _tokenize_batch(s, token_re)
+        cols = {
+            "n_docs": np.array([t.num_rows], np.int64),
+            "sum_len": np.array([int(counts.sum())], np.int64),
+        }
+        if len(flat):
+            fl = flat.astype("U")
+            doc_idx = np.repeat(np.arange(t.num_rows), counts)
+            for i, term in enumerate(terms):
+                hit_docs = np.unique(doc_idx[fl == term])
+                cols[f"df_{i}"] = np.array([len(hit_docs)], np.int64)
+        else:
+            for i in range(T):
+                cols[f"df_{i}"] = np.array([0], np.int64)
+        return pa.table(cols)
+
+    import ray.data as rd
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()  # one row per batch — O(batches), driver-bounded
+        .sum()
+    )
+    n_docs = int(stats["n_docs"])
+    sum_len = int(stats["sum_len"])
+    out_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            (id_column, pa.int64()),
+            ("score_e6", pa.int64()),
+        ]
+    )
+    if n_docs == 0 or sum_len == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    df_t = np.array([int(stats[f"df_{i}"]) for i in range(T)], np.int64)
+    lnq = lambda x: np.floor(
+        np.log(np.asarray(x, np.float64)) * 1e6 + 0.5
+    ).astype(np.int64)
+    idf_e6 = lnq(2 * n_docs + 2) - lnq(2 * df_t + 1)
+
+    # ---- pass 2: vectorized scoring + per-query top-k ---------------------
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[id_column]))
+        ids = pc.cast(t[id_column], pa.int64()).to_numpy(zero_copy_only=False)
+        s = _col_series(t, text_column).fillna("").str.lower()
+        flat, counts, _ = _tokenize_batch(s, token_re)
+        n = t.num_rows
+        if not len(flat):
+            return out_schema.empty_table()
+        fl = flat.astype("U")
+        pos = np.searchsorted(terms_arr.astype("U"), fl)  # terms sorted
+        pos_c = np.minimum(pos, T - 1)
+        hit = terms_arr.astype("U")[pos_c] == fl
+        doc_idx = np.repeat(np.arange(n), counts)
+        codes = doc_idx[hit] * T + pos_c[hit]
+        tf = np.bincount(codes, minlength=n * T).reshape(n, T)
+        len_d = counts.astype(np.int64)
+        S = sum_len
+        num = 44 * tf.astype(np.int64) * S * 1_000_000
+        den = (
+            20 * tf.astype(np.int64) * S
+            + 6 * S
+            + 18 * len_d[:, None] * n_docs
+        )
+        tfq = np.where(tf > 0, num // np.maximum(den, 1), 0)
+        contrib = (idf_e6[None, :] * tfq) // 1_000_000
+        scores = contrib @ member  # (n, Q) int64
+        has_term = (tf @ member) > 0  # doc contains ≥1 term of the query
+        di, qi = np.nonzero(has_term)
+        return pa.table(
+            {
+                "query_id": pa.array(qid_arr[qi], pa.int64()),
+                id_column: pa.array(ids[di], pa.int64()),
+                "score_e6": pa.array(scores[di, qi], pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+    out = first_n_per_key(
+        scored, k, "query_id", ["score_e6", id_column],
+        ascending=[False, True], rank_column=None,
+    )
+    return rd.from_arrow(out_schema.empty_table()).union(
+        out.map_batches(
+            lambda t: t.select(["query_id", id_column, "score_e6"]).cast(
+                out_schema
+            )
+            if t.num_columns
+            else out_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
