@@ -1547,6 +1547,41 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pmi_e6 DESC, bc.w1, bc.w2
             LIMIT 30
         """,
+        # chi-square on the FULL lang x source cross product (unseen combos
+        # contribute r*c/N); per-cell floor in HUGEINT matches the engine's
+        # Python-int floor bit for bit
+        "chi2_lang_source": """
+            WITH v AS (SELECT lang, source FROM documents
+                       WHERE lang IS NOT NULL AND source IS NOT NULL),
+            o AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+                  FROM v GROUP BY 1, 2),
+            r AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS r FROM v
+                  GROUP BY 1),
+            c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM v
+                  GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+            cell AS (
+                SELECT r.lang, c.source, r.r, c.c,
+                       COALESCE(o.o, 0) AS o
+                FROM r CROSS JOIN c
+                LEFT JOIN o ON o.lang = r.lang AND o.source = c.source),
+            diff AS (
+                SELECT r, c,
+                       CAST(o AS HUGEINT) * n.n
+                         - CAST(r AS HUGEINT) * c AS d,
+                       CAST(n.n AS HUGEINT) AS nh
+                FROM cell CROSS JOIN n),
+            contrib AS (
+                -- d * d, not d ** 2: DuckDB's ** returns DOUBLE
+                SELECT (1000000::HUGEINT * d * d) // (nh * r * c) AS x
+                FROM diff)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cell) AS n_cells,
+                   (SELECT CAST((COUNT(DISTINCT lang) - 1)
+                                * (COUNT(DISTINCT source) - 1) AS BIGINT)
+                    FROM v) AS dof,
+                   CAST(SUM(x) AS BIGINT) AS chi2_e6
+            FROM contrib
+        """,
         # BM25 with k1=1.2, b=0.75 as exact integer arithmetic:
         # idf_e6 = lnq(2N+2) - lnq(2df+1)   (= ln((N-df+.5)/(df+.5)+1) with
         #          integer log arguments), tf saturation as one rational

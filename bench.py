@@ -225,6 +225,7 @@ HEADLINE = [
     "median_value_by_type",
     "latest_event_per_user",
     "bm25_topk_docs",
+    "chi2_lang_source",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

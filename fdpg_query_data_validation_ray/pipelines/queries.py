@@ -4977,6 +4977,61 @@ def q_bm25_topk_docs(sf_dir: str):
     )
 
 
+def q_chi2_lang_source(sf_dir: str):
+    """Chi-square independence test on the lang × source contingency table
+    (the drift-family hypothesis test beside PSI/KS): per-cell contribution
+    floor(1e6·(o·N − r·c)² / (N·r·c)) summed exactly — numerators exceed
+    int64 so the engine uses PYTHON INTS over the driver-bounded cell table
+    (cells = |langs|·|sources|, a combiner groupby away) and the oracle uses
+    HUGEINT; both floor the same rational, so the statistic hash-matches.
+    Output: one row (n_cells, dof, chi2_e6)."""
+    from ray.data.aggregate import Sum
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t["lang"]), pc.is_valid(t["source"]))
+        )
+        g = (
+            t.select(["lang", "source"])
+            .group_by(["lang", "source"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"lang": g["lang"], "source": g["source"],
+             "o": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    cells = (
+        _read(sf_dir, "documents", ["lang", "source"])
+        .map_batches(cell_partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(["lang", "source"])
+        .aggregate(Sum("o", alias_name="o"))
+        .to_pandas()  # O(cells) — bounded by the two cardinalities
+    )
+    n = int(cells["o"].sum())
+    r = cells.groupby("lang")["o"].sum().to_dict()
+    c = cells.groupby("source")["o"].sum().to_dict()
+    obs = {
+        (row["lang"], row["source"]): int(row["o"])
+        for _, row in cells.iterrows()
+    }
+    # the FULL cross product: unseen (lang, source) combos contribute
+    # r·c/N each (observed 0 against a positive expectation)
+    chi2 = 0
+    for lg, rr in r.items():
+        for src, cc in c.items():
+            o = obs.get((lg, src), 0)
+            chi2 += (1_000_000 * (o * n - rr * cc) ** 2) // (n * rr * cc)
+    dof = (len(r) - 1) * (len(c) - 1)
+    return pa.table(
+        {
+            "n_cells": pa.array([len(r) * len(c)], pa.int64()),
+            "dof": pa.array([dof], pa.int64()),
+            "chi2_e6": pa.array([chi2], pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -5102,6 +5157,7 @@ QUERIES = {
     "median_value_by_type": q_median_value_by_type,
     "latest_event_per_user": q_latest_event_per_user,
     "bm25_topk_docs": q_bm25_topk_docs,
+    "chi2_lang_source": q_chi2_lang_source,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,
