@@ -1547,6 +1547,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pmi_e6 DESC, bc.w1, bc.w2
             LIMIT 30
         """,
+        "returned_revenue_customers": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                       AS acctbal_cents,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l.l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM customer c
+            JOIN orders o   ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_e4 DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "events_user_cumsum": """
+            WITH q AS (
+                SELECT user_id, event_id, ts,
+                       CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                            AS BIGINT) AS value_e
+                FROM events WHERE user_id IS NOT NULL)
+            SELECT user_id, event_id, value_e,
+                   CAST(SUM(value_e)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS run_sum_e
+            FROM q
+        """,
         # chi-square on the FULL lang x source cross product (unseen combos
         # contribute r*c/N); per-cell floor in HUGEINT matches the engine's
         # Python-int floor bit for bit

@@ -226,6 +226,8 @@ HEADLINE = [
     "latest_event_per_user",
     "bm25_topk_docs",
     "chi2_lang_source",
+    "events_user_cumsum",
+    "returned_revenue_customers",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

@@ -5032,6 +5032,207 @@ def q_chi2_lang_source(sf_dir: str):
     )
 
 
+def q_events_user_cumsum(sf_dir: str):
+    """Per-user running total: SUM(value) OVER (PARTITION BY user_id ORDER
+    BY ts, event_id ROWS UNBOUNDED PRECEDING) in cents
+    (stages/temporal.py running_sum — coarse-partition kernel, one cumsum
+    with per-key base subtraction). Hash-exact vs the window oracle."""
+    from fdpg_query_data_validation_ray.stages.temporal import running_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = running_sum(ds, "user_id", "ts", "event_id", "value", scale=100)
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("value_e", pa.int64()),
+            ("run_sum_e", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(
+            ["user_id", "event_id", "value_e", "run_sum_e"]
+        ).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
+def q_returned_revenue_customers(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by revenue from RETURNED items
+    (l_returnflag = 'R') — lineitem ⋈ orders on orderkey, then customer
+    attributes on custkey, exact e4 revenue. Two co-partitioned exchanges
+    on DIFFERENT keys, each kernel pre-aggregating (per-orderkey revenue
+    partials inside batches, per-custkey sums inside parts), so exchange 2
+    moves O(customers-with-returns) rows; distributed top-k caps the
+    result. Same join plan family as revenue_by_nation (Q5)."""
+    import pandas as pd
+
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+    from fdpg_query_data_validation_ray.stages.topk import top_k
+
+    n_parts = _verify_parts()
+
+    # ---- exchange 1 (by orderkey): returned-line revenue meets custkey ---
+    def line_rows(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(pc.cast(t["l_returnflag"], pa.string()), "R"),
+            pc.is_valid(t["l_orderkey"]),
+        )
+        t = t.filter(pc.fill_null(m, False))
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        rev = (
+            _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+            * (100 - _cents(t["l_discount"]).to_numpy(zero_copy_only=False))
+        ).astype(np.int64)
+        # per-batch per-order combiner: sort + reduceat keeps the sums
+        # int64-exact end to end
+        order = np.argsort(ok, kind="stable")
+        oks, revs = ok[order], rev[order]
+        first = np.empty(len(oks), bool)
+        if len(oks):
+            first[0] = True
+            first[1:] = oks[1:] != oks[:-1]
+            bounds = np.flatnonzero(first)
+            sums_i = np.add.reduceat(revs, bounds)
+            uo = oks[bounds]
+        else:
+            sums_i = np.zeros(0, np.int64)
+            uo = oks
+        return pa.table(
+            {
+                "part": pa.array(
+                    (hash64(uo) & np.uint64(n_parts - 1)).astype(np.int32)
+                ),
+                "kind": pa.array(np.zeros(len(uo), np.int8)),
+                "a": pa.array(uo, pa.int64()),
+                "b": pa.array(sums_i.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t["o_orderkey"]), pc.is_valid(t["o_custkey"]))
+        )
+        k = t["o_orderkey"].combine_chunks()
+        return pa.table(
+            {
+                "part": pa.array(
+                    (hash64(k) & np.uint64(n_parts - 1)).astype(np.int32)
+                ),
+                "kind": pa.array(np.ones(len(k), np.int8)),
+                "a": pc.cast(k, pa.int64()),
+                "b": pc.cast(t["o_custkey"], pa.int64()).combine_chunks(),
+            }
+        )
+
+    def join1(g: pd.DataFrame) -> pd.DataFrame:
+        rev = g[g["kind"] == 0]
+        od = g[g["kind"] == 1]
+        if len(rev) == 0 or len(od) == 0:
+            return pd.DataFrame(
+                {"part": pd.Series(dtype="int32"),
+                 "kind": pd.Series(dtype="int8"),
+                 "a": pd.Series(dtype="int64"),
+                 "b": pd.Series(dtype="int64")}
+            )
+        m = rev.merge(
+            od[["a", "b"]].rename(columns={"b": "cust"}), on="a", how="inner"
+        )
+        s = m.groupby("cust", sort=False)["b"].sum()
+        ck = s.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "part": (hash64(ck) & np.uint64(n_parts - 1)).astype(np.int32),
+                "kind": np.zeros(len(ck), np.int8),
+                "a": ck,
+                "b": s.to_numpy(np.int64),
+            }
+        )
+
+    # ---- exchange 2 (by custkey): revenue sums meet customer attrs -------
+    def cust_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["c_custkey"]))
+        k = pc.cast(t["c_custkey"], pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "part": pa.array(
+                    (hash64(k) & np.uint64(n_parts - 1)).astype(np.int32)
+                ),
+                "kind": pa.array(np.ones(len(k), np.int8)),
+                "a": k,
+                "b": _cents(t["c_acctbal"]),
+                "name": pc.cast(t["c_name"], pa.string()),
+            }
+        )
+
+    def join2(g: pd.DataFrame) -> pd.DataFrame:
+        rev = g[g["kind"] == 0]
+        cu = g[g["kind"] == 1]
+        if len(rev) == 0 or len(cu) == 0:
+            return pd.DataFrame(
+                {"c_custkey": pd.Series(dtype="int64"),
+                 "c_name": pd.Series(dtype="object"),
+                 "acctbal_cents": pd.Series(dtype="int64"),
+                 "revenue_e4": pd.Series(dtype="int64")}
+            )
+        s = rev.groupby("a", sort=False)["b"].sum().reset_index()
+        m = s.merge(cu[["a", "b", "name"]].rename(
+            columns={"b": "acct"}), on="a", how="inner")
+        return pd.DataFrame(
+            {
+                "c_custkey": m["a"].to_numpy(np.int64),
+                "c_name": m["name"].to_numpy(object),
+                "acctbal_cents": m["acct"].to_numpy(np.int64),
+                "revenue_e4": m["b"].to_numpy(np.int64),
+            }
+        )
+
+    lines = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(line_rows, batch_format="pyarrow", batch_size=65536)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        order_rows, batch_format="pyarrow", batch_size=65536
+    )
+    mixed_schema = pa.schema(
+        [("part", pa.int32()), ("kind", pa.int8()),
+         ("a", pa.int64()), ("b", pa.int64())]
+    )
+    stage1 = (
+        lines.union(orders)
+        .groupby("part")
+        .map_groups(join1, batch_format="pandas")
+        .map_batches(
+            lambda t: t.cast(mixed_schema)
+            if t.num_columns
+            else mixed_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
+    cust_schema = pa.schema(
+        [("part", pa.int32()), ("kind", pa.int8()), ("a", pa.int64()),
+         ("b", pa.int64()), ("name", pa.string())]
+    )
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]
+    ).map_batches(cust_rows, batch_format="pyarrow", batch_size=65536)
+    joined = (
+        stage1.map_batches(
+            lambda t: t.append_column(
+                "name", pa.array([None] * t.num_rows, pa.string())
+            ).cast(cust_schema),
+            batch_format="pyarrow",
+        )
+        .union(cust)
+        .groupby("part")
+        .map_groups(join2, batch_format="pandas")
+    )
+    return top_k(
+        joined, 20, ["revenue_e4", "c_custkey"], descending=[True, False]
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -5158,6 +5359,8 @@ QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "bm25_topk_docs": q_bm25_topk_docs,
     "chi2_lang_source": q_chi2_lang_source,
+    "events_user_cumsum": q_events_user_cumsum,
+    "returned_revenue_customers": q_returned_revenue_customers,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,

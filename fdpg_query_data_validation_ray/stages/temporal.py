@@ -1168,3 +1168,94 @@ def forward_fill_by_key(
 
     pruned = ds.map_batches(route, batch_format="pyarrow", batch_size=16384)
     return pruned.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+def running_sum(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_column: str,
+    value_col: str,
+    scale: int = 100,
+    hot_key_limit: int | None = None,
+    hot_key_policy: str = "warn",
+):
+    """Per-key running total: SUM(value) OVER (PARTITION BY key ORDER BY
+    ts, id ROWS UNBOUNDED PRECEDING) — the cumulative-ledger window beside
+    lag_delta (LAG) and rolling_window_sum (RANGE). Values quantize to
+    `scale` fixed-point BEFORE the prefix sum, so every running total is
+    exact int64; NULL values add nothing (SQL SUM skips them) and rows
+    before the first non-null value emit NULL, exactly like the window
+    oracle.
+
+    Plan: the lag_delta coarse-partition shape — key-hash routing, one
+    kernel per part (lexsort by (key, ts, id), one cumsum with per-key
+    base subtraction). Each row moves once; no driver state."""
+    n_parts = _n_parts()
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, ts_col, id_column, value_col])
+        t = t.filter(pc.is_valid(t[key_col].combine_chunks()))
+        e = pc.cast(
+            pc.floor(pc.add(pc.multiply(pc.cast(t[value_col], pa.float64()),
+                                        float(scale)), 0.5)),
+            pa.int64(),
+        )
+        t = t.drop_columns([value_col]).append_column("value_e", e)
+        return t.append_column("part", _part_of(t[key_col], n_parts))
+
+    empty_out = {
+        key_col: pd.Series(dtype="int64"),
+        id_column: pd.Series(dtype="int64"),
+        "value_e": pd.Series(dtype="Int64"),
+        "run_sum_e": pd.Series(dtype="Int64"),
+    }
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(empty_out)
+        codes, uniques = pd.factorize(g[key_col], sort=False)
+        ts = _ts_int64(g[ts_col])
+        ids = g[id_column].to_numpy()
+        order = np.lexsort((ids, ts, codes))
+        codes_s = codes[order]
+        _check_hot_keys(codes_s, uniques, "running_sum",
+                        hot_key_limit, hot_key_policy)
+        v = pd.array(g["value_e"].to_numpy(dtype=object)[order],
+                     dtype="Int64")
+        valid = ~np.asarray(v.isna())
+        contrib = np.where(valid, v.to_numpy(dtype="float64",
+                                             na_value=0).astype(np.int64), 0)
+        key_first = np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        cs = np.cumsum(contrib)
+        vc = np.cumsum(valid.astype(np.int64))
+        starts = np.flatnonzero(key_first)
+        base = np.repeat(
+            np.concatenate([[0], cs[starts[1:] - 1]])
+            if len(starts) > 1 else np.zeros(1, np.int64),
+            np.diff(np.append(starts, n)),
+        )
+        vbase = np.repeat(
+            np.concatenate([[0], vc[starts[1:] - 1]])
+            if len(starts) > 1 else np.zeros(1, np.int64),
+            np.diff(np.append(starts, n)),
+        )
+        run = cs - base
+        nval = vc - vbase
+        run_arr = pd.array(run, dtype="Int64")
+        run_arr[nval == 0] = pd.NA  # no non-null value yet → SQL NULL
+        return pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy()[order],
+                id_column: ids[order],
+                "value_e": v,
+                "run_sum_e": run_arr,
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )

@@ -838,3 +838,31 @@ def test_user_retention_matrix(ray_session):
         (w1, w1): 1,          # user 3 cohort week
         (w1, w2): 1,          # user 3 active week 2
     }
+
+
+def test_running_sum_nulls_and_key_reset(ray_session):
+    """running_sum: NULL values add nothing, rows before a key's first
+    non-null emit NULL, and the carry never crosses keys."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.temporal import running_sum
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+            "ts": pa.array([1, 2, 3, 1, 2, 3], pa.int64()),
+            "id": pa.array([10, 11, 12, 20, 21, 22], pa.int64()),
+            "v": pa.array([None, 1.0, 2.5, 4.0, None, 0.5], pa.float64()),
+        }
+    )
+    out = (
+        running_sum(rd.from_arrow(t).repartition(3), "k", "ts", "id", "v",
+                    scale=100)
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    got = [None if pd.isna(x) else int(x) for x in out["run_sum_e"]]
+    assert got == [None, 100, 350, 400, 400, 450]
