@@ -1547,6 +1547,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pmi_e6 DESC, bc.w1, bc.w2
             LIMIT 30
         """,
+        # entity-resolution composition: components of the ED<=1 name graph,
+        # labels = min suppkey per component (singletons label themselves) —
+        # the recursive CTE computes full reachability then takes MIN
+        "fuzzy_supplier_clusters": """
+            WITH RECURSIVE v AS (
+                SELECT s_name AS t, s_suppkey AS k FROM supplier
+                WHERE s_name IS NOT NULL AND s_suppkey IS NOT NULL
+                      AND len(s_name) <= 32),
+            e AS (
+                SELECT a.k AS ka, b.k AS kb
+                FROM v a JOIN v b
+                  ON a.t < b.t AND levenshtein(a.t, b.t) <= 1),
+            sym AS (SELECT ka AS a, kb AS b FROM e
+                    UNION SELECT kb, ka FROM e),
+            reach(n, m) AS (
+                SELECT k, k FROM v
+                UNION
+                SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m)
+            SELECT n AS s_suppkey, CAST(MIN(m) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY n
+        """,
         "returned_revenue_customers": """
             SELECT c.c_custkey, c.c_name,
                    CAST(ROUND(c.c_acctbal * 100) AS BIGINT)

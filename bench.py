@@ -228,6 +228,7 @@ HEADLINE = [
     "chi2_lang_source",
     "events_user_cumsum",
     "returned_revenue_customers",
+    "fuzzy_supplier_clusters",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

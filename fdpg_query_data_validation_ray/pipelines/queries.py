@@ -5233,6 +5233,92 @@ def q_returned_revenue_customers(sf_dir: str):
     )
 
 
+def q_fuzzy_supplier_clusters(sf_dir: str):
+    """Entity resolution end-to-end: ED≤1 fuzzy name pairs
+    (stages/fuzzy.py) → name→key translation against the broadcast
+    supplier dimension → connected components (stages/cluster.py,
+    large/small-star) → every qualifying supplier labeled with its
+    cluster's min suppkey (singletons label themselves). The composition
+    of three operator families; hash-exact vs a recursive-CTE oracle."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.cluster import (
+        connected_components,
+    )
+    from fdpg_query_data_validation_ray.stages.fuzzy import fuzzy_pairs_ed1
+
+    # supplier is a bounded dimension: name→key for the pair translation
+    dim = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    m = pc.and_(
+        pc.and_(pc.is_valid(dim["s_name"]), pc.is_valid(dim["s_suppkey"])),
+        pc.less_equal(pc.utf8_length(dim["s_name"]), 32),
+    )
+    dim = dim.filter(m)
+    names = dim["s_name"].to_numpy(zero_copy_only=False).astype("U")
+    keys = dim["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(names)
+    names_s, keys_s = names[order], keys[order]
+    dim_ref = ray.put((names_s, keys_s))
+
+    pairs = fuzzy_pairs_ed1(
+        _read(sf_dir, "supplier", ["s_name"]), column="s_name", max_len=32
+    )
+
+    def to_ids(t: pa.Table, _ref=dim_ref) -> pa.Table:
+        ns, ks = ray.get(_ref)
+        w1 = t["w1"].to_numpy(zero_copy_only=False).astype("U")
+        w2 = t["w2"].to_numpy(zero_copy_only=False).astype("U")
+        a = ks[np.searchsorted(ns, w1)]
+        b = ks[np.searchsorted(ns, w2)]
+        return pa.table(
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+        )
+
+    cc = connected_components(
+        pairs.map_batches(to_ids, batch_format="pyarrow"), "id_a", "id_b"
+    ).to_pandas()  # O(paired suppliers) — dimension-bounded
+    label = (
+        dict(zip(cc["node"].astype(np.int64), cc["cluster_id"].astype(np.int64)))
+        if len(cc)
+        else {}
+    )
+    lab_nodes = np.array(sorted(label), np.int64)
+    lab_vals = np.array([label[n] for n in lab_nodes], np.int64)
+    lab_ref = ray.put((lab_nodes, lab_vals))
+
+    def attach(t: pa.Table, _ref=lab_ref) -> pa.Table:
+        ln, lv = ray.get(_ref)
+        m = pc.and_(
+            pc.and_(
+                pc.is_valid(t["s_name"]), pc.is_valid(t["s_suppkey"])
+            ),
+            pc.less_equal(pc.utf8_length(t["s_name"]), 32),
+        )
+        t = t.filter(pc.fill_null(m, False))
+        k = pc.cast(t["s_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        if len(ln):
+            pos = np.searchsorted(ln, k)
+            pos_c = np.minimum(pos, len(ln) - 1)
+            hit = ln[pos_c] == k
+            lab = np.where(hit, lv[pos_c], k)
+        else:
+            lab = k
+        return pa.table(
+            {
+                "s_suppkey": pa.array(k, pa.int64()),
+                "cluster_id": pa.array(lab, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        attach, batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -5361,6 +5447,7 @@ QUERIES = {
     "chi2_lang_source": q_chi2_lang_source,
     "events_user_cumsum": q_events_user_cumsum,
     "returned_revenue_customers": q_returned_revenue_customers,
+    "fuzzy_supplier_clusters": q_fuzzy_supplier_clusters,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,
