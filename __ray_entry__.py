@@ -1547,6 +1547,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pmi_e6 DESC, bc.w1, bc.w2
             LIMIT 30
         """,
+        # Efraimidis-Spirakis weighted sampling: -ln(u)/w quantized to an
+        # int64 key (lnq9 then integer floor-division) so the order — and
+        # therefore the sample — is identical on both sides
+        "weighted_sample_docs": """
+            SELECT doc_id, n_chars, es_key FROM (
+                SELECT doc_id, n_chars,
+                       ((-CAST(FLOOR(ln(
+                            (CAST(md5_number_lower('wsample|'
+                                  || CAST(doc_id AS VARCHAR))
+                                  & ((1::UBIGINT << 60) - 1) AS DOUBLE)
+                             + 1.0) / 1152921504606846976.0)
+                            * 1000000000.0 + 0.5) AS BIGINT))
+                        * 1000000) // n_chars AS es_key
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                      AND n_chars > 0)
+            ORDER BY es_key, doc_id
+            LIMIT 100
+        """,
         # entity-resolution composition: components of the ED<=1 name graph,
         # labels = min suppkey per component (singletons label themselves) —
         # the recursive CTE computes full reachability then takes MIN

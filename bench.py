@@ -229,6 +229,7 @@ HEADLINE = [
     "events_user_cumsum",
     "returned_revenue_customers",
     "fuzzy_supplier_clusters",
+    "weighted_sample_docs",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

@@ -5319,6 +5319,35 @@ def q_fuzzy_supplier_clusters(sf_dir: str):
     )
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Exact-k weighted sample without replacement (Efraimidis–Spirakis,
+    stages/sampling.py weighted_sample_k): 100 documents weighted by
+    n_chars — longer docs proportionally more likely, deterministic under
+    re-runs/partitioning, integer-exact order key so the SQL replay
+    hash-matches."""
+    from fdpg_query_data_validation_ray.stages.sampling import (
+        weighted_sample_k,
+    )
+
+    out = weighted_sample_k(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        100,
+        "doc_id",
+        "n_chars",
+    )
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("es_key", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_chars", "es_key"]).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -5448,6 +5477,7 @@ QUERIES = {
     "events_user_cumsum": q_events_user_cumsum,
     "returned_revenue_customers": q_returned_revenue_customers,
     "fuzzy_supplier_clusters": q_fuzzy_supplier_clusters,
+    "weighted_sample_docs": q_weighted_sample_docs,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,

@@ -103,6 +103,52 @@ def sample_k(ds, k: int, id_column: str, salt: str = "samplek",
     return top_k(keyed, k, [key_column, id_column], descending=False)
 
 
+def weighted_sample_k(ds, k: int, id_column: str, weight_column: str,
+                      salt: str = "wsample", key_column: str = "es_key"):
+    """Exact-k WEIGHTED sample without replacement — Efraimidis & Spirakis
+    (2006): each row draws u ~ U(0,1) and the k largest u^(1/w) win, which
+    makes P(row i first) = w_i / Σw exactly. Deterministic and rerun/
+    partition-stable: u derives from the salted md5 hash of the id
+    (split.py's mechanism), and the order key is the INTEGER
+
+        es_key = (−lnq9(u)) · 1e6 // w      (keep the k SMALLEST)
+
+    with lnq9 = floor(ln·1e9 + 0.5): −ln(u)/w order quantized so both the
+    engine and a SQL replay compare identical int64s — no float ordering
+    anywhere (ties broken by id). Weights must be positive integers; rows
+    with null/≤0 weight or null id are excluded (mirror in the oracle).
+    Headroom: −lnq9(u) ≤ 60·ln2·1e9 ≈ 4.2e10, ×1e6 < 2^63.
+
+    Scale shape = sample_k's hierarchical local prune: each block
+    contributes ≤ k rows, the exchange moves O(k · blocks) rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fdpg_query_data_validation_ray.stages.split import _row_hashes
+    from fdpg_query_data_validation_ray.stages.topk import top_k
+
+    SPAN = float(1 << 60)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        w = pc.cast(t[weight_column], pa.int64())
+        m = pc.and_(
+            pc.is_valid(t[id_column]),
+            pc.and_kleene(pc.is_valid(w), pc.greater(w, 0)),
+        )
+        t = t.filter(pc.fill_null(m, False))
+        h = _row_hashes(t, id_column, salt)
+        u = (h.astype(np.float64) + 1.0) / SPAN  # u ∈ (0, 1]
+        neg_lnq9 = -np.floor(np.log(u) * 1e9 + 0.5).astype(np.int64)
+        wv = pc.cast(t[weight_column], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        key = (neg_lnq9 * 1_000_000) // wv
+        return t.append_column(key_column, pa.array(key, pa.int64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    return top_k(keyed, k, [key_column, id_column], descending=False)
+
+
 def budget_take_per_key(
     ds,
     key_column: str,

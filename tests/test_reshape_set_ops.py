@@ -123,3 +123,44 @@ def test_grouped_median_matches_numpy_lower_median(ray_session, tmp_path):
         vc = np.sort(np.round(value[types == ty] * 100).astype(np.int64))
         want[ty] = int(vc[(len(vc) + 1) // 2 - 1])
     assert got == want
+
+
+def test_weighted_sample_statistics_and_determinism(ray_session):
+    """weighted_sample_k: inclusion frequency tracks weight (10x weight →
+    ~10x inclusion under repeated salts), deterministic per salt,
+    partition-invariant, superset-stable under k growth."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.sampling import (
+        weighted_sample_k,
+    )
+
+    n = 400
+    w = np.where(np.arange(n) < 40, 50, 5)  # 40 heavy rows (10x weight)
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "w": pa.array(w, pa.int64()),
+        }
+    )
+
+    def run(salt, k=60, parts=3):
+        ds = rd.from_arrow(t).repartition(parts)
+        rows = weighted_sample_k(ds, k, "id", "w", salt=salt).take_all()
+        return [r["id"] for r in rows]
+
+    assert run("a") == run("a")  # deterministic
+    assert run("a", parts=1) == run("a", parts=7)  # partition-invariant
+    assert set(run("a", k=30)) <= set(run("a", k=60))  # nested samples
+    heavy = 0
+    total = 0
+    for salt in ("s0", "s1", "s2", "s3", "s4"):
+        ids = run(salt)
+        heavy += sum(1 for i in ids if i < 40)
+        total += len(ids)
+    # heavy rows hold 2000/3800 of the mass; expect ~53% of inclusions.
+    # Loose band (5 salts x 60 draws): statistical, not flaky.
+    frac = heavy / total
+    assert 0.35 < frac < 0.7, frac
