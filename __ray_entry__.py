@@ -48,6 +48,46 @@ def _stopword_sql_lists() -> tuple[str, str, str, str, str]:
     )
 
 
+def _kcore_sql(k: int = 2, rounds: int = 4) -> str:
+    """Unrolled k-core peeling oracle (the pagerank unrolled-CTE pattern):
+    round i derives degrees of r{i}, keeps nodes with degree >= k, and
+    filters r{i+1} to edges whose endpoints both survive."""
+    parts = [
+        """WITH pairs0 AS (
+                SELECT a.l_suppkey AS u, b.l_suppkey AS v
+                FROM lineitem a JOIN lineitem b
+                     ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_suppkey < b.l_suppkey
+                GROUP BY 1, 2
+                HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+            r0 AS (
+                SELECT u, v FROM pairs0
+                WHERE (md5_number_lower(
+                           'tri|' || CAST(u AS VARCHAR) || '|'
+                                  || CAST(v AS VARCHAR))
+                       & ((1::UBIGINT << 60) - 1)) % 4 = 0)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""d{i} AS (
+                SELECT node, COUNT(*) AS d FROM (
+                    SELECT u AS node FROM r{i}
+                    UNION ALL SELECT v FROM r{i})
+                GROUP BY 1),
+            a{i} AS (SELECT node FROM d{i} WHERE d >= {k}),
+            r{i + 1} AS (
+                SELECT u, v FROM r{i}
+                WHERE u IN (SELECT node FROM a{i})
+                  AND v IN (SELECT node FROM a{i}))"""
+        )
+    final = f"""
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                SELECT u AS node FROM r{rounds}
+                UNION ALL SELECT v FROM r{rounds})
+            GROUP BY 1"""
+    return ",\n".join(parts) + final
+
+
 def _bm25_values() -> str:
     """VALUES list for the BM25 oracle, generated from the engine's query
     set so the two can never drift."""
@@ -1547,6 +1587,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pmi_e6 DESC, bc.w1, bc.w2
             LIMIT 30
         """,
+        # k-core: fixed peeling rounds unrolled as CTEs (the pagerank
+        # oracle pattern); the engine early-breaks on convergence, which
+        # leaves identical results because further rounds are no-ops
+        "kcore_suppliers": _kcore_sql(k=2, rounds=4),
         # Efraimidis-Spirakis weighted sampling: -ln(u)/w quantized to an
         # int64 key (lnq9 then integer floor-division) so the order — and
         # therefore the sample — is identical on both sides

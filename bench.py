@@ -230,6 +230,7 @@ HEADLINE = [
     "returned_revenue_customers",
     "fuzzy_supplier_clusters",
     "weighted_sample_docs",
+    "kcore_suppliers",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

@@ -4601,73 +4601,9 @@ def q_triangle_suppliers(sf_dir: str):
     oracle). Pair explosion happens inside order-hash parts (bounded by
     order size²); md5 thinning applies BEFORE the pair-count exchange so
     the exchange only moves surviving pairs."""
-    import pandas as pd
-
-    from fdpg_query_data_validation_ray.functions.hashing import hash64
-    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
     from fdpg_query_data_validation_ray.stages.graph import triangle_counts
-    from fdpg_query_data_validation_ray.stages.text import md5_low60
 
-    n_parts = _verify_parts()
-
-    def route(t: pa.Table) -> pa.Table:
-        m = pc.and_(pc.is_valid(t["l_orderkey"]), pc.is_valid(t["l_suppkey"]))
-        t = t.filter(m)
-        o = t["l_orderkey"].combine_chunks()
-        return pa.table(
-            {
-                "order": o,
-                "supp": t["l_suppkey"].combine_chunks(),
-                "part": pa.array(
-                    (hash64(o) & np.uint64(n_parts - 1)).astype(np.int32)
-                ),
-            }
-        )
-
-    _E = {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
-
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame(dict(_E, c=pd.Series(dtype="int64"),
-                                     part2=pd.Series(dtype="int32")))
-        s = g[["order", "supp"]].drop_duplicates()
-        m = s.merge(s, on="order", suffixes=("_a", "_b"))
-        m = m[m["supp_a"] < m["supp_b"]]
-        cnt = (
-            m.groupby(["supp_a", "supp_b"], sort=False)
-            .size()
-            .reset_index(name="c")
-        )
-        u = cnt["supp_a"].to_numpy(np.int64)
-        v = cnt["supp_b"].to_numpy(np.int64)
-        # thin BEFORE the pair exchange: survival depends only on the pair
-        h = md5_low60([f"tri|{x}|{y}" for x, y in zip(u, v)])
-        keep = (h % np.uint64(4)) == 0
-        u, v, c = u[keep], v[keep], cnt["c"].to_numpy(np.int64)[keep]
-        pk = hash64(u * np.int64(1_000_003) + v)
-        return pd.DataFrame(
-            {"a": u, "b": v, "c": c,
-             "part2": (pk & np.uint64(n_parts - 1)).astype(np.int32)}
-        )
-
-    def sum_filter(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame(_E)
-        s = g.groupby(["a", "b"], sort=False)["c"].sum().reset_index()
-        s = s[s["c"] >= 2]
-        return pd.DataFrame(
-            {"a": s["a"].to_numpy(np.int64), "b": s["b"].to_numpy(np.int64)}
-        )
-
-    edges = (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-        .map_batches(route, batch_format="pyarrow", batch_size=65536)
-        .groupby("part")
-        .map_groups(per_part, batch_format="pandas")
-        .groupby("part2")
-        .map_groups(sum_filter, batch_format="pandas")
-    )
-    out = triangle_counts(edges, a="a", b="b")
+    out = triangle_counts(_copurchase_edges(sf_dir), a="a", b="b")
     schema = pa.schema([("node", pa.int64()), ("n_triangles", pa.int64())])
     # schema anchor: a triangle-free graph yields ZERO groups, so map_groups
     # emits schema-less empty pandas blocks — normalize every block to the
@@ -5348,6 +5284,88 @@ def q_weighted_sample_docs(sf_dir: str):
     )
 
 
+def _copurchase_edges(sf_dir: str):
+    """Shared edge derivation for the graph-operator queries: supplier
+    pairs sharing ≥ 2 distinct orders, md5-thinned to ~1/4 (the
+    triangle_suppliers recipe — replayed verbatim in every oracle)."""
+    import pandas as pd
+
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+    from fdpg_query_data_validation_ray.stages.text import md5_low60
+
+    n_parts = _verify_parts()
+
+    def route(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t["l_orderkey"]), pc.is_valid(t["l_suppkey"]))
+        t = t.filter(m)
+        o = t["l_orderkey"].combine_chunks()
+        return pa.table(
+            {
+                "order": o,
+                "supp": t["l_suppkey"].combine_chunks(),
+                "part": pa.array(
+                    (hash64(o) & np.uint64(n_parts - 1)).astype(np.int32)
+                ),
+            }
+        )
+
+    _E = {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(dict(_E, c=pd.Series(dtype="int64"),
+                                     part2=pd.Series(dtype="int32")))
+        s = g[["order", "supp"]].drop_duplicates()
+        m = s.merge(s, on="order", suffixes=("_a", "_b"))
+        m = m[m["supp_a"] < m["supp_b"]]
+        cnt = (
+            m.groupby(["supp_a", "supp_b"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        u = cnt["supp_a"].to_numpy(np.int64)
+        v = cnt["supp_b"].to_numpy(np.int64)
+        h = md5_low60([f"tri|{x}|{y}" for x, y in zip(u, v)])
+        keep = (h % np.uint64(4)) == 0
+        u, v, c = u[keep], v[keep], cnt["c"].to_numpy(np.int64)[keep]
+        pk = hash64(u * np.int64(1_000_003) + v)
+        return pd.DataFrame(
+            {"a": u, "b": v, "c": c,
+             "part2": (pk & np.uint64(n_parts - 1)).astype(np.int32)}
+        )
+
+    def sum_filter(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_E)
+        s = g.groupby(["a", "b"], sort=False)["c"].sum().reset_index()
+        s = s[s["c"] >= 2]
+        return pd.DataFrame(
+            {"a": s["a"].to_numpy(np.int64), "b": s["b"].to_numpy(np.int64)}
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+        .map_batches(route, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby("part2")
+        .map_groups(sum_filter, batch_format="pandas")
+    )
+
+
+def q_kcore_suppliers(sf_dir: str):
+    """k-core peeling (Seidman 1983; k = 2, 4 fixed rounds) over the
+    supplier co-purchase graph — surviving nodes with their in-core degree
+    (pendant/tree suppliers peel away). Fully distributed: one degree
+    exchange + two endpoint-filter exchanges per round
+    (stages/graph.py k_core); rounds are part of the semantics and the
+    oracle unrolls the same four."""
+    from fdpg_query_data_validation_ray.stages.graph import k_core
+
+    return k_core(_copurchase_edges(sf_dir), k=2, rounds=4, a="a", b="b")
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -5478,6 +5496,7 @@ QUERIES = {
     "returned_revenue_customers": q_returned_revenue_customers,
     "fuzzy_supplier_clusters": q_fuzzy_supplier_clusters,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "kcore_suppliers": q_kcore_suppliers,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,

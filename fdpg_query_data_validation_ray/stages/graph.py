@@ -846,3 +846,218 @@ def _triangles_exchange(edges_c, n_parts, count_rows, node_partials):
         .map_groups(close, batch_format="pandas")
     )
     return count_rows(partials)
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (fixed peeling rounds)
+# --------------------------------------------------------------------------
+
+_KC_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("kind", pa.int8()),  # 0 = edge (lo=u, hi=v), 1 = dead node (lo)
+        ("lo", pa.int64()),
+        ("hi", pa.int64()),
+    ]
+)
+
+
+def k_core(
+    edges,
+    k: int,
+    rounds: int = 4,
+    a: str = "a",
+    b: str = "b",
+    num_partitions: int | None = None,
+):
+    """k-core peeling over an undirected edge-list Dataset: up to `rounds`
+    times, drop every node with degree < k (and its edges), then report the
+    surviving nodes with their degrees — Seidman (1983) cores, the standard
+    graph-densification/pruning step.
+
+    `rounds` is part of the semantics (a SQL oracle unrolls the same fixed
+    rounds); the engine stops early when a round peels nothing, which
+    leaves the result identical because further rounds are no-ops. On any
+    graph, rounds ≥ |V| guarantees the true k-core.
+
+    Fully distributed, one degree exchange + two endpoint-filter exchanges
+    per round (the triangle-counting attach pattern): dead-node rows
+    co-partition with edges by hash(u) then hash(v), so no node set ever
+    sits at the driver. The shrinking edge set is materialized once per
+    round — it is the iteration's working state (the pagerank lesson:
+    without pinning, lazy fan-out re-executes the whole upstream chain per
+    consumer). Returns a Dataset (node, degree)."""
+    import ray.data as rd
+
+    n_parts = (
+        _next_pow2(int(num_partitions))
+        if num_partitions is not None
+        else _ccf_parts()
+    )
+    out_schema = pa.schema([("node", pa.int64()), ("degree", pa.int64())])
+
+    cur = (
+        _canon_edges(edges, a, b, n_parts)
+        .map_batches(
+            lambda t: t.select(["u", "v"])
+            if t.num_columns >= 2
+            else pa.table(
+                {"u": np.zeros(0, np.int64), "v": np.zeros(0, np.int64)}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def deg_partials(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t["u"].to_numpy(zero_copy_only=False),
+                t["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        un, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "part": (hash64(un) & np.uint64(n_parts - 1)).astype(np.int32),
+                "node": un,
+                "c": cnt.astype(np.int64),
+            }
+        )
+
+    def deg_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="int64"),
+                 "degree": pd.Series(dtype="int64")}
+            )
+        s = g.groupby("node", sort=False)["c"].sum()
+        return pd.DataFrame(
+            {"node": s.index.to_numpy(np.int64),
+             "degree": s.to_numpy(np.int64)}
+        )
+
+    def degrees(es):
+        return (
+            es.map_batches(deg_partials, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(deg_reduce, batch_format="pandas")
+        )
+
+    def filt(which: str):
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            ed = g[g["kind"] == 0]
+            if len(ed) == 0:
+                return pd.DataFrame(
+                    {"part": pd.Series(dtype="int32"),
+                     "kind": pd.Series(dtype="int8"),
+                     "lo": pd.Series(dtype="int64"),
+                     "hi": pd.Series(dtype="int64")}
+                )
+            dead = g.loc[g["kind"] == 1, "lo"].to_numpy(np.int64)
+            dead = np.unique(dead)
+            u = ed["lo"].to_numpy(np.int64)
+            v = ed["hi"].to_numpy(np.int64)
+            key = u if which == "u" else v
+            if len(dead):
+                pos = np.searchsorted(dead, key)
+                pos_c = np.minimum(pos, len(dead) - 1)
+                alive = dead[pos_c] != key
+                u, v = u[alive], v[alive]
+            nxt = v if which == "u" else u  # re-route by the other endpoint
+            return pd.DataFrame(
+                {
+                    "part": (hash64(nxt) & np.uint64(n_parts - 1)).astype(
+                        np.int32
+                    ) if which == "u" else (
+                        hash64(u) & np.uint64(n_parts - 1)
+                    ).astype(np.int32),
+                    "kind": np.zeros(len(u), np.int8),
+                    "lo": u,
+                    "hi": v,
+                }
+            )
+
+        return f
+
+    for _ in range(rounds):
+        deg = degrees(cur).materialize()
+        dead_rows = deg.map_batches(
+            lambda t: pa.table(
+                {
+                    "part": pc.cast(
+                        pa.array(
+                            (
+                                hash64(
+                                    t["node"].to_numpy(zero_copy_only=False)
+                                )
+                                & np.uint64(n_parts - 1)
+                            ).astype(np.int32)
+                        ),
+                        pa.int32(),
+                    ),
+                    "kind": pa.array(
+                        np.ones(t.num_rows, np.int8), pa.int8()
+                    ),
+                    "lo": pc.cast(t["node"], pa.int64()),
+                    "hi": pa.array(np.zeros(t.num_rows, np.int64)),
+                }
+            ).filter(pc.less(t["degree"], k)),
+            batch_format="pyarrow",
+        ).materialize()
+        if dead_rows.count() == 0:
+            break  # converged; remaining rounds are no-ops
+
+        def edge_rows_by_u(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "part": (hash64(u) & np.uint64(n_parts - 1)).astype(
+                        np.int32
+                    ),
+                    "kind": np.zeros(len(u), np.int8),
+                    "lo": u,
+                    "hi": v,
+                },
+                schema=_KC_SCHEMA,
+            )
+
+        stage1 = (
+            cur.map_batches(edge_rows_by_u, batch_format="pyarrow")
+            .union(dead_rows)
+            .groupby("part")
+            .map_groups(filt("u"), batch_format="pandas")
+            .map_batches(
+                lambda t: t.cast(_KC_SCHEMA)
+                if t.num_columns
+                else _KC_SCHEMA.empty_table(),
+                batch_format="pyarrow",
+            )
+        )
+        cur = (
+            stage1.union(dead_rows)
+            .groupby("part")
+            .map_groups(filt("v"), batch_format="pandas")
+            .map_batches(
+                lambda t: pa.table(
+                    {"u": t["lo"], "v": t["hi"]}
+                ).cast(
+                    pa.schema([("u", pa.int64()), ("v", pa.int64())])
+                )
+                if t.num_columns
+                else pa.schema(
+                    [("u", pa.int64()), ("v", pa.int64())]
+                ).empty_table(),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    final = degrees(cur).map_batches(
+        lambda t: t.select(["node", "degree"]).cast(out_schema)
+        if t.num_columns
+        else out_schema.empty_table(),
+        batch_format="pyarrow",
+    )
+    return rd.from_arrow(out_schema.empty_table()).union(final)

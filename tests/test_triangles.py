@@ -97,3 +97,69 @@ def test_wide_ids_fall_back_to_exchange(ray_session):
     edges = [(base + a, base + b) for a, b in itertools.combinations(range(4), 2)]
     out = _run(edges)  # auto
     assert out == {base + i: 3 for i in range(4)}
+
+
+def _run_kcore(edges, k, rounds=8, **kw):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fdpg_query_data_validation_ray.stages.graph import k_core
+
+    t = pa.table(
+        {
+            "a": pa.array([a for a, _ in edges], pa.int64()),
+            "b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    rows = k_core(
+        rd.from_arrow(t).repartition(3), k=k, rounds=rounds, **kw
+    ).take_all()
+    return {r["node"]: r["degree"] for r in rows}
+
+
+def _brute_kcore(edges, k, rounds=8):
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    for _ in range(rounds):
+        deg = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        dead = {n for n, d in deg.items() if d < k}
+        if not dead:
+            break
+        es = {(u, v) for u, v in es if u not in dead and v not in dead}
+    deg = {}
+    for u, v in es:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return deg
+
+
+def test_kcore_peels_chain_keeps_clique(ray_session):
+    # K4 clique + a pendant chain hanging off it: 3-core = the clique
+    clique = list(itertools.combinations(range(4), 2))
+    chain = [(3, 10), (10, 11), (11, 12)]
+    out = _run_kcore(clique + chain, k=3)
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_random_matches_brute(ray_session):
+    rng = np.random.RandomState(13)
+    edges = [
+        (int(rng.randint(0, 30)), int(rng.randint(0, 30))) for _ in range(90)
+    ]
+    for k in (2, 3, 4):
+        assert _run_kcore(edges, k=k) == _brute_kcore(edges, k=k)
+
+
+def test_kcore_fixed_rounds_semantics(ray_session):
+    # a long chain peels one pendant pair per round: with rounds=1 only the
+    # endpoints drop; both sides (engine, brute) honor the cap identically
+    chain = [(i, i + 1) for i in range(8)]
+    assert _run_kcore(chain, k=2, rounds=1) == _brute_kcore(chain, 2, 1)
+    assert _run_kcore(chain, k=2, rounds=8) == {}
+
+
+def test_kcore_everything_survives_is_noop(ray_session):
+    clique = list(itertools.combinations(range(5), 2))
+    assert _run_kcore(clique, k=2) == {i: 4 for i in range(5)}
