@@ -1587,6 +1587,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pmi_e6 DESC, bc.w1, bc.w2
             LIMIT 30
         """,
+        # centroid means e3-quantized with an EXACT floor: |sum_e6| < 2^53
+        # so FLOOR(sum_e6 / (n*1000.0)) in double equals integer floor
+        # division (DuckDB's // truncates toward zero on negatives, so the
+        # double-FLOOR form is the portable exact floor)
+        "centroid_similarity_labels": """
+            WITH e AS (
+              SELECT label, u.dim,
+                     CAST(FLOOR(1e6 * u.v + 0.5) AS BIGINT) AS q
+              FROM embeddings,
+              LATERAL (SELECT unnest(embedding) AS v,
+                              unnest(generate_series(1, len(embedding)))
+                                  AS dim) u),
+            s AS (SELECT label, dim, SUM(q) AS sum_e6, COUNT(*) AS n
+                  FROM e GROUP BY 1, 2),
+            m AS (SELECT label, dim,
+                         CAST(FLOOR(CAST(sum_e6 AS DOUBLE)
+                                    / (n * 1000.0)) AS BIGINT) AS v
+                  FROM s),
+            norms AS (SELECT label, CAST(SUM(v * v) AS BIGINT) AS norm2
+                      FROM m GROUP BY 1),
+            dots AS (
+              SELECT a.label AS label_a, b.label AS label_b,
+                     CAST(SUM(a.v * b.v) AS BIGINT) AS dot_e6
+              FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+              GROUP BY 1, 2)
+            SELECT d.label_a, d.label_b, d.dot_e6,
+                   na.norm2 AS norm2_a_e6, nb.norm2 AS norm2_b_e6
+            FROM dots d
+            JOIN norms na ON na.label = d.label_a
+            JOIN norms nb ON nb.label = d.label_b
+        """,
+        "events_user_next": """
+            SELECT user_id, event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   LEAD(event_id) OVER w AS next_id,
+                   CAST(epoch_us(LEAD(ts) OVER w)
+                        - epoch_us(ts) AS BIGINT) AS gap_us
+            FROM events
+            WHERE user_id IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
         # k-core: fixed peeling rounds unrolled as CTEs (the pagerank
         # oracle pattern); the engine early-breaks on convergence, which
         # leaves identical results because further rounds are no-ops

@@ -231,6 +231,8 @@ HEADLINE = [
     "fuzzy_supplier_clusters",
     "weighted_sample_docs",
     "kcore_suppliers",
+    "events_user_next",
+    "centroid_similarity_labels",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

@@ -5366,6 +5366,83 @@ def q_kcore_suppliers(sf_dir: str):
     return k_core(_copurchase_edges(sf_dir), k=2, rounds=4, a="a", b="b")
 
 
+def q_events_user_next(sf_dir: str):
+    """Per-user LEAD window: each event's next event id and exact
+    microsecond gap (stages/temporal.py lead_gap) — LEAD(event_id)/
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), the
+    inter-event-gap signal. Hash-exact vs the window oracle."""
+    from fdpg_query_data_validation_ray.stages.temporal import lead_gap
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = lead_gap(ds, "user_id", "ts", "event_id")
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("next_id", pa.int64()),
+            ("gap_us", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(
+            ["user_id", "event_id", "ts_us", "next_id", "gap_us"]
+        ).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
+def q_centroid_similarity_labels(sf_dir: str):
+    """Pairwise label-centroid similarity: per-label mean embeddings
+    (e3-quantized — the exact-floor trick keeps both sides integer), then
+    every label pair's dot product and squared norms as exact int64 — the
+    cluster-geometry diagnostic after a centroid build. One combiner
+    exchange produces the bounded (label, dim) table; the L×L×d pair
+    assembly is driver-side over that reduced state (labels are a class
+    axis, never data-scale)."""
+    from fdpg_query_data_validation_ray.stages.similarity import (
+        embedding_centroid_sums,
+    )
+
+    sums = (
+        embedding_centroid_sums(
+            _read(sf_dir, "embeddings", ["label", "embedding"]),
+            "embedding",
+            "label",
+        )
+        .to_pandas()  # O(labels × dims)
+    )
+    labels = np.sort(sums["label"].unique())
+    dims = int(sums["dim"].max()) if len(sums) else 0
+    L = len(labels)
+    M = np.zeros((L, dims), dtype=np.int64)
+    li = np.searchsorted(labels, sums["label"].to_numpy())
+    di = sums["dim"].to_numpy(np.int64) - 1
+    # exact floor of sum_e6 / (n·1000) — matches FLOOR(double) in SQL
+    # because |sum_e6| < 2^53 (see oracle comment)
+    M[li, di] = sums["sum_e6"].to_numpy(np.int64) // (
+        sums["n_vectors"].to_numpy(np.int64) * 1000
+    )
+    norm2 = (M.astype(object) ** 2).sum(axis=1)  # python ints, no overflow
+    rows = []
+    for i in range(L):
+        for j in range(i + 1, L):
+            dot = int((M[i].astype(object) * M[j].astype(object)).sum())
+            rows.append(
+                (int(labels[i]), int(labels[j]), dot,
+                 int(norm2[i]), int(norm2[j]))
+            )
+    return pa.table(
+        {
+            "label_a": pa.array([r[0] for r in rows], pa.int64()),
+            "label_b": pa.array([r[1] for r in rows], pa.int64()),
+            "dot_e6": pa.array([r[2] for r in rows], pa.int64()),
+            "norm2_a_e6": pa.array([r[3] for r in rows], pa.int64()),
+            "norm2_b_e6": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -5497,6 +5574,8 @@ QUERIES = {
     "fuzzy_supplier_clusters": q_fuzzy_supplier_clusters,
     "weighted_sample_docs": q_weighted_sample_docs,
     "kcore_suppliers": q_kcore_suppliers,
+    "events_user_next": q_events_user_next,
+    "centroid_similarity_labels": q_centroid_similarity_labels,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,

@@ -1259,3 +1259,76 @@ def running_sum(
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def lead_gap(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_column: str,
+    hot_key_limit: int | None = None,
+    hot_key_policy: str = "warn",
+):
+    """Per-key LEAD window on time: each row's NEXT event id within the
+    same key under the (ts, id) order, plus the exact microsecond gap —
+    LEAD(id)/LEAD(ts) OVER (PARTITION BY key ORDER BY ts, id). The
+    forward-looking twin of lag_delta; the inter-event-gap distribution is
+    the standard churn/engagement signal.
+
+    Same coarse-partition plan: key-hash routing, one lexsort per part,
+    shift by -1 with the key seam nulled. Last row of each key gets NULL
+    next/gap like SQL LEAD. Null keys dropped (mirror the oracle)."""
+    n_parts = _n_parts()
+
+    def route(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, ts_col, id_column])
+        t = t.filter(pc.is_valid(t[key_col].combine_chunks()))
+        return t.append_column("part", _part_of(t[key_col], n_parts))
+
+    empty_out = {
+        key_col: pd.Series(dtype="int64"),
+        id_column: pd.Series(dtype="int64"),
+        "ts_us": pd.Series(dtype="int64"),
+        "next_id": pd.Series(dtype="Int64"),
+        "gap_us": pd.Series(dtype="Int64"),
+    }
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(empty_out)
+        codes, uniques = pd.factorize(g[key_col], sort=False)
+        ts = _ts_int64(g[ts_col])
+        ids = g[id_column].to_numpy()
+        order = np.lexsort((ids, ts, codes))
+        codes_s = codes[order]
+        _check_hot_keys(codes_s, uniques, "lead_gap",
+                        hot_key_limit, hot_key_policy)
+        ts_s = ts[order]
+        ids_s = ids[order]
+        same_next = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_next[:-1] = codes_s[:-1] == codes_s[1:]
+        next_id = pd.array(
+            np.where(same_next, np.roll(ids_s, -1), 0), dtype="Int64"
+        )
+        gap = pd.array(
+            np.where(same_next, np.roll(ts_s, -1) - ts_s, 0), dtype="Int64"
+        )
+        next_id[~same_next] = pd.NA
+        gap[~same_next] = pd.NA
+        return pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy()[order],
+                id_column: ids_s,
+                "ts_us": ts_s,
+                "next_id": next_id,
+                "gap_us": gap,
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
