@@ -1618,6 +1618,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.label = d.label_a
             JOIN norms nb ON nb.label = d.label_b
         """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE c_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
+        """,
+        # exact grouped quartiles: the value at ROW_NUMBER ceil(n*q/4)
+        # under (value, event_id) order per group — same composite-key rank
+        # plan as median_value_by_type
+        "quartiles_value_by_type_exact": """
+            WITH v AS (
+                SELECT event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS vc,
+                       event_id
+                FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value)
+                      AND event_type IS NOT NULL AND event_id IS NOT NULL),
+            r AS (
+                SELECT event_type, vc,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY vc, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM v),
+            q(quarter) AS (VALUES (1), (2), (3))
+            SELECT event_type,
+                   CAST(quarter * 25 AS BIGINT) AS quartile,
+                   CAST(vc AS BIGINT) AS value_cents
+            FROM r CROSS JOIN q
+            WHERE rn = (n * quarter + 3) // 4
+        """,
         "events_user_next": """
             SELECT user_id, event_id,
                    CAST(epoch_us(ts) AS BIGINT) AS ts_us,

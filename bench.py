@@ -233,6 +233,8 @@ HEADLINE = [
     "kcore_suppliers",
     "events_user_next",
     "centroid_similarity_labels",
+    "customers_without_orders",
+    "quartiles_value_by_type_exact",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

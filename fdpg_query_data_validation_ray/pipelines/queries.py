@@ -5443,6 +5443,214 @@ def q_centroid_similarity_labels(sf_dir: str):
     )
 
 
+def q_customers_without_orders(sf_dir: str):
+    """NOT EXISTS anti-join as a named relational operator: customers with
+    no HIGH-VALUE order (totalprice > 300k — every customer has SOME order
+    in the synthetic data). One custkey-hash exchange: qualifying-order
+    count partials and customer rows co-partition; customers whose part
+    shows zero qualifying orders survive."""
+    import pandas as pd
+
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+
+    n_parts = _verify_parts()
+
+    def order_partials(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_valid(t["o_custkey"]),
+            pc.fill_null(pc.greater(t["o_totalprice"], 300000.0), False),
+        )
+        t = t.filter(m)
+        agg = t.select(["o_custkey"]).group_by("o_custkey").aggregate(
+            [([], "count_all")]
+        )
+        k = agg["o_custkey"].combine_chunks()
+        return pa.table(
+            {
+                "part": pa.array(
+                    (hash64(k) & np.uint64(n_parts - 1)).astype(np.int32)
+                ),
+                "kind": pa.array(np.zeros(len(k), np.int8)),
+                "custkey": pc.cast(k, pa.int64()),
+                "seg": pa.array([""] * len(k), pa.string()),
+            }
+        )
+
+    def customer_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["c_custkey"]))
+        k = pc.cast(t["c_custkey"], pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "part": pa.array(
+                    (hash64(k) & np.uint64(n_parts - 1)).astype(np.int32)
+                ),
+                "kind": pa.array(np.ones(len(k), np.int8)),
+                "custkey": k,
+                "seg": pc.cast(t["c_mktsegment"], pa.string()).combine_chunks(),
+            }
+        )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g[g["kind"] == 1]
+        if len(cust) == 0:
+            return pd.DataFrame(
+                {"c_custkey": pd.Series(dtype="int64"),
+                 "c_mktsegment": pd.Series(dtype="object")}
+            )
+        have = np.unique(g.loc[g["kind"] == 0, "custkey"].to_numpy(np.int64))
+        ck = cust["custkey"].to_numpy(np.int64)
+        if len(have):
+            pos = np.searchsorted(have, ck)
+            pos_c = np.minimum(pos, len(have) - 1)
+            keep = have[pos_c] != ck
+        else:
+            keep = np.ones(len(ck), bool)
+        return pd.DataFrame(
+            {
+                "c_custkey": ck[keep],
+                "c_mktsegment": cust["seg"].to_numpy(object)[keep],
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_totalprice"]
+    ).map_batches(order_partials, batch_format="pyarrow", batch_size=65536)
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+    ).map_batches(customer_rows, batch_format="pyarrow", batch_size=65536)
+    schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+    )
+    out = (
+        orders.union(cust)
+        .groupby("part")
+        .map_groups(anti, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(["c_custkey", "c_mktsegment"]).cast(schema)
+            if t.num_columns
+            else schema.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
+    return _rd().from_arrow(schema.empty_table()).union(out)
+
+
+def q_quartiles_value_by_type_exact(sf_dir: str):
+    """EXACT grouped quartiles (q25/q50/q75, lower-value discrete
+    quantiles) of the high-cardinality value column per event_type — the
+    arbitrary-q generalization of median_value_by_type over the SAME
+    composite-key range_rank plan: per-type counts → 3 target ranks per
+    group → one rank exchange → 3·G rows filtered → one broadcast-id scan.
+    Rank definition: ROW_NUMBER (n·q + 3) // 4 with q∈{1,2,3} (ceil of
+    n·q/4, ≥ 1), replayed verbatim in SQL."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.topk import range_rank
+
+    def valid(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t["event_type"]), pc.is_valid(t["event_id"])),
+            pc.and_kleene(
+                pc.is_valid(t["value"]), pc.invert(pc.is_nan(t["value"]))
+            ),
+        )
+        return t.filter(pc.fill_null(m, False))
+
+    counts = (
+        _read(sf_dir, "events", ["event_type", "event_id", "value"])
+        .map_batches(
+            lambda t: valid(t).select(["event_type"]), batch_format="pyarrow"
+        )
+        .groupby("event_type")
+        .count()
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    types = counts["event_type"].to_numpy(object)
+    n_per = counts["count()"].to_numpy(np.int64)
+    bases = np.concatenate([[0], np.cumsum(n_per)[:-1]]).astype(np.int64)
+    cum = np.cumsum(n_per)
+    quarters = np.array([1, 2, 3], np.int64)
+    # target global ranks: base + ceil(n*q/4) per (group, quarter)
+    tgt_local = (n_per[:, None] * quarters[None, :] + 3) // 4
+    targets = (bases[:, None] + tgt_local).ravel()
+    tgt = np.sort(targets)
+
+    def composite(t: pa.Table) -> pa.Table:
+        t = valid(t)
+        vc = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        if len(vc) and (vc.min() < 0 or vc.max() >= (1 << 40)):
+            raise ValueError("quartiles: cents outside composite range")
+        tidx = np.searchsorted(
+            types, t["event_type"].to_numpy(zero_copy_only=False)
+        )
+        ckey = (tidx.astype(np.int64) << 40) | vc
+        return pa.table(
+            {"event_id": t["event_id"], "ckey": pa.array(ckey, pa.int64())}
+        )
+
+    scored = _read(
+        sf_dir, "events", ["event_id", "event_type", "value"]
+    ).map_batches(composite, batch_format="pyarrow")
+    ranked = range_rank(scored, "ckey", "event_id")
+
+    def hit(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(tgt, r)
+        pos_c = np.minimum(pos, len(tgt) - 1)
+        m = tgt[pos_c] == r
+        return pa.table(
+            {
+                "event_id": pc.filter(t["event_id"], pa.array(m)),
+                "rank": pa.array(r[m], pa.int64()),
+            }
+        )
+
+    hits = ranked.map_batches(hit, batch_format="pyarrow").to_pandas()
+    ids = np.sort(hits["event_id"].to_numpy(np.int64))
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = valid(t)
+        ev = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ids, ev)
+        pos_c = np.minimum(pos, len(ids) - 1)
+        m = ids[pos_c] == ev if len(ids) else np.zeros(len(ev), bool)
+        t = t.filter(pa.array(m))
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "vc": _cents(t["value"]),
+            }
+        )
+
+    vals = (
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    merged = hits.merge(vals, on="event_id")
+    r = merged["rank"].to_numpy(np.int64)
+    lidx = np.searchsorted(cum, r, side="left")
+    # a rank can satisfy several quarters at tiny n (e.g. n=1 → all three
+    # targets coincide): emit one row per matching quarter
+    out_rows = []
+    for i in range(len(merged)):
+        li = int(lidx[i])
+        for qi, quarter in enumerate((25, 50, 75)):
+            if bases[li] + tgt_local[li, qi] == r[i]:
+                out_rows.append(
+                    (types[li], quarter, int(merged["vc"].to_numpy()[i]))
+                )
+    return pa.table(
+        {
+            "event_type": pa.array([x[0] for x in out_rows], pa.string()),
+            "quartile": pa.array([x[1] for x in out_rows], pa.int64()),
+            "value_cents": pa.array([x[2] for x in out_rows], pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -5576,6 +5784,8 @@ QUERIES = {
     "kcore_suppliers": q_kcore_suppliers,
     "events_user_next": q_events_user_next,
     "centroid_similarity_labels": q_centroid_similarity_labels,
+    "customers_without_orders": q_customers_without_orders,
+    "quartiles_value_by_type_exact": q_quartiles_value_by_type_exact,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,
