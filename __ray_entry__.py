@@ -1618,6 +1618,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.label = d.label_a
             JOIN norms nb ON nb.label = d.label_b
         """,
+        # robust outliers: lower median + lower-median MAD + a 5*MAD flag
+        # count, all under the engine's ROW_NUMBER (n+1)//2 definition
+        "mad_outliers_by_type": """
+            WITH v AS (
+                SELECT event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS vc,
+                       event_id
+                FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value)
+                      AND event_type IS NOT NULL AND event_id IS NOT NULL),
+            med AS (
+                SELECT event_type, vc AS median_cents FROM (
+                    SELECT event_type, vc,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                                              ORDER BY vc, event_id) AS rn,
+                           COUNT(*) OVER (PARTITION BY event_type) AS n
+                    FROM v)
+                WHERE rn = (n + 1) // 2),
+            dev AS (
+                SELECT v.event_type, ABS(v.vc - m.median_cents) AS d,
+                       v.event_id
+                FROM v JOIN med m USING (event_type)),
+            mad AS (
+                SELECT event_type, d AS mad_cents FROM (
+                    SELECT event_type, d,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                                              ORDER BY d, event_id) AS rn,
+                           COUNT(*) OVER (PARTITION BY event_type) AS n
+                    FROM dev)
+                WHERE rn = (n + 1) // 2)
+            SELECT m.event_type, m.median_cents, a.mad_cents,
+                   CAST((SELECT COUNT(*) FROM dev d
+                         WHERE d.event_type = m.event_type
+                           AND d.d > 5 * a.mad_cents) AS BIGINT)
+                       AS n_outliers
+            FROM med m JOIN mad a USING (event_type)
+        """,
+        "revenue_share_by_nation": """
+            WITH rev AS (
+                SELECT n.n_name,
+                       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100)
+                                     AS BIGINT)
+                            * (100 - CAST(ROUND(l.l_discount * 100)
+                                          AS BIGINT)))
+                            AS BIGINT) AS revenue_e4
+                FROM customer c
+                JOIN orders o   ON o.o_custkey = c.c_custkey
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                JOIN nation n   ON n.n_nationkey = c.c_nationkey
+                GROUP BY 1)
+            SELECT n_name, revenue_e4,
+                   CAST((CAST(revenue_e4 AS HUGEINT) * 1000000)
+                        // (SELECT SUM(CAST(revenue_e4 AS HUGEINT))
+                            FROM rev) AS BIGINT) AS share_e6
+            FROM rev
+        """,
         "customers_without_orders": """
             SELECT c_custkey, c_mktsegment FROM customer c
             WHERE c_custkey IS NOT NULL

@@ -235,6 +235,8 @@ HEADLINE = [
     "centroid_similarity_labels",
     "customers_without_orders",
     "quartiles_value_by_type_exact",
+    "revenue_share_by_nation",
+    "mad_outliers_by_type",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

@@ -5651,6 +5651,177 @@ def q_quartiles_value_by_type_exact(sf_dir: str):
     )
 
 
+def q_revenue_share_by_nation(sf_dir: str):
+    """Percent-of-total composition: each nation's exact share of global
+    revenue (share_e6 = rev·1e6 // total) on top of the Q5 star join —
+    the nation axis is bounded (25 rows), so the share divides at the
+    driver over the already-reduced aggregate; exact integer both sides."""
+    rev = q_revenue_by_nation(sf_dir).to_pandas()  # O(nations)
+    total = int(rev["revenue_e4"].sum())
+    r = rev["revenue_e4"].to_numpy(np.int64)
+    share = (r.astype(object) * 1_000_000) // total  # python ints: no overflow
+    return pa.table(
+        {
+            "n_name": pa.array(rev["n_name"].to_numpy(object), pa.string()),
+            "revenue_e4": pa.array(r, pa.int64()),
+            "share_e6": pa.array([int(x) for x in share], pa.int64()),
+        }
+    )
+
+
+def q_mad_outliers_by_type(sf_dir: str):
+    """Robust per-group outlier audit: per event_type the lower median, the
+    MAD (lower median of |value − median|), and the count of rows with
+    |value − median| > 5·MAD — the robust-z screen that, unlike the
+    z-score stage, a few extreme rows cannot poison. Three bounded passes
+    over the same composite-key rank plan: (1) medians, (2) MADs (ranking
+    the absolute deviations against the broadcast medians), (3) one
+    combiner count pass — every per-group structure stays G-bounded."""
+    import ray
+
+    from fdpg_query_data_validation_ray.stages.topk import range_rank
+
+    def valid(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t["event_type"]), pc.is_valid(t["event_id"])),
+            pc.and_kleene(
+                pc.is_valid(t["value"]), pc.invert(pc.is_nan(t["value"]))
+            ),
+        )
+        return t.filter(pc.fill_null(m, False))
+
+    counts = (
+        _read(sf_dir, "events", ["event_type", "event_id", "value"])
+        .map_batches(
+            lambda t: valid(t).select(["event_type"]), batch_format="pyarrow"
+        )
+        .groupby("event_type")
+        .count()
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    types = counts["event_type"].to_numpy(object)
+    n_per = counts["count()"].to_numpy(np.int64)
+    bases = np.concatenate([[0], np.cumsum(n_per)[:-1]]).astype(np.int64)
+    cum = np.cumsum(n_per)
+    targets = np.sort(bases + (n_per + 1) // 2)
+
+    def rank_values(value_of):
+        """One composite-key rank pass; returns the per-group value at the
+        lower-median rank (G-bounded driver frame)."""
+
+        def composite(t: pa.Table) -> pa.Table:
+            t = valid(t)
+            v = value_of(t)
+            if len(v) and (v.min() < 0 or v.max() >= (1 << 40)):
+                raise ValueError("mad_outliers: value outside composite range")
+            tidx = np.searchsorted(
+                types, t["event_type"].to_numpy(zero_copy_only=False)
+            )
+            return pa.table(
+                {
+                    "event_id": t["event_id"],
+                    "ckey": pa.array(
+                        (tidx.astype(np.int64) << 40) | v, pa.int64()
+                    ),
+                }
+            )
+
+        scored = _read(
+            sf_dir, "events", ["event_id", "event_type", "value"]
+        ).map_batches(composite, batch_format="pyarrow")
+        ranked = range_rank(scored, "ckey", "event_id")
+
+        def hit(t: pa.Table) -> pa.Table:
+            r = t["rank"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(targets, r), len(targets) - 1)
+            m = targets[pos] == r
+            return pa.table(
+                {
+                    "event_id": pc.filter(t["event_id"], pa.array(m)),
+                    "rank": pa.array(r[m], pa.int64()),
+                }
+            )
+
+        hits = ranked.map_batches(hit, batch_format="pyarrow").to_pandas()
+        ids = np.sort(hits["event_id"].to_numpy(np.int64))
+
+        def pick(t: pa.Table) -> pa.Table:
+            t = valid(t)
+            ev = pc.cast(t["event_id"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.minimum(np.searchsorted(ids, ev), len(ids) - 1)
+            m = ids[pos] == ev if len(ids) else np.zeros(len(ev), bool)
+            t = t.filter(pa.array(m))
+            return pa.table(
+                {
+                    "event_id": pc.cast(t["event_id"], pa.int64()),
+                    "v": pa.array(value_of(t), pa.int64()),
+                }
+            )
+
+        vals = (
+            _read(sf_dir, "events", ["event_id", "event_type", "value"])
+            .map_batches(pick, batch_format="pyarrow")
+            .to_pandas()
+        )
+        merged = hits.merge(vals, on="event_id")
+        lidx = np.searchsorted(
+            cum, merged["rank"].to_numpy(np.int64), side="left"
+        )
+        out = np.zeros(len(types), np.int64)
+        out[lidx] = merged["v"].to_numpy(np.int64)
+        return out
+
+    def vc_of(t: pa.Table) -> np.ndarray:
+        return _cents(t["value"]).to_numpy(zero_copy_only=False)
+
+    med = rank_values(vc_of)  # per-type lower median, types order
+    med_sorted_by_type = med  # types already sorted
+
+    def dev_of(t: pa.Table) -> np.ndarray:
+        tidx = np.searchsorted(
+            types, t["event_type"].to_numpy(zero_copy_only=False)
+        )
+        return np.abs(vc_of(t) - med_sorted_by_type[tidx])
+
+    mad = rank_values(dev_of)
+
+    # pass 3: outlier counts per type (bounded axis combiner)
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = valid(t)
+        tidx = np.searchsorted(
+            types, t["event_type"].to_numpy(zero_copy_only=False)
+        )
+        dev = np.abs(vc_of(t) - med_sorted_by_type[tidx])
+        out = dev > 5 * mad[tidx]
+        c = np.bincount(tidx[out], minlength=len(types)).astype(np.int64)
+        return pa.table(
+            {
+                "tidx": np.arange(len(types), dtype=np.int64),
+                "c": c,
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(count_partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()  # O(batches × types) — bounded axis
+    )
+    n_out = parts.groupby("tidx")["c"].sum()
+    n_arr = np.zeros(len(types), np.int64)
+    n_arr[n_out.index.to_numpy(np.int64)] = n_out.to_numpy(np.int64)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "median_cents": pa.array(med, pa.int64()),
+            "mad_cents": pa.array(mad, pa.int64()),
+            "n_outliers": pa.array(n_arr, pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -5786,6 +5957,8 @@ QUERIES = {
     "centroid_similarity_labels": q_centroid_similarity_labels,
     "customers_without_orders": q_customers_without_orders,
     "quartiles_value_by_type_exact": q_quartiles_value_by_type_exact,
+    "revenue_share_by_nation": q_revenue_share_by_nation,
+    "mad_outliers_by_type": q_mad_outliers_by_type,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,
