@@ -1618,6 +1618,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.label = d.label_a
             JOIN norms nb ON nb.label = d.label_b
         """,
+        "minmax_events_by_type": """
+            WITH v AS (
+                SELECT event_id, event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS vc
+                FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value)
+                      AND event_type IS NOT NULL AND event_id IS NOT NULL),
+            b AS (SELECT event_type, MIN(vc) AS lo, MAX(vc) AS hi
+                  FROM v GROUP BY 1)
+            SELECT v.event_id, v.event_type,
+                   CASE WHEN b.hi > b.lo
+                        THEN ((v.vc - b.lo) * 1000000) // (b.hi - b.lo)
+                        ELSE 0 END AS norm_e6
+            FROM v JOIN b USING (event_type)
+        """,
         # robust outliers: lower median + lower-median MAD + a 5*MAD flag
         # count, all under the engine's ROW_NUMBER (n+1)//2 definition
         "mad_outliers_by_type": """

@@ -237,6 +237,7 @@ HEADLINE = [
     "quartiles_value_by_type_exact",
     "revenue_share_by_nation",
     "mad_outliers_by_type",
+    "minmax_events_by_type",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

@@ -5822,6 +5822,67 @@ def q_mad_outliers_by_type(sf_dir: str):
     )
 
 
+def q_minmax_events_by_type(sf_dir: str):
+    """Per-group min-max feature scaling: norm_e6 = (v − min)·1e6 //
+    (max − min) within each event_type — the [0,1] scaling leg beside the
+    z-score. Two-pass broadcast plan: one tiny (key, min, max) groupby
+    (cents exact), ray.put of the O(keys) LUT, zero-exchange scoring in
+    pure integer arithmetic (hash-exact; degenerate max == min groups emit
+    0, replayed in the oracle)."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(t["event_type"]), pc.is_valid(t["event_id"])),
+            pc.and_kleene(
+                pc.is_valid(t["value"]), pc.invert(pc.is_nan(t["value"]))
+            ),
+        )
+        t = t.filter(pc.fill_null(m, False))
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "event_type": pc.cast(t["event_type"], pa.string()),
+                "vc": _cents(t["value"]),
+            }
+        )
+
+    rows = _read(
+        sf_dir, "events", ["event_id", "event_type", "value"]
+    ).map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    bands = (
+        rows.groupby("event_type")
+        .aggregate(Min("vc", alias_name="lo"), Max("vc", alias_name="hi"))
+        .to_pandas()  # O(types)
+        .sort_values("event_type")
+    )
+    keys = bands["event_type"].to_numpy(object).astype("U")
+    lo = bands["lo"].to_numpy(np.int64)
+    hi = bands["hi"].to_numpy(np.int64)
+    ref = ray.put((keys, lo, hi))
+
+    def score(t: pa.Table, _ref=ref) -> pa.Table:
+        ks, lov, hiv = ray.get(_ref)
+        ti = np.searchsorted(
+            ks, t["event_type"].to_numpy(zero_copy_only=False).astype("U")
+        )
+        vc = t["vc"].to_numpy(zero_copy_only=False)
+        rng = hiv[ti] - lov[ti]
+        norm = np.where(
+            rng > 0, ((vc - lov[ti]) * 1_000_000) // np.maximum(rng, 1), 0
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "norm_e6": pa.array(norm.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return rows.map_batches(score, batch_format="pyarrow", batch_size=65536)
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -5959,6 +6020,7 @@ QUERIES = {
     "quartiles_value_by_type_exact": q_quartiles_value_by_type_exact,
     "revenue_share_by_nation": q_revenue_share_by_nation,
     "mad_outliers_by_type": q_mad_outliers_by_type,
+    "minmax_events_by_type": q_minmax_events_by_type,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,
