@@ -1618,6 +1618,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.label = d.label_a
             JOIN norms nb ON nb.label = d.label_b
         """,
+        # local clustering coefficient: floor(1e6*2*tri/(d*(d-1))), nodes
+        # with degree >= 2 (triangle set is orientation-invariant; the
+        # degree comes from the same canonical edge set)
+        "clustering_coeff_suppliers": """
+            WITH pairs0 AS (
+                SELECT a.l_suppkey AS u, b.l_suppkey AS v
+                FROM lineitem a JOIN lineitem b
+                     ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_suppkey < b.l_suppkey
+                GROUP BY 1, 2
+                HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+            e AS (
+                SELECT u, v FROM pairs0
+                WHERE (md5_number_lower(
+                           'tri|' || CAST(u AS VARCHAR) || '|'
+                                  || CAST(v AS VARCHAR))
+                       & ((1::UBIGINT << 60) - 1)) % 4 = 0),
+            deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                GROUP BY 1),
+            tri AS (
+                SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+            tcnt AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+                    SELECT x AS node FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri)
+                GROUP BY 1)
+            SELECT d.node, d.degree,
+                   CAST((2000000 * COALESCE(t.t, 0))
+                        // (d.degree * (d.degree - 1)) AS BIGINT) AS cc_e6
+            FROM deg d LEFT JOIN tcnt t USING (node)
+            WHERE d.degree >= 2
+        """,
         "minmax_events_by_type": """
             WITH v AS (
                 SELECT event_id, event_type,

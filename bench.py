@@ -238,6 +238,7 @@ HEADLINE = [
     "revenue_share_by_nation",
     "mad_outliers_by_type",
     "minmax_events_by_type",
+    "clustering_coeff_suppliers",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

@@ -5883,6 +5883,75 @@ def q_minmax_events_by_type(sf_dir: str):
     return rows.map_batches(score, batch_format="pyarrow", batch_size=65536)
 
 
+def q_clustering_coeff_suppliers(sf_dir: str):
+    """Local clustering coefficient per node: 1e6 · 2·triangles /
+    (deg·(deg−1)) over the co-purchase graph — triangle_counts composed
+    with one degree exchange; integer floor on both sides. Nodes with
+    degree < 2 are excluded (coefficient undefined)."""
+    import pandas as pd
+
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+    from fdpg_query_data_validation_ray.stages.graph import (
+        _canon_edges,
+        triangle_counts,
+    )
+
+    n_parts = _verify_parts()
+    edges = _copurchase_edges(sf_dir)
+    tri = triangle_counts(edges, a="a", b="b")
+
+    # exact degrees over the SAME canonical edge set
+    def deg_partials(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t["u"].to_numpy(zero_copy_only=False),
+                t["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        un, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "part": (hash64(un) & np.uint64(n_parts - 1)).astype(np.int32),
+                "node": un,
+                "c": cnt.astype(np.int64),
+            }
+        )
+
+    def deg_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="int64"),
+                 "degree": pd.Series(dtype="int64")}
+            )
+        s = g.groupby("node", sort=False)["c"].sum()
+        return pd.DataFrame(
+            {"node": s.index.to_numpy(np.int64),
+             "degree": s.to_numpy(np.int64)}
+        )
+
+    deg = (
+        _canon_edges(_copurchase_edges(sf_dir), "a", "b", n_parts)
+        .map_batches(deg_partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(deg_reduce, batch_format="pandas")
+        .to_pandas()  # O(V) — the graph's node axis (suppliers) is bounded
+    )
+    tri_pd = tri.to_pandas()
+    m = deg.merge(tri_pd, on="node", how="left").fillna({"n_triangles": 0})
+    m = m[m["degree"] >= 2]
+    d = m["degree"].to_numpy(np.int64)
+    t3 = m["n_triangles"].to_numpy(np.int64)
+    cc = (2_000_000 * t3) // (d * (d - 1))
+    return pa.table(
+        {
+            "node": pa.array(m["node"].to_numpy(np.int64), pa.int64()),
+            "degree": pa.array(d, pa.int64()),
+            "cc_e6": pa.array(cc, pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -6021,6 +6090,7 @@ QUERIES = {
     "revenue_share_by_nation": q_revenue_share_by_nation,
     "mad_outliers_by_type": q_mad_outliers_by_type,
     "minmax_events_by_type": q_minmax_events_by_type,
+    "clustering_coeff_suppliers": q_clustering_coeff_suppliers,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,
