@@ -1051,6 +1051,11 @@ def k_core(
                 ).empty_table(),
                 batch_format="pyarrow",
             )
+            # block-count pinning (the pagerank lesson): union+map_groups
+            # grow the block list ~3x per round (measured 351 -> 1053 at
+            # 1M rows) and exchange sort time tracks block count — one
+            # repartition per round keeps it flat
+            .repartition(min(n_parts, 64))
             .materialize()
         )
 
