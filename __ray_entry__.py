@@ -1618,6 +1618,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.label = d.label_a
             JOIN norms nb ON nb.label = d.label_b
         """,
+        # OHLC: open/close are the values at the min/max (ts, event_id) of
+        # each (type, hour) bucket — FIRST_VALUE/LAST_VALUE semantics with
+        # a total tie-break
+        "events_ohlc_hourly": """
+            WITH v AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+                       epoch_us(ts) AS tsu, event_id,
+                       CAST(ROUND(value * 100) AS BIGINT) AS vc
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                      AND event_id IS NOT NULL
+                      AND value IS NOT NULL AND NOT isnan(value)),
+            r AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (PARTITION BY event_type, hour_us
+                                          ORDER BY tsu, event_id) AS ra,
+                       ROW_NUMBER() OVER (PARTITION BY event_type, hour_us
+                                          ORDER BY tsu DESC,
+                                                   event_id DESC) AS rd
+                FROM v),
+            agg AS (
+                SELECT event_type, hour_us,
+                       CAST(MIN(vc) AS BIGINT) AS low_cents,
+                       CAST(MAX(vc) AS BIGINT) AS high_cents,
+                       CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM v GROUP BY 1, 2)
+            SELECT a.event_type, CAST(a.hour_us AS BIGINT) AS hour_us,
+                   o.vc AS open_cents, a.high_cents, a.low_cents,
+                   c.vc AS close_cents, a.n_events
+            FROM agg a
+            JOIN r o ON o.event_type = a.event_type
+                    AND o.hour_us = a.hour_us AND o.ra = 1
+            JOIN r c ON c.event_type = a.event_type
+                    AND c.hour_us = a.hour_us AND c.rd = 1
+        """,
         # local clustering coefficient: floor(1e6*2*tri/(d*(d-1))), nodes
         # with degree >= 2 (triangle set is orientation-invariant; the
         # degree comes from the same canonical edge set)

@@ -239,6 +239,7 @@ HEADLINE = [
     "mad_outliers_by_type",
     "minmax_events_by_type",
     "clustering_coeff_suppliers",
+    "events_ohlc_hourly",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

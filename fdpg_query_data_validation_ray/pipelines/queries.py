@@ -5952,6 +5952,154 @@ def q_clustering_coeff_suppliers(sf_dir: str):
     )
 
 
+def q_events_ohlc_hourly(sf_dir: str):
+    """OHLC per (event_type, hour): open/close = the value at the
+    min/max (ts, event_id) of the bucket, high/low = max/min value — the
+    FIRST_VALUE/LAST_VALUE order-dependent aggregate family as MERGEABLE
+    combiners: each batch emits one partial row per touched bucket
+    carrying (argmin key + its value, argmax key + its value, min, max,
+    n); one small groupby merges by re-applying the same min/max rules.
+    Exact cents; hash-exact vs the ROW_NUMBER replay."""
+    import pandas as pd
+
+    from fdpg_query_data_validation_ray.functions.hashing import hash64
+    from fdpg_query_data_validation_ray.stages.dedup import _verify_parts
+
+    n_parts = _verify_parts()
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.is_valid(t["event_type"]),
+                pc.and_kleene(
+                    pc.is_valid(t["value"]), pc.invert(pc.is_nan(t["value"]))
+                ),
+            ),
+            pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["event_id"])),
+        )
+        t = t.filter(pc.fill_null(m, False))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "event_type": pa.array([], pa.string()),
+                    "hour_us": pa.array([], pa.int64()),
+                    "o_ts": pa.array([], pa.int64()),
+                    "o_id": pa.array([], pa.int64()),
+                    "o_v": pa.array([], pa.int64()),
+                    "c_ts": pa.array([], pa.int64()),
+                    "c_id": pa.array([], pa.int64()),
+                    "c_v": pa.array([], pa.int64()),
+                    "lo": pa.array([], pa.int64()),
+                    "hi": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ts = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hour = (ts // 3_600_000_000) * 3_600_000_000
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        vc = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"ty": ty, "h": hour, "ts": ts, "id": eid, "v": vc}
+        )
+        # order by (ts, id) inside each bucket: first row = open, last = close
+        df = df.sort_values(["ty", "h", "ts", "id"], kind="mergesort")
+        g = df.groupby(["ty", "h"], sort=False)
+        first = g.head(1).reset_index(drop=True)
+        last = g.tail(1).reset_index(drop=True)
+        agg = g["v"].agg(["min", "max", "size"]).reset_index()
+        out = pd.DataFrame(
+            {
+                "event_type": first["ty"],
+                "hour_us": first["h"].to_numpy(np.int64),
+                "o_ts": first["ts"].to_numpy(np.int64),
+                "o_id": first["id"].to_numpy(np.int64),
+                "o_v": first["v"].to_numpy(np.int64),
+                "c_ts": last["ts"].to_numpy(np.int64),
+                "c_id": last["id"].to_numpy(np.int64),
+                "c_v": last["v"].to_numpy(np.int64),
+                "lo": agg["min"].to_numpy(np.int64),
+                "hi": agg["max"].to_numpy(np.int64),
+                "n": agg["size"].to_numpy(np.int64),
+            }
+        )
+        key = out["event_type"].astype(str) + "\x1f" + out["hour_us"].astype(str)
+        out.insert(
+            0,
+            "part",
+            (hash64(key.to_numpy(object)) & np.uint64(n_parts - 1)).astype(
+                np.int32
+            ),
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "hour_us": pd.Series(dtype="int64"),
+                    "open_cents": pd.Series(dtype="int64"),
+                    "high_cents": pd.Series(dtype="int64"),
+                    "low_cents": pd.Series(dtype="int64"),
+                    "close_cents": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                }
+            )
+        rows = []
+        for (ty, h), grp in g.groupby(["event_type", "hour_us"], sort=False):
+            oi = np.lexsort((grp["o_id"].to_numpy(), grp["o_ts"].to_numpy()))[0]
+            ci = np.lexsort((grp["c_id"].to_numpy(), grp["c_ts"].to_numpy()))[-1]
+            rows.append(
+                (
+                    ty,
+                    int(h),
+                    int(grp["o_v"].to_numpy()[oi]),
+                    int(grp["hi"].max()),
+                    int(grp["lo"].min()),
+                    int(grp["c_v"].to_numpy()[ci]),
+                    int(grp["n"].sum()),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "hour_us", "open_cents", "high_cents",
+                "low_cents", "close_cents", "n_events",
+            ],
+        )
+
+    out = (
+        _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("hour_us", pa.int64()),
+            ("open_cents", pa.int64()),
+            ("high_cents", pa.int64()),
+            ("low_cents", pa.int64()),
+            ("close_cents", pa.int64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(
+            [
+                "event_type", "hour_us", "open_cents", "high_cents",
+                "low_cents", "close_cents", "n_events",
+            ]
+        ).cast(schema),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -6091,6 +6239,7 @@ QUERIES = {
     "mad_outliers_by_type": q_mad_outliers_by_type,
     "minmax_events_by_type": q_minmax_events_by_type,
     "clustering_coeff_suppliers": q_clustering_coeff_suppliers,
+    "events_ohlc_hourly": q_events_ohlc_hourly,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,
