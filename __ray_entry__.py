@@ -1618,6 +1618,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.label = d.label_a
             JOIN norms nb ON nb.label = d.label_b
         """,
+        "supplier_hhi_by_nation": """
+            WITH v AS (
+                SELECT s_nationkey AS nk,
+                       CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bc
+                FROM supplier
+                WHERE s_nationkey IS NOT NULL AND s_acctbal > 0),
+            tot AS (SELECT nk, SUM(bc) AS total FROM v GROUP BY 1),
+            sh AS (SELECT v.nk, (v.bc * 1000000) // t.total AS s
+                   FROM v JOIN tot t USING (nk))
+            SELECT nk AS n_nationkey,
+                   CAST(SUM(s * s) // 1000000 AS BIGINT) AS hhi_e6
+            FROM sh GROUP BY 1
+        """,
         # OHLC: open/close are the values at the min/max (ts, event_id) of
         # each (type, hour) bucket — FIRST_VALUE/LAST_VALUE semantics with
         # a total tie-break

@@ -240,6 +240,7 @@ HEADLINE = [
     "minmax_events_by_type",
     "clustering_coeff_suppliers",
     "events_ohlc_hourly",
+    "supplier_hhi_by_nation",
     "copurchase_suppliers",
     "user_event_paths",
     "active_users_24h",

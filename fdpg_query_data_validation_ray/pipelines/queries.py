@@ -6100,6 +6100,86 @@ def q_events_ohlc_hourly(sf_dir: str):
     )
 
 
+def q_supplier_hhi_by_nation(sf_dir: str):
+    """Herfindahl–Hirschman concentration index per nation: each
+    supplier's share of its nation's positive account-balance mass,
+    hhi_e6 = Σ share_e6² // 1e6 — the market-concentration aggregate.
+    Two-pass broadcast plan (the minmax/zscore shape): one tiny
+    (nation, total) groupby, LUT broadcast, per-batch integer share²
+    partials, one bounded final sum."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_valid(t["s_nationkey"]),
+            pc.fill_null(pc.greater(t["s_acctbal"], 0.0), False),
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "nk": pc.cast(t["s_nationkey"], pa.int64()),
+                "bc": _cents(t["s_acctbal"]),
+            }
+        )
+
+    rows = _read(
+        sf_dir, "supplier", ["s_nationkey", "s_acctbal"]
+    ).map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    tot = (
+        rows.groupby("nk")
+        .aggregate(Sum("bc", alias_name="total"))
+        .to_pandas()
+        .sort_values("nk")
+    )
+    nk = tot["nk"].to_numpy(np.int64)
+    total = tot["total"].to_numpy(np.int64)
+    ref = ray.put((nk, total))
+
+    def partial(t: pa.Table, _ref=ref) -> pa.Table:
+        ks, tv = ray.get(_ref)
+        n = t["nk"].to_numpy(zero_copy_only=False)
+        b = t["bc"].to_numpy(zero_copy_only=False)
+        ti = np.searchsorted(ks, n)
+        share = (b * 1_000_000) // tv[ti]
+        sq = share * share  # ≤ 1e12 per row, int64-safe
+        # exact integer per-nation sum of share² via sort-reduce
+        order = np.argsort(ti, kind="stable")
+        tis, sqs = ti[order], sq[order]
+        first = np.empty(len(tis), bool)
+        if len(tis):
+            first[0] = True
+            first[1:] = tis[1:] != tis[:-1]
+            bounds = np.flatnonzero(first)
+            sums = np.add.reduceat(sqs, bounds)
+            idx = tis[bounds]
+        else:
+            sums = np.zeros(0, np.int64)
+            idx = tis
+        return pa.table(
+            {
+                "nk": pa.array(ks[idx], pa.int64()),
+                "sq": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        rows.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("nk")
+        .aggregate(Sum("sq", alias_name="sq"))
+        .to_pandas()  # O(nations)
+        .sort_values("nk")
+    )
+    return pa.table(
+        {
+            "n_nationkey": pa.array(agg["nk"].to_numpy(np.int64), pa.int64()),
+            "hhi_e6": pa.array(
+                agg["sq"].to_numpy(np.int64) // 1_000_000, pa.int64()
+            ),
+        }
+    )
+
+
 QUERIES = {
     "split_docs": q_split_docs,
     "sample_docs": q_sample_docs,
@@ -6240,6 +6320,7 @@ QUERIES = {
     "minmax_events_by_type": q_minmax_events_by_type,
     "clustering_coeff_suppliers": q_clustering_coeff_suppliers,
     "events_ohlc_hourly": q_events_ohlc_hourly,
+    "supplier_hhi_by_nation": q_supplier_hhi_by_nation,
     "copurchase_suppliers": q_copurchase_suppliers,
     "user_event_paths": q_user_event_paths,
     "active_users_24h": q_active_users_24h,
